@@ -1,0 +1,86 @@
+package graft.core
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.scalacheck.Gen
+import scala.collection.mutable.ArrayBuffer
+
+/** Core-kernel laws (SURVEY §5): dominance, SFS/BNL equivalence, the
+  * brute-force O(n²) oracle, partition-invariance of merge, duplicate
+  * preservation.
+  */
+class SkylineKernelSpec extends AnyFunSuite with PropHelpers {
+
+  private def bruteForce(pts: Seq[Array[Double]]): Seq[Array[Double]] =
+    pts.filter(p => !pts.exists(q => Dominance.dominates(q, p)))
+
+  private def asSets(pts: Seq[Array[Double]]): Map[Seq[Double], Int] =
+    pts.groupBy(_.toSeq).view.mapValues(_.size).toMap
+
+  private val pointGen: Gen[Array[Double]] =
+    for {
+      d <- Gen.const(3)
+      vs <- Gen.listOfN(d, Gen.choose(0, 9).map(_.toDouble))
+    } yield vs.toArray
+
+  private val setGen: Gen[List[Array[Double]]] = Gen.listOf(pointGen)
+
+  test("dominance: hand-computed fixtures (FIXTURES.md §3)") {
+    assert(Dominance.dominates(Array(1.0, 1.0), Array(1.0, 2.0)))
+    assert(!Dominance.dominates(Array(1.0, 2.0), Array(1.0, 1.0)))
+    assert(!Dominance.dominates(Array(2.0, 2.0), Array(2.0, 2.0)), "equal vectors never dominate")
+    assert(!Dominance.dominates(Array(1.0, 5.0), Array(5.0, 1.0)), "incomparable")
+    assert(Dominance.dominates(Array(1.0), Array(2.0)), "1-dim")
+  }
+
+  test("skylineOf: hand-computed fixture with duplicate retention") {
+    val s = ArrayBuffer(
+      Array(1.0, 5.0), Array(5.0, 1.0), Array(3.0, 3.0), Array(4.0, 4.0), Array(1.0, 5.0))
+    val sky = SkylineKernel.skylineOf(s)
+    assert(asSets(sky.toSeq) == asSets(Seq(
+      Array(1.0, 5.0), Array(5.0, 1.0), Array(3.0, 3.0), Array(1.0, 5.0))))
+  }
+
+  test("skylineOf == brute-force oracle (multiset, duplicates retained)") {
+    forAll(setGen) { pts =>
+      val got = SkylineKernel.skylineOf(ArrayBuffer.from(pts))
+      assert(asSets(got.toSeq) == asSets(bruteForce(pts)))
+    }
+  }
+
+  test("BNL insert sequence == SFS") {
+    forAll(setGen) { pts =>
+      val buf = new ArrayBuffer[Array[Double]]
+      pts.foreach(SkylineKernel.insert(buf, _))
+      assert(asSets(buf.toSeq) == asSets(SkylineKernel.skylineOf(ArrayBuffer.from(pts)).toSeq))
+    }
+  }
+
+  test("skyline laws: no member dominates another; idempotent; permutation-invariant") {
+    forAll(setGen) { pts =>
+      val sky = SkylineKernel.skylineOf(ArrayBuffer.from(pts))
+      for (a <- sky; b <- sky) assert(!Dominance.dominates(a, b))
+      assert(asSets(SkylineKernel.skylineOf(sky.clone()).toSeq) == asSets(sky.toSeq), "idempotent")
+      assert(asSets(SkylineKernel.skylineOf(ArrayBuffer.from(pts.reverse)).toSeq) == asSets(sky.toSeq), "permutation-invariant")
+    }
+  }
+
+  test("partition-then-merge == whole-set skyline (validates aggregate partial/merge)") {
+    forAll2(setGen, Gen.choose(1, 5)) { (pts, k) =>
+      val parts = pts.zipWithIndex.groupBy(_._2 % k).values.map(g => ArrayBuffer.from(g.map(_._1)))
+      val merged = parts.map(SkylineKernel.skylineOf).reduceOption(SkylineKernel.merge)
+        .getOrElse(new ArrayBuffer[Array[Double]])
+      assert(asSets(merged.toSeq) == asSets(SkylineKernel.skylineOf(ArrayBuffer.from(pts)).toSeq))
+    }
+  }
+
+  test("SkyBuffer add/absorb/result matches oracle across compaction boundaries") {
+    forAll(Gen.listOfN(3000, pointGen), n = 5) { pts =>
+      val (l, r) = pts.splitAt(pts.length / 2)
+      val b1 = new SkyBuffer(); l.foreach(b1.add)
+      val b2 = new SkyBuffer(); r.foreach(b2.add)
+      b1.absorb(b2)
+      assert(asSets(b1.result().toSeq) == asSets(bruteForce(pts)))
+    }
+  }
+}
