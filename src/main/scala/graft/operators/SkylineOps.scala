@@ -1,0 +1,160 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.SkylineAgg.skyline_agg
+
+/** DataFrame-level skyline operators.
+  *
+  * The centerpiece pattern: the skyline (Pareto frontier, minimization on
+  * every dimension — reference: `java/org.main/ServiceTuple.java:53-77`) is
+  * computed by the [[graft.functions.SkylineAgg]] aggregate, whose
+  * partial/merge decomposition IS the reference's MR two-phase design
+  * (local BNL per input partition, only local skylines cross the shuffle,
+  * global BNL merge — reference: `java/org.main/FlinkSkyline.java:162-174`).
+  *
+  * Scale design (100 TB): the frontier is tiny relative to the input (≪ 1%
+  * for realistic distributions), so every operator here does one full scan
+  * to produce the frontier (map-side partial aggregation ⇒ O(skyline) shuffle
+  * bytes per partition), then a second scan with a **broadcast** semi-join to
+  * recover the original duplicate-preserving rows. No full-data shuffle
+  * anywhere; both scans are codegen'd column pipelines.
+  */
+object SkylineOps {
+
+  /** `array(dims...)` cast to double — the aggregate's input vector. */
+  private def vec(dims: Seq[String]): Column =
+    array(dims.map(d => col(d).cast("double")): _*)
+
+  /** Distinct frontier points of `df` over `dims`, one column per dim. */
+  def frontier(df: DataFrame, dims: Seq[String]): DataFrame =
+    df.agg(skyline_agg(vec(dims)).as("sky"))
+      .select(explode(col("sky")).as("p"))
+      .select(dims.zipWithIndex.map { case (d, i) => col("p")(i).as(d) }: _*)
+      .distinct()
+
+  /** All non-dominated rows of `df` over `dims` (duplicates of frontier
+    * points all survive — SURVEY §1.2). Equivalent to the SQL anti-join
+    * `WHERE NOT EXISTS (dominating row)`.
+    */
+  def skylineRows(df: DataFrame, dims: Seq[String]): DataFrame =
+    df.select(dims.map(col): _*)
+      .join(broadcast(frontier(df, dims)), dims, "left_semi")
+
+  /** Grouped skyline: non-dominated rows within each group. One shuffle on
+    * the group keys for the frontier (partial-aggregated map-side), then a
+    * broadcast semi-join on (groupCols ++ dims).
+    */
+  def groupedSkylineRows(df: DataFrame, groupCols: Seq[String], dims: Seq[String]): DataFrame = {
+    val front = df.groupBy(groupCols.map(col): _*)
+      .agg(skyline_agg(vec(dims)).as("sky"))
+      .select(groupCols.map(col) :+ explode(col("sky")).as("p"): _*)
+      .select(groupCols.map(col) ++
+        dims.zipWithIndex.map { case (d, i) => col("p")(i).as(d) }: _*)
+      .distinct()
+    df.select((groupCols ++ dims).map(col): _*)
+      .join(broadcast(front), groupCols ++ dims, "left_semi")
+  }
+
+  // ---------------------------------------------------------------- MR parity
+
+  /** MR-Dim partition id as a column expression: range-partition on dim 0,
+    * slice width maxVal/n, truncated toward zero, clamped to [0, n-1]
+    * (reference: `java/org.main/FlinkSkyline.java:706-712`; math mirrors
+    * [[graft.core.GeoPartitioners.dimPartition]]).
+    */
+  def dimPartitionCol(values: Column, maxVal: Double, n: Int): Column =
+    greatest(lit(0), least(lit(n - 1), (values(0) / (maxVal / n)).cast("int")))
+
+  /** MR-Grid partition id: hyper-octant bitmask (bit i ⇔ v_i ≥ maxVal/2),
+    * taken mod n (divergence D1 resolved per the report — SURVEY §2.3;
+    * reference: `java/org.main/FlinkSkyline.java:773-789`).
+    */
+  def gridPartitionCol(values: Column, dims: Int, maxVal: Double, n: Int): Column = {
+    val mid = maxVal / 2.0
+    val mask = (0 until dims)
+      .map(i => when(values(i) >= mid, lit(1 << i)).otherwise(lit(0)))
+      .reduce(_ + _)
+    mask % n
+  }
+
+  /** MR-Angle partition id: hyperspherical angles
+    * φ_i = atan2(‖v_{i+1..d}‖, v_i) normalized by π/2, averaged, scaled to n,
+    * truncated, clamped (reference: `java/org.main/FlinkSkyline.java:826-875`;
+    * math mirrors [[graft.core.GeoPartitioners.anglePartition]]).
+    */
+  def anglePartitionCol(values: Column, dims: Int, n: Int): Column = {
+    if (dims < 2) return lit(0)
+    val angles = (0 until dims - 1).map { i =>
+      val restSq = (i + 1 until dims).map(j => values(j) * values(j)).reduce(_ + _)
+      atan2(sqrt(restSq), values(i)) / lit(math.Pi / 2.0)
+    }
+    val avg = angles.reduce(_ + _) / lit(dims - 1)
+    greatest(lit(0), least(lit(n - 1), (avg * n).cast("int")))
+  }
+
+  /** The reference's (disabled) grid dominance pre-filter, safe in batch:
+    * keep rows with at least one dimension < maxVal/2 — any all-≥-mid point
+    * is dominated by the mid-corner unless the top octant is empty; the
+    * reference keeps rows where NOT all dims ≥ mid
+    * (reference: `java/org.main/FlinkSkyline.java:716-734`).
+    */
+  def gridPrefilter(df: DataFrame, dims: Seq[String], maxVal: Double): DataFrame = {
+    val mid = maxVal / 2.0
+    df.filter(dims.map(d => col(d) < mid).reduce(_ || _))
+  }
+
+  /** Explicit two-phase MR skyline (parity demonstration): geometric
+    * partition → per-partition local skyline → merge of local skylines →
+    * global skyline. Emits the duplicate-preserving global multiset (each
+    * partition's local phase keeps its own duplicates; equal vectors never
+    * dominate, so the merge keeps all of them) — identical row multiset to
+    * [[skylineRows]].
+    */
+  def mrSkylinePoints(df: DataFrame, dims: Seq[String], pid: Column): DataFrame = {
+    val local = df.withColumn("graft_pid", pid)
+      .groupBy("graft_pid")
+      .agg(skyline_agg(vec(dims)).as("sky"))
+    local.select(explode(col("sky")).as("v"))
+      .agg(skyline_agg(col("v")).as("sky"))
+      .select(explode(col("sky")).as("p"))
+      .select(dims.zipWithIndex.map { case (d, i) => col("p")(i).as(d) }: _*)
+  }
+
+  /** Per-partition skyline statistics for the optimality metric
+    * (reference formula: `java/org.main/FlinkSkyline.java:590-608`, caveat
+    * D4): for each logical partition, `c_local` = rows on the partition's
+    * local skyline (duplicates counted), `c_surv` = rows on the global
+    * skyline (all of which are necessarily on their local skyline).
+    */
+  def partitionSkylineStats(df: DataFrame, dims: Seq[String], pid: Column): DataFrame = {
+    val tagged = df.select((pid.as("pid") +: dims.map(col)): _*)
+    val localFront = tagged.groupBy("pid")
+      .agg(skyline_agg(vec(dims)).as("sky"))
+      .select(col("pid") +: explode(col("sky")).as("p") +: Nil: _*)
+      .select(col("pid") +:
+        dims.zipWithIndex.map { case (d, i) => col("p")(i).as(d) }: _*)
+      .distinct()
+    val cLocal = tagged
+      .join(broadcast(localFront), "pid" +: dims, "left_semi")
+      .groupBy("pid").agg(count(lit(1)).as("c_local"))
+    val cSurv = tagged
+      .join(broadcast(frontier(df, dims)), dims, "left_semi")
+      .groupBy("pid").agg(count(lit(1)).as("c_surv"))
+    cLocal.join(cSurv, Seq("pid"), "left")
+      .select(col("pid").cast("int").as("pid"), col("c_local"),
+        coalesce(col("c_surv"), lit(0L)).as("c_surv"))
+  }
+
+  /** Scalar optimality per the reference's exact formula (D4): mean over the
+    * FIXED partition count of (survivors_i / localSkylineSize_i); partitions
+    * that produced no local skyline contribute 0 to the sum but stay in the
+    * denominator. Rounded to 9 decimals — the final small-vector sum is the
+    * one place engine-dependent double summation order could differ.
+    */
+  def optimality(df: DataFrame, dims: Seq[String], pid: Column, partitions: Int): DataFrame =
+    partitionSkylineStats(df, dims, pid)
+      .select((col("c_surv").cast("double") / col("c_local").cast("double")).as("ratio"))
+      .agg(round(sum(col("ratio")) / lit(partitions.toDouble), 9).as("optimality"))
+}

@@ -1,0 +1,189 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.SkylineOps
+import graft.operators.SkylineOps._
+
+/** Skyline-family driver queries (the reference's whole surface) with DuckDB
+  * oracles.
+  *
+  * Oracle strategy: skyline in 2D has an O(n log n) window formulation (used
+  * on the full table); in 3D/4D the oracle is the textbook `NOT EXISTS`
+  * dominance anti-join, run on deterministic key-sampled subsets so DuckDB's
+  * quadratic check stays cheap. All outputs are either raw input values
+  * (exact doubles) or integer counts cast to BIGINT — no cross-engine float
+  * summation anywhere (the one scalar metric is rounded to 9 decimals).
+  */
+object SkylineQueries {
+
+  private def li(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/lineitem.parquet")
+
+  /** `b` dominates `a` (minimization) over columns named `cs` — SQL fragment. */
+  private def domSql(cs: Seq[String]): String = {
+    val le = cs.map(c => s"b.$c <= a.$c").mkString(" AND ")
+    val lt = cs.map(c => s"b.$c < a.$c").mkString(" OR ")
+    s"$le AND ($lt)"
+  }
+
+  /** O(n log n) 2D skyline oracle: per distinct x keep min y, a row survives
+    * iff it attains min-y for its x and no strictly-smaller x has y ≤ it.
+    */
+  private def sky2dSql(x: String, y: String, from: String): String =
+    s"""WITH pts AS (SELECT $x AS x, $y AS y FROM $from),
+       |d AS (SELECT x, MIN(y) AS my FROM pts GROUP BY x),
+       |r AS (SELECT x, my, MIN(my) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm FROM d)
+       |SELECT p.x AS $x, p.y AS $y FROM pts p JOIN r ON p.x = r.x
+       |WHERE p.y = r.my AND (r.pm IS NULL OR r.pm > p.y)""".stripMargin
+
+  // Partitioner constants (reference runs use a single scalar domain max —
+  // `FlinkSkyline.java:72-76`; we pick one spanning l_extendedprice).
+  private val MaxPrice = 120000.0
+  private val NPart    = 8
+  private val Dims2    = Seq("l_extendedprice", "l_discount")
+
+  private def dimPidSql(expr: String, maxVal: Double, n: Int): String =
+    s"LEAST(${n - 1}, GREATEST(0, CAST(TRUNC($expr / (${maxVal} / $n)) AS INTEGER)))"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sky2d" -> ((s, d) => skylineRows(li(s, d), Dims2)),
+
+    "sky2d_dup" -> ((s, d) => skylineRows(li(s, d), Seq("l_quantity", "l_discount"))),
+
+    "sky3d" -> ((s, d) =>
+      skylineRows(li(s, d).filter(col("l_orderkey") % 20 === 0),
+        Seq("l_quantity", "l_extendedprice", "l_discount"))),
+
+    "sky4d" -> ((s, d) =>
+      skylineRows(li(s, d).filter(col("l_orderkey") % 40 === 0),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))),
+
+    "sky_grouped" -> ((s, d) =>
+      groupedSkylineRows(li(s, d).filter(col("l_orderkey") % 20 === 0),
+        Seq("l_returnflag"), Seq("l_extendedprice", "l_discount"))),
+
+    // MR-parity: explicit two-phase (geometric partition → local skyline →
+    // global merge) must equal the single-phase skyline for every strategy.
+    "mrdim_sky2d" -> ((s, d) => {
+      val df = li(s, d)
+      mrSkylinePoints(df, Dims2,
+        dimPartitionCol(array(Dims2.map(col): _*), MaxPrice, NPart))
+    }),
+    "mrgrid_sky2d" -> ((s, d) => {
+      val df = li(s, d)
+      mrSkylinePoints(df, Dims2,
+        gridPartitionCol(array(Dims2.map(col): _*), 2, MaxPrice, NPart))
+    }),
+    "mrangle_sky2d" -> ((s, d) => {
+      val df = li(s, d)
+      mrSkylinePoints(df, Dims2,
+        anglePartitionCol(array(Dims2.map(col): _*), 2, NPart))
+    }),
+
+    // Partition-assignment histograms (the partitioners as first-class ops).
+    "mrdim_hist" -> ((s, d) =>
+      li(s, d)
+        .select(dimPartitionCol(array(col("l_extendedprice")), MaxPrice, NPart)
+          .cast("long").as("pid"))
+        .groupBy("pid").agg(count(lit(1)).as("cnt"))),
+
+    "mrgrid_hist" -> ((s, d) =>
+      li(s, d)
+        .select(gridPartitionCol(
+            array(col("l_discount"), col("l_tax")), 2, 0.12, NPart)
+          .cast("long").as("pid"))
+        .groupBy("pid").agg(count(lit(1)).as("cnt"))),
+
+    "mrangle_hist" -> ((s, d) =>
+      li(s, d)
+        .select(anglePartitionCol(
+            array(col("l_discount"), col("l_tax")), 2, NPart)
+          .cast("long").as("pid"))
+        .groupBy("pid").agg(count(lit(1)).as("cnt"))),
+
+    // The reference's (disabled) grid dominance pre-filter, enabled in batch.
+    "grid_prefilter" -> ((s, d) =>
+      SkylineOps.gridPrefilter(li(s, d), Seq("l_quantity", "l_extendedprice"), MaxPrice)
+        .groupBy("l_returnflag").agg(count(lit(1)).as("cnt"))),
+
+    // Optimality metric (reference: FlinkSkyline.java:590-608, caveat D4).
+    "opt_stats_mrdim" -> ((s, d) => {
+      val df = li(s, d).filter(col("l_orderkey") % 20 === 0)
+      partitionSkylineStats(df,
+          Seq("l_quantity", "l_extendedprice", "l_discount"),
+          dimPartitionCol(array(col("l_quantity")), 60.0, NPart))
+        .select(col("pid").cast("long").as("pid"), col("c_local"), col("c_surv"))
+    }),
+    "opt_scalar_mrdim" -> ((s, d) => {
+      val df = li(s, d).filter(col("l_orderkey") % 20 === 0)
+      optimality(df, Seq("l_quantity", "l_extendedprice", "l_discount"),
+        dimPartitionCol(array(col("l_quantity")), 60.0, NPart), NPart)
+    })
+  )
+
+  private val optStatsBase: String = {
+    val dims = Seq("q", "p", "dd")
+    s"""WITH t AS (SELECT l_quantity AS q, l_extendedprice AS p, l_discount AS dd,
+       |  ${dimPidSql("l_quantity", 60.0, NPart)} AS pid
+       |  FROM lineitem WHERE l_orderkey % 20 = 0),
+       |loc AS (SELECT pid, CAST(COUNT(*) AS BIGINT) AS c_local FROM t a
+       |  WHERE NOT EXISTS (SELECT 1 FROM t b WHERE b.pid = a.pid AND ${domSql(dims)}) GROUP BY pid),
+       |srv AS (SELECT pid, CAST(COUNT(*) AS BIGINT) AS c_surv FROM t a
+       |  WHERE NOT EXISTS (SELECT 1 FROM t b WHERE ${domSql(dims)}) GROUP BY pid)
+       |""".stripMargin
+  }
+
+  val oracles: Map[String, String] = Map(
+    "sky2d" -> sky2dSql("l_extendedprice", "l_discount", "lineitem"),
+
+    "sky2d_dup" -> sky2dSql("l_quantity", "l_discount", "lineitem"),
+
+    "sky3d" ->
+      s"""WITH t AS (SELECT l_quantity, l_extendedprice, l_discount FROM lineitem WHERE l_orderkey % 20 = 0)
+         |SELECT * FROM t a WHERE NOT EXISTS (SELECT 1 FROM t b
+         |WHERE ${domSql(Seq("l_quantity", "l_extendedprice", "l_discount"))})""".stripMargin,
+
+    "sky4d" ->
+      s"""WITH t AS (SELECT l_quantity, l_extendedprice, l_discount, l_tax FROM lineitem WHERE l_orderkey % 40 = 0)
+         |SELECT * FROM t a WHERE NOT EXISTS (SELECT 1 FROM t b
+         |WHERE ${domSql(Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))})""".stripMargin,
+
+    "sky_grouped" ->
+      s"""WITH t AS (SELECT l_returnflag, l_extendedprice, l_discount FROM lineitem WHERE l_orderkey % 20 = 0)
+         |SELECT * FROM t a WHERE NOT EXISTS (SELECT 1 FROM t b
+         |WHERE b.l_returnflag = a.l_returnflag AND ${domSql(Seq("l_extendedprice", "l_discount"))})""".stripMargin,
+
+    "mrdim_sky2d"   -> sky2dSql("l_extendedprice", "l_discount", "lineitem"),
+    "mrgrid_sky2d"  -> sky2dSql("l_extendedprice", "l_discount", "lineitem"),
+    "mrangle_sky2d" -> sky2dSql("l_extendedprice", "l_discount", "lineitem"),
+
+    "mrdim_hist" ->
+      s"""SELECT CAST(${dimPidSql("l_extendedprice", MaxPrice, NPart)} AS BIGINT) AS pid,
+         |CAST(COUNT(*) AS BIGINT) AS cnt FROM lineitem GROUP BY 1""".stripMargin,
+
+    "mrgrid_hist" ->
+      s"""SELECT CAST(((CASE WHEN l_discount >= 0.06 THEN 1 ELSE 0 END)
+         | + (CASE WHEN l_tax >= 0.06 THEN 2 ELSE 0 END)) % $NPart AS BIGINT) AS pid,
+         |CAST(COUNT(*) AS BIGINT) AS cnt FROM lineitem GROUP BY 1""".stripMargin,
+
+    "mrangle_hist" ->
+      s"""SELECT CAST(LEAST(${NPart - 1}, GREATEST(0, CAST(TRUNC(
+         |  (ATAN2(SQRT(l_tax * l_tax), l_discount) / (PI() / 2)) * $NPart) AS INTEGER))) AS BIGINT) AS pid,
+         |CAST(COUNT(*) AS BIGINT) AS cnt FROM lineitem GROUP BY 1""".stripMargin,
+
+    "grid_prefilter" ->
+      s"""SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS cnt FROM lineitem
+         |WHERE l_quantity < ${MaxPrice / 2} OR l_extendedprice < ${MaxPrice / 2}
+         |GROUP BY l_returnflag""".stripMargin,
+
+    "opt_stats_mrdim" -> (optStatsBase +
+      """SELECT CAST(loc.pid AS BIGINT) AS pid, c_local, COALESCE(c_surv, 0) AS c_surv
+        |FROM loc LEFT JOIN srv ON loc.pid = srv.pid""".stripMargin),
+
+    "opt_scalar_mrdim" -> (optStatsBase +
+      s"""SELECT ROUND(SUM(CAST(COALESCE(c_surv, 0) AS DOUBLE) / CAST(c_local AS DOUBLE)) / $NPart.0, 9) AS optimality
+         |FROM loc LEFT JOIN srv ON loc.pid = srv.pid""".stripMargin)
+  )
+}
