@@ -14,12 +14,16 @@ import graft.functions.SkylineAgg.skyline_agg
   * (local BNL per input partition, only local skylines cross the shuffle,
   * global BNL merge — reference: `java/org.main/FlinkSkyline.java:162-174`).
   *
-  * Scale design (100 TB): the frontier is tiny relative to the input (≪ 1%
-  * for realistic distributions), so every operator here does one full scan
-  * to produce the frontier (map-side partial aggregation ⇒ O(skyline) shuffle
-  * bytes per partition), then a second scan with a **broadcast** semi-join to
-  * recover the original duplicate-preserving rows. No full-data shuffle
-  * anywhere; both scans are codegen'd column pipelines.
+  * Scale design (100 TB): the frontier is usually tiny relative to the input
+  * (≪ 1% for realistic distributions), so every operator here does one full
+  * scan to produce the frontier (map-side partial aggregation ⇒ O(skyline)
+  * shuffle bytes per partition), then a second scan with a semi-join to
+  * recover the original duplicate-preserving rows. The join strategy is left
+  * to AQE: when the frontier is small (the common case) it becomes a runtime
+  * broadcast join; for anti-correlated high-dim data the frontier can be
+  * huge (the reference's own 4D runs blow up — BASELINE.md 4D row), and a
+  * forced broadcast would kill the driver, so no hint is forced. No
+  * full-data shuffle anywhere; both scans are codegen'd column pipelines.
   */
 object SkylineOps {
 
@@ -40,7 +44,7 @@ object SkylineOps {
     */
   def skylineRows(df: DataFrame, dims: Seq[String]): DataFrame =
     df.select(dims.map(col): _*)
-      .join(broadcast(frontier(df, dims)), dims, "left_semi")
+      .join(frontier(df, dims), dims, "left_semi")
 
   /** Grouped skyline: non-dominated rows within each group. One shuffle on
     * the group keys for the frontier (partial-aggregated map-side), then a
@@ -54,7 +58,7 @@ object SkylineOps {
         dims.zipWithIndex.map { case (d, i) => col("p")(i).as(d) }: _*)
       .distinct()
     df.select((groupCols ++ dims).map(col): _*)
-      .join(broadcast(front), groupCols ++ dims, "left_semi")
+      .join(front, groupCols ++ dims, "left_semi")
   }
 
   // ---------------------------------------------------------------- MR parity
@@ -130,21 +134,32 @@ object SkylineOps {
     */
   def partitionSkylineStats(df: DataFrame, dims: Seq[String], pid: Column): DataFrame = {
     val tagged = df.select((pid.as("pid") +: dims.map(col)): _*)
+    // Scan 1: per-partition local frontiers (map-side partial aggregation).
     val localFront = tagged.groupBy("pid")
       .agg(skyline_agg(vec(dims)).as("sky"))
       .select(col("pid") +: explode(col("sky")).as("p") +: Nil: _*)
       .select(col("pid") +:
         dims.zipWithIndex.map { case (d, i) => col("p")(i).as(d) }: _*)
       .distinct()
-    val cLocal = tagged
-      .join(broadcast(localFront), "pid" +: dims, "left_semi")
-      .groupBy("pid").agg(count(lit(1)).as("c_local"))
-    val cSurv = tagged
-      .join(broadcast(frontier(df, dims)), dims, "left_semi")
-      .groupBy("pid").agg(count(lit(1)).as("c_surv"))
-    cLocal.join(cSurv, Seq("pid"), "left")
-      .select(col("pid").cast("int").as("pid"), col("c_local"),
-        coalesce(col("c_surv"), lit(0L)).as("c_surv"))
+    // Global frontier = skyline of the union of local frontiers (the MR
+    // merge property) — computed from the frontier-sized intermediate, NOT
+    // by re-scanning the input. Every global-skyline point is on its own
+    // partition's local skyline, so marking localFront rows that survive
+    // globally classifies every local-skyline row in one pass.
+    val globalFront = localFront
+      .agg(skyline_agg(vec(dims)).as("sky"))
+      .select(explode(col("sky")).as("p"))
+      .select(dims.zipWithIndex.map { case (d, i) => col("p")(i).as(d) }: _*)
+      .distinct()
+      .withColumn("in_glob", lit(1))
+    val marked = localFront.join(globalFront, dims, "left")
+    // Scan 2: one inner join (marked is distinct on (pid, dims) — no row
+    // multiplication) recovers duplicate multiplicities and yields both
+    // counts in a single aggregate.
+    tagged.join(marked, "pid" +: dims)
+      .groupBy("pid")
+      .agg(count(lit(1)).as("c_local"), count(col("in_glob")).as("c_surv"))
+      .select(col("pid").cast("int").as("pid"), col("c_local"), col("c_surv"))
   }
 
   /** Scalar optimality per the reference's exact formula (D4): mean over the
