@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for LLM-training-data curation over a corpus
+  * DataFrame (`documents`: doc_id, text, lang, source, n_chars).
+  *
+  * Everything here is a pure column expression over Spark builtins — no
+  * Scala/Python UDFs — so the whole pipeline stays inside whole-stage
+  * codegen and scales by partition count alone: tokenization via `split`,
+  * scoring via higher-order array functions, fingerprints via `md5` on
+  * shingles. At 100 TB these are embarrassingly parallel scans with
+  * map-side partial aggregation; no shuffle carries more than the final
+  * per-group aggregates.
+  */
+object TextOps {
+
+  /** Whitespace tokens of `text` (single-space tokenizer — the corpus'
+    * wire format; swap for a regex split for messier corpora). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Count of tokens that appear in `words` (duplicates counted — this is
+    * an occurrence count, not a set intersection). */
+  def hitCount(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => array_contains(array(words.map(lit): _*), t)))
+
+  /** Tiny per-language stopword profiles for the lang-id heuristic.
+    * Disjoint lists so scores are independent; order = tiebreak priority. */
+  val LangProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "la", "et", "les", "des"),
+    "es" -> Seq("el", "los", "las", "y", "un"),
+    "zh" -> Seq("的", "是", "了", "在", "和")
+  )
+
+  /** N-gram/stopword language-ID heuristic: score each language by stopword
+    * occurrence count; predict the argmax with a fixed priority-order
+    * tiebreak (profile order). Deterministic integer arithmetic end-to-end.
+    */
+  def langIdCol(text: Column): Column = {
+    val toks = tokens(text)
+    val scores = LangProfiles.map { case (l, ws) => l -> hitCount(toks, ws) }
+    // argmax with ties resolved toward the earlier profile: lang i wins iff
+    // no earlier lang has score >= it and no later lang has score > it.
+    scores.zipWithIndex.foldRight(lit(LangProfiles.head._1)) {
+      case (((lang, s), i), elseCol) =>
+        val beatsEarlier = scores.take(i).map(_._2).foldLeft(lit(true))((acc, e) => acc && s > e)
+        val beatsLater   = scores.drop(i + 1).map(_._2).foldLeft(lit(true))((acc, e) => acc && s >= e)
+        when(beatsEarlier && beatsLater, lit(lang)).otherwise(elseCol)
+    }
+  }
+
+  /** Quality flags (integer arithmetic only, so the DuckDB oracle is exact):
+    * length band, token-count band, stopword ratio ≥ 0.2, mean word length
+    * in [3, 8]. Returns the number of passed flags (0–4).
+    */
+  def qualityScoreCol(text: Column): Column = {
+    val toks    = tokens(text)
+    val nTok    = size(toks)
+    val nChars  = length(text)
+    val stops   = hitCount(toks, LangProfiles.head._2)
+    val letters = nChars - (nTok - lit(1)) // chars minus the separating spaces
+    val f1 = (nChars >= 50) && (nChars <= 2000)
+    val f2 = (nTok >= 10) && (nTok <= 500)
+    val f3 = stops * lit(5) >= nTok
+    val f4 = (letters >= nTok * lit(3)) && (letters <= nTok * lit(8))
+    Seq(f1, f2, f3, f4).map(f => when(f, 1).otherwise(0)).reduce(_ + _)
+  }
+
+  /** Winnowing-style document fingerprint: minimum md5 over the document's
+    * word `n`-gram shingles (lexicographic min over hex strings — stable
+    * across engines). NULL for documents shorter than `n` tokens.
+    */
+  def fingerprintCol(text: Column, n: Int): Column = {
+    val w = tokens(text)
+    when(size(w) >= n,
+      array_min(transform(sequence(lit(1), size(w) - lit(n - 1)),
+        i => md5(concat_ws(" ", slice(w, i, lit(n)))))))
+      .otherwise(lit(null))
+  }
+
+  /** md5 of whitespace-normalized, lowercased text — the exact-dedup key. */
+  def normHashCol(text: Column): Column =
+    md5(regexp_replace(lower(trim(text)), " +", " "))
+
+  /** Exact deduplication: group by normalized-text hash, keep the lowest
+    * doc_id as the canonical representative, count the duplicates. The
+    * groupBy is a hash aggregation with map-side partial combine — the
+    * shuffle carries one row per distinct hash, not per document.
+    */
+  def dedupExact(docs: DataFrame): DataFrame =
+    docs.groupBy(normHashCol(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("dup_cnt"))
+}

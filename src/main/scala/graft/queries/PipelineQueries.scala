@@ -23,7 +23,114 @@ object PipelineQueries {
   private[queries] def events(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/events.parquet")
 
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  import graft.operators.TextOps
 
-  val oracles: Map[String, String] = Map()
+  // ------------------------------------------------------------------ text
+
+  /** SQL list literal for a stopword profile. */
+  private def sqlList(ws: Seq[String]): String =
+    ws.map(w => s"'$w'").mkString(", ")
+
+  /** DuckDB occurrence count of profile words among the tokens column `w`. */
+  private def hitSql(ws: Seq[String]): String =
+    s"len(list_filter(w, t -> t IN (${sqlList(ws)})))"
+
+  /** DuckDB argmax-with-priority-tiebreak over the per-language scores
+    * s_<lang> — the same logic as [[TextOps.langIdCol]]. */
+  private val langCaseSql: String = {
+    val langs = TextOps.LangProfiles.map(_._1)
+    val arms = langs.zipWithIndex.map { case (l, i) =>
+      val earlier = langs.take(i).map(e => s"s_$l > s_$e")
+      val later   = langs.drop(i + 1).map(e => s"s_$l >= s_$e")
+      val cond = (earlier ++ later).mkString(" AND ")
+      s"WHEN $cond THEN '$l'"
+    }
+    s"CASE ${arms.mkString(" ")} ELSE '${langs.head}' END"
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "txt_stats" -> ((s, d) =>
+      docs(s, d)
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(size(TextOps.tokens(col("text")))).as("tok_sum"),
+          sum(length(col("text"))).as("char_sum"),
+          countDistinct(col("lang")).as("lang_cnt"))),
+
+    "txt_langid" -> ((s, d) =>
+      docs(s, d)
+        .select(TextOps.langIdCol(col("text")).as("predicted"))
+        .groupBy("predicted").agg(count(lit(1)).as("cnt"))),
+
+    "txt_quality" -> ((s, d) =>
+      docs(s, d)
+        .select(TextOps.qualityScoreCol(col("text")).as("score"))
+        .groupBy("score").agg(count(lit(1)).as("cnt"))
+        .select(col("score").cast("long").as("score"), col("cnt"))),
+
+    "tok_count" -> ((s, d) =>
+      docs(s, d)
+        .groupBy("lang")
+        .agg(
+          sum(regexp_count(col("text"), lit("[a-z0-9]+"))).as("alnum_cnt"),
+          sum(regexp_count(col("text"), lit("[^a-z0-9 ]"))).as("other_cnt"))),
+
+    "txt_fingerprint" -> ((s, d) =>
+      docs(s, d)
+        .select(col("doc_id"),
+          TextOps.fingerprintCol(col("text"), 5).as("fp"))),
+
+    "dedup_exact" -> ((s, d) => TextOps.dedupExact(docs(s, d)))
+  )
+
+  // DuckDB equivalents. Dialect notes: regexp_replace needs the 'g' flag
+  // (Spark replaces all matches by default); tokens via string_split; list
+  // comprehensions for shingles.
+  private val langScores =
+    TextOps.LangProfiles.map { case (l, ws) => s"${hitSql(ws)} AS s_$l" }.mkString(", ")
+
+  val oracles: Map[String, String] = Map(
+    "txt_stats" ->
+      """SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tok_sum,
+        |CAST(SUM(len(text)) AS BIGINT) AS char_sum,
+        |CAST(COUNT(DISTINCT lang) AS BIGINT) AS lang_cnt
+        |FROM documents GROUP BY source""".stripMargin,
+
+    "txt_langid" ->
+      s"""WITH t AS (SELECT string_split(text, ' ') AS w FROM documents),
+         |sc AS (SELECT $langScores FROM t)
+         |SELECT $langCaseSql AS predicted, CAST(COUNT(*) AS BIGINT) AS cnt
+         |FROM sc GROUP BY 1""".stripMargin,
+
+    "txt_quality" ->
+      s"""WITH t AS (SELECT text, string_split(text, ' ') AS w, len(text) AS nc FROM documents),
+         |f AS (SELECT
+         |  (CASE WHEN nc >= 50 AND nc <= 2000 THEN 1 ELSE 0 END)
+         |  + (CASE WHEN len(w) >= 10 AND len(w) <= 500 THEN 1 ELSE 0 END)
+         |  + (CASE WHEN ${hitSql(TextOps.LangProfiles.head._2)} * 5 >= len(w) THEN 1 ELSE 0 END)
+         |  + (CASE WHEN nc - (len(w) - 1) >= len(w) * 3 AND nc - (len(w) - 1) <= len(w) * 8 THEN 1 ELSE 0 END)
+         |  AS score FROM t)
+         |SELECT CAST(score AS BIGINT) AS score, CAST(COUNT(*) AS BIGINT) AS cnt
+         |FROM f GROUP BY 1""".stripMargin,
+
+    "tok_count" ->
+      """SELECT lang,
+        |CAST(SUM(len(regexp_extract_all(text, '[a-z0-9]+'))) AS BIGINT) AS alnum_cnt,
+        |CAST(SUM(len(regexp_extract_all(text, '[^a-z0-9 ]'))) AS BIGINT) AS other_cnt
+        |FROM documents GROUP BY lang""".stripMargin,
+
+    "txt_fingerprint" ->
+      """SELECT doc_id, CASE WHEN len(w) >= 5 THEN
+        |  list_min([md5(array_to_string(w[i:i+4], ' ')) for i in range(1, len(w) - 3)])
+        |END AS fp
+        |FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)""".stripMargin,
+
+    "dedup_exact" ->
+      """SELECT md5(regexp_replace(lower(trim(text)), ' +', ' ', 'g')) AS h,
+        |CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+        |CAST(COUNT(*) AS BIGINT) AS dup_cnt
+        |FROM documents GROUP BY 1""".stripMargin
+  )
 }
