@@ -81,7 +81,20 @@ object PipelineQueries {
         .select(col("doc_id"),
           TextOps.fingerprintCol(col("text"), 5).as("fp"))),
 
-    "dedup_exact" -> ((s, d) => TextOps.dedupExact(docs(s, d)))
+    "dedup_exact" -> ((s, d) => TextOps.dedupExact(docs(s, d))),
+
+    // MinHash+LSH near-dup pairs: word-3-gram shingles, 12 one-row bands,
+    // verified true Jaccard ≥ 1/2 (integer cross-multiply). The oracle is
+    // the all-pairs check — sound because a J ≥ 0.5 pair escapes all 12
+    // bands with probability ≤ 0.5^12 ≈ 2e-4 (and the corpus' planted
+    // near-dups sit at J ≥ 0.85: miss probability ~1e-10).
+    "dedup_minhash" -> ((s, d) =>
+      graft.operators.DedupOps.minhashNearDups(docs(s, d), "doc_id", 3, 12, 1, 2)),
+
+    // SimHash signatures (xxhash64-based — engine-specific, rows-only gate).
+    "dedup_simhash" -> ((s, d) =>
+      docs(s, d).select(col("doc_id"),
+        graft.operators.DedupOps.simhashCol(col("text")).as("simhash")))
   )
 
   // DuckDB equivalents. Dialect notes: regexp_replace needs the 'g' flag
@@ -131,6 +144,17 @@ object PipelineQueries {
       """SELECT md5(regexp_replace(lower(trim(text)), ' +', ' ', 'g')) AS h,
         |CAST(MIN(doc_id) AS BIGINT) AS keep_id,
         |CAST(COUNT(*) AS BIGINT) AS dup_cnt
-        |FROM documents GROUP BY 1""".stripMargin
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "dedup_minhash" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT doc_id,
+        |  list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)]) AS s
+        |  FROM toks WHERE len(w) >= 3)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS c_inter,
+        |  CAST(len(list_distinct(list_concat(a.s, b.s))) AS BIGINT) AS c_union
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE len(list_intersect(a.s, b.s)) * 2 >= len(list_distinct(list_concat(a.s, b.s)))""".stripMargin
   )
 }
