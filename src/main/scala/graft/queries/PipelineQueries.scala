@@ -94,8 +94,34 @@ object PipelineQueries {
     // SimHash signatures (xxhash64-based — engine-specific, rows-only gate).
     "dedup_simhash" -> ((s, d) =>
       docs(s, d).select(col("doc_id"),
-        graft.operators.DedupOps.simhashCol(col("text")).as("simhash")))
+        graft.operators.DedupOps.simhashCol(col("text")).as("simhash"))),
+
+    // ---------------------------------------------------------- similarity
+    // Exact cosine top-10 for 8 query vectors (broadcast baseline).
+    "knn_brute" -> ((s, d) =>
+      graft.operators.VectorOps.knnBrute(
+        embs(s, d), "vec_id", "embedding", col("vec_id") < 8, 10)),
+
+    // Random-hyperplane LSH top-5: 4 tables × 4 sign bits; candidates via
+    // (table, bucket) equi-join, exact re-rank. Oracle replays the same
+    // hyperplane constants in SQL.
+    "knn_lsh" -> ((s, d) =>
+      graft.operators.VectorOps.knnLsh(
+        embs(s, d), "vec_id", "embedding", col("vec_id") < 8, 5,
+        LshTables, LshBits, EmbDims))
   )
+
+  private val EmbDims   = 64
+  private val LshTables = 4
+  private val LshBits   = 4
+
+  /** DuckDB double-precision cosine with the same sequential fold and the
+    * same float→double casts as [[graft.operators.VectorOps.cosine]]. */
+  private def cosSql(a: String, b: String): String = {
+    def d(x: String, y: String) =
+      s"list_sum([CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE) for i in range(1, ${EmbDims + 1})])"
+    s"${d(a, b)} / (sqrt(${d(a, a)}) * sqrt(${d(b, b)}))"
+  }
 
   // DuckDB equivalents. Dialect notes: regexp_replace needs the 'g' flag
   // (Spark replaces all matches by default); tokens via string_split; list
@@ -145,6 +171,41 @@ object PipelineQueries {
         |CAST(MIN(doc_id) AS BIGINT) AS keep_id,
         |CAST(COUNT(*) AS BIGINT) AS dup_cnt
         |FROM documents GROUP BY 1""".stripMargin,
+
+    "knn_brute" -> {
+      val cos = cosSql("q.v", "x.v")
+      s"""WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+         |s AS (SELECT q.vec_id AS qid, x.vec_id AS nid, $cos AS sim
+         |  FROM e q, e x WHERE q.vec_id < 8 AND x.vec_id != q.vec_id)
+         |SELECT qid, nid, CAST(rnk AS BIGINT) AS rnk FROM (
+         |  SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rnk FROM s)
+         |WHERE rnk <= 10""".stripMargin
+    },
+
+    "knn_lsh" -> {
+      val planeRows = (for { t <- 0 until LshTables; b <- 0 until LshBits } yield {
+        val vals = (0 until EmbDims)
+          .map(i => graft.operators.VectorOps.planeText((t * LshBits + b) * EmbDims + i))
+          .mkString(", ")
+        s"($t, $b, [$vals])"
+      }).mkString(",\n")
+      val pdot = s"list_sum([CAST(e.v[i] AS DOUBLE) * pl.p[i] for i in range(1, ${EmbDims + 1})])"
+      val cos  = cosSql("a.v", "b.v")
+      s"""WITH planes(t, b, p) AS (VALUES
+         |$planeRows),
+         |e AS (SELECT vec_id, embedding AS v FROM embeddings),
+         |buck AS (SELECT e.vec_id AS id, pl.t,
+         |  CAST(SUM(CASE WHEN $pdot >= 0 THEN (1 << pl.b) ELSE 0 END) AS INTEGER) AS bucket
+         |  FROM e, planes pl GROUP BY 1, 2),
+         |cand AS (SELECT q.id AS qid, x.id AS nid
+         |  FROM buck q JOIN buck x ON q.t = x.t AND q.bucket = x.bucket AND x.id != q.id
+         |  WHERE q.id < 8 GROUP BY 1, 2),
+         |s AS (SELECT c.qid, c.nid, $cos AS sim
+         |  FROM cand c JOIN e a ON a.vec_id = c.qid JOIN e b ON b.vec_id = c.nid)
+         |SELECT qid, nid, CAST(rnk AS BIGINT) AS rnk FROM (
+         |  SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rnk FROM s)
+         |WHERE rnk <= 5""".stripMargin
+    },
 
     "dedup_minhash" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
