@@ -8,9 +8,10 @@ import java.util.Random
   * partitioning of the id range — the property a distributed generator needs
   * (the Python original is a single sequential RNG stream).
   *
-  * Values are integer-clamped to `[dMin, dMax]` like the reference (Python
-  * `int()` truncates toward zero; inputs are non-negative so truncation ==
-  * floor here).
+  * Values are integer-clamped to `[dMin, dMax]` like the reference:
+  * truncation toward zero matches Python `int()` for all inputs (correlated
+  * noise and anti-correlated scaling can go negative mid-computation), and
+  * the subsequent clamp bounds the result to the domain either way.
   */
 object DataGen {
 

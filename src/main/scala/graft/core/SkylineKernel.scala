@@ -87,10 +87,11 @@ object SkylineKernel {
   * bounding memory at O(2·s + threshold).
   *
   * Serialized by Kryo only at the partial→final shuffle boundary (Spark keeps
-  * `TypedImperativeAggregate` buffers as live objects within a partition);
-  * [[compact]] is invoked before shipping so only the local skyline crosses
-  * the wire — exactly the reference's MR local-phase output
-  * (`FlinkSkyline.java:396-403`).
+  * aggregation buffers as live objects within a partition). The Aggregator
+  * API has no pre-serialization hook, so the shuffled payload is bounded by
+  * `compactAt` (≈ 2·s + [[SkyBuffer.MinCompact]] points), not exactly the
+  * local skyline; `merge` re-runs SFS either way, mirroring the reference's
+  * MR local-phase output (`FlinkSkyline.java:396-403`).
   */
 final class SkyBuffer(
     var points: ArrayBuffer[Array[Double]],

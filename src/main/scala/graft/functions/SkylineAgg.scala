@@ -19,8 +19,10 @@ import graft.core.SkyBuffer
   * MR-skyline design — and Spark's ObjectHashAggregate handles spill.
   *
   * Buffers are live JVM objects within a task; Kryo serialization happens
-  * only at the shuffle boundary, after [[SkyBuffer.compact]] has reduced the
-  * buffer to the local skyline.
+  * only at the shuffle boundary. The shipped buffer is bounded by
+  * `compactAt` (≈ 2·s + 1024 points — the Aggregator API has no
+  * pre-serialization compaction hook), and `merge` re-runs SFS after the
+  * shuffle.
   */
 class SkylineAgg extends Aggregator[Array[Double], SkyBuffer, Array[Array[Double]]] {
   override def zero: SkyBuffer = new SkyBuffer()
@@ -39,6 +41,9 @@ class SkylineAgg extends Aggregator[Array[Double], SkyBuffer, Array[Array[Double
 
   override def bufferEncoder: Encoder[SkyBuffer] = Encoders.kryo[SkyBuffer]
 
+  // ExpressionEncoder is a catalyst-internal API (no public encoder exists
+  // for array<array<double>>); pinned to the Spark 4.x line in build.sbt —
+  // revisit on a Spark major upgrade.
   override def outputEncoder: Encoder[Array[Array[Double]]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Array[Double]]]()
 }

@@ -132,7 +132,14 @@ object SkylineOps {
     * local skyline (duplicates counted), `c_surv` = rows on the global
     * skyline (all of which are necessarily on their local skyline).
     */
-  def partitionSkylineStats(df: DataFrame, dims: Seq[String], pid: Column): DataFrame = {
+  def partitionSkylineStats(df: DataFrame, dims: Seq[String], pid: Column): DataFrame =
+    partitionSkylineStatsFull(df, dims, pid)
+      .select(col("pid"), col("c_local"), col("c_surv"))
+
+  /** [[partitionSkylineStats]] plus `c_rows` (total rows per partition),
+    * still two input scans: classification of every row happens in one left
+    * join against the marked local frontiers. */
+  def partitionSkylineStatsFull(df: DataFrame, dims: Seq[String], pid: Column): DataFrame = {
     val tagged = df.select((pid.as("pid") +: dims.map(col)): _*)
     // Scan 1: per-partition local frontiers (map-side partial aggregation).
     val localFront = tagged.groupBy("pid")
@@ -152,15 +159,45 @@ object SkylineOps {
       .select(dims.zipWithIndex.map { case (d, i) => col("p")(i).as(d) }: _*)
       .distinct()
       .withColumn("in_glob", lit(1))
-    val marked = localFront.join(globalFront, dims, "left")
-    // Scan 2: one inner join (marked is distinct on (pid, dims) — no row
-    // multiplication) recovers duplicate multiplicities and yields both
-    // counts in a single aggregate.
-    tagged.join(marked, "pid" +: dims)
+    val marked = localFront
+      .join(globalFront, dims, "left")
+      .withColumn("in_loc", lit(1))
+    // Scan 2: one left join (marked is distinct on (pid, dims) — no row
+    // multiplication) classifies every row and yields all three counts in a
+    // single aggregate.
+    tagged.join(marked, "pid" +: dims, "left")
       .groupBy("pid")
-      .agg(count(lit(1)).as("c_local"), count(col("in_glob")).as("c_surv"))
-      .select(col("pid").cast("int").as("pid"), col("c_local"), col("c_surv"))
+      .agg(count(lit(1)).as("c_rows"), count(col("in_loc")).as("c_local"),
+        count(col("in_glob")).as("c_surv"))
+      .select(col("pid").cast("int").as("pid"), col("c_rows"),
+        col("c_local"), col("c_surv"))
   }
+
+  /** The reference's emitted result record (byte-layout parity with the
+    * hand-built JSON at `java/org.main/FlinkSkyline.java:625-650`):
+    * query_id, record_count, skyline_size, optimality (%.4f), and the four
+    * timing fields. Divergence D3 preserved: `query_latency_ms` is computed
+    * by the reference but absent from the emitted record, so it is absent
+    * here too. Batch semantics: the caller supplies the timings (the
+    * barrier/ingestion clock is a streaming concept); the driver-facing
+    * query pins them to 0 for determinism.
+    */
+  def metricsJson(df: DataFrame, dims: Seq[String], pid: Column, partitions: Int,
+                  queryId: String, ingestMs: Long = 0L, localMs: Long = 0L,
+                  globalMs: Long = 0L, totalMs: Long = 0L): DataFrame =
+    partitionSkylineStatsFull(df, dims, pid)
+      .agg(
+        sum(col("c_rows")).as("rc"),
+        sum(col("c_surv")).as("ss"),
+        (sum(col("c_surv").cast("double") / col("c_local").cast("double"))
+          / lit(partitions.toDouble)).as("opt"))
+      .select(format_string(
+        "{\"query_id\": \"%s\", \"record_count\": %d, \"skyline_size\": %d, " +
+          "\"optimality\": %.4f, \"ingestion_time_ms\": %d, " +
+          "\"local_processing_time_ms\": %d, \"global_processing_time_ms\": %d, " +
+          "\"total_processing_time_ms\": %d}",
+        lit(queryId), col("rc"), col("ss"), col("opt"),
+        lit(ingestMs), lit(localMs), lit(globalMs), lit(totalMs)).as("json"))
 
   /** Scalar optimality per the reference's exact formula (D4): mean over the
     * FIXED partition count of (survivors_i / localSkylineSize_i); partitions

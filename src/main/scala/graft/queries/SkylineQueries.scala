@@ -120,6 +120,15 @@ object SkylineQueries {
       val df = li(s, d).filter(col("l_orderkey") % 20 === 0)
       optimality(df, Seq("l_quantity", "l_extendedprice", "l_discount"),
         dimPartitionCol(array(col("l_quantity")), 60.0, NPart), NPart)
+    }),
+
+    // The reference's emitted JSON result record (byte layout of
+    // FlinkSkyline.java:625-650, incl. divergence D3 — no query_latency_ms).
+    // Timings pinned to 0: deterministic batch semantics.
+    "metrics_json" -> ((s, d) => {
+      val df = li(s, d).filter(col("l_orderkey") % 20 === 0)
+      SkylineOps.metricsJson(df, Seq("l_quantity", "l_extendedprice", "l_discount"),
+        dimPartitionCol(array(col("l_quantity")), 60.0, NPart), NPart, "1")
     })
   )
 
@@ -184,6 +193,13 @@ object SkylineQueries {
 
     "opt_scalar_mrdim" -> (optStatsBase +
       s"""SELECT ROUND(SUM(CAST(COALESCE(c_surv, 0) AS DOUBLE) / CAST(c_local AS DOUBLE)) / $NPart.0, 9) AS optimality
+         |FROM loc LEFT JOIN srv ON loc.pid = srv.pid""".stripMargin),
+
+    "metrics_json" -> (optStatsBase +
+      s"""SELECT '{"query_id": "1", "record_count": ' || (SELECT COUNT(*) FROM t)
+         | || ', "skyline_size": ' || CAST(SUM(COALESCE(c_surv, 0)) AS BIGINT)
+         | || ', "optimality": ' || printf('%.4f', SUM(CAST(COALESCE(c_surv, 0) AS DOUBLE) / CAST(c_local AS DOUBLE)) / $NPart.0)
+         | || ', "ingestion_time_ms": 0, "local_processing_time_ms": 0, "global_processing_time_ms": 0, "total_processing_time_ms": 0}' AS json
          |FROM loc LEFT JOIN srv ON loc.pid = srv.pid""".stripMargin)
   )
 }
