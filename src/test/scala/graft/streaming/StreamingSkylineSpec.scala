@@ -1,0 +1,132 @@
+package graft.streaming
+
+import org.scalatest.funsuite.AnyFunSuite
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.TestSpark
+import graft.core.{GeoPartitioners, SkylineKernel}
+import graft.streaming.StreamingSkyline.SkyEvent
+
+/** End-to-end streaming parity (SURVEY §7.4 q5 + caveats D5/D6 + the `-1`
+  * fast-path), driven through MemoryStream micro-batches. The fixed clock
+  * makes every timing field deterministic. */
+class StreamingSkylineSpec extends AnyFunSuite {
+
+  private val NPart = 4
+  private val clock: () => Long = () => 1000L
+
+  private def point(id: Long, v: Array[Double]): SkyEvent =
+    SkyEvent(GeoPartitioners.dimPartition(v, 10000.0, NPart), isTrigger = false,
+      id, v, "", 0L)
+
+  private def gen(n: Int): IndexedSeq[(Long, Array[Double])] = {
+    val rnd = new scala.util.Random(11)
+    (0 until n).map(i => (i.toLong, Array(rnd.nextInt(10000).toDouble, rnd.nextInt(10000).toDouble)))
+  }
+
+  private def parse(json: String, field: String): String = {
+    val m = ("\"" + field + "\": (\"?)([^,\"}]*)").r.findFirstMatchIn(json)
+    m.map(_.group(2)).getOrElse(sys.error(s"$field not in $json"))
+  }
+
+  private def runQuery(stream: MemoryStream[SkyEvent])(feed: (=> Unit) => Unit): Seq[String] = {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val out = StreamingSkyline(stream.toDS(), NPart, clock)
+    val name = s"sky_stream_${System.nanoTime()}"
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try feed(q.processAllAvailable())
+    finally q.stop()
+    spark.table(name).as[String].collect().toSeq
+  }
+
+  test("snapshot at barrier N equals batch skyline of the first N records") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[SkyEvent]
+    val pts = gen(500)
+    val results = runQuery(stream) { sync =>
+      stream.addData(pts.map { case (id, v) => point(id, v) })
+      sync
+      // barrier 450 is below every partition's max seen id (each of the 4
+      // partitions receives some of ids 450..499 w.h.p.), so it is already
+      // met when the trigger arrives in a later batch. The snapshot is the
+      // skyline of ALL ingested records (cumulative state, D6) — the
+      // barrier only gates execution, exactly like the reference.
+      stream.addData(StreamingSkyline.fanOutTrigger("7,450", NPart, 123L))
+      sync
+    }
+    assert(results.size == 1)
+    val expected = SkylineKernel.skylineOf(ArrayBuffer(pts.map(_._2): _*)).size
+    assert(parse(results.head, "skyline_size").toInt == expected)
+    assert(parse(results.head, "query_id") == "7")
+    assert(parse(results.head, "record_count") == "450")
+    val opt = parse(results.head, "optimality").toDouble
+    assert(opt >= 0.0 && opt <= 1.0)
+    assert(!results.head.contains("query_latency_ms"), "D3: latency not emitted")
+  }
+
+  test("trigger parks behind the barrier and releases when data catches up") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[SkyEvent]
+    val pts = gen(300)
+    val (first, second) = pts.splitAt(100)
+    val results = runQuery(stream) { sync =>
+      stream.addData(first.map { case (id, v) => point(id, v) })
+      sync
+      stream.addData(StreamingSkyline.fanOutTrigger("1,250", NPart, 5L))
+      sync // barrier 250 not met (max ids <= 99): no emission yet
+      stream.addData(second.map { case (id, v) => point(id, v) })
+      sync // data catches up: parked trigger fires
+    }
+    assert(results.size == 1)
+    val expected = SkylineKernel.skylineOf(ArrayBuffer(pts.map(_._2): _*)).size
+    assert(parse(results.head, "skyline_size").toInt == expected)
+  }
+
+  test("D5 immediate trigger + -1 fast-path: empty partitions answer at once") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[SkyEvent]
+    // no data at all; payload without comma => requiredCount 0; every
+    // partition is untouched (-1 fast-path) => empty global skyline
+    val results = runQuery(stream) { sync =>
+      stream.addData(StreamingSkyline.fanOutTrigger("9", NPart, 1L))
+      sync
+    }
+    assert(results.size == 1)
+    assert(parse(results.head, "skyline_size").toInt == 0)
+    assert(parse(results.head, "record_count") == "unknown")
+    assert(parse(results.head, "optimality").toDouble == 0.0)
+  }
+
+  test("D6: local skylines are cumulative — second query sees all data") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[SkyEvent]
+    val pts = gen(400)
+    val (first, second) = pts.splitAt(200)
+    val results = runQuery(stream) { sync =>
+      stream.addData(first.map { case (id, v) => point(id, v) })
+      stream.addData(StreamingSkyline.fanOutTrigger("1,150", NPart, 1L))
+      sync
+      stream.addData(second.map { case (id, v) => point(id, v) })
+      stream.addData(StreamingSkyline.fanOutTrigger("2,350", NPart, 2L))
+      sync
+    }
+    assert(results.size == 2)
+    val byQid = results.map(r => parse(r, "query_id") -> r).toMap
+    val exp1 = SkylineKernel.skylineOf(ArrayBuffer(first.map(_._2): _*)).size
+    val expAll = SkylineKernel.skylineOf(ArrayBuffer(pts.map(_._2): _*)).size
+    assert(parse(byQid("1"), "skyline_size").toInt == exp1)
+    assert(parse(byQid("2"), "skyline_size").toInt == expAll)
+  }
+}
