@@ -20,8 +20,14 @@ object PipelineQueries {
   private[queries] def embs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
 
-  private[queries] def events(s: SparkSession, dir: String): DataFrame =
+  /** The events table carries TIMESTAMP(NANOS) parquet (unsupported by
+    * Spark's reader natively): read `ts` as raw nanos via the legacy conf.
+    * DuckDB truncates ns→µs on read, so `ts div 1000` reproduces its
+    * `epoch_us` exactly. */
+  private[queries] def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     s.read.parquet(s"$dir/events.parquet")
+  }
 
   import graft.operators.TextOps
 
@@ -108,8 +114,39 @@ object PipelineQueries {
     "knn_lsh" -> ((s, d) =>
       graft.operators.VectorOps.knnLsh(
         embs(s, d), "vec_id", "embedding", col("vec_id") < 8, 5,
-        LshTables, LshBits, EmbDims))
+        LshTables, LshBits, EmbDims)),
+
+    // -------------------------------------------------------------- events
+    // Gap-based sessionization (30-min gap) — the classic event-stream
+    // windowing op: lag over (user, time), count gap breaks. Exact integer
+    // arithmetic via microsecond epochs.
+    "evt_sessions" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+      events(s, d)
+        .select(col("user_id"), col("event_id"), expr("ts div 1000").as("us"))
+        .select(col("user_id"),
+          when(col("us") - lag("us", 1).over(w) > SessionGapUs, 1)
+            .otherwise(0).as("brk"))
+        .groupBy("user_id")
+        .agg((sum(col("brk")) + lit(1)).as("n_sessions"), count(lit(1)).as("n_events"))
+    }),
+
+    // Per-event-type top-3 users by event count (rank window, deterministic
+    // (count desc, user_id) tiebreak).
+    "evt_topk" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("event_type").orderBy(col("cnt").desc, col("user_id"))
+      events(s, d)
+        .groupBy("event_type", "user_id").agg(count(lit(1)).as("cnt"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("event_type"), col("user_id"), col("cnt"),
+          col("rnk").cast("long").as("rnk"))
+    })
   )
+
+  private val SessionGapUs = 1800L * 1000000L
 
   private val EmbDims   = 64
   private val LshTables = 4
@@ -171,6 +208,23 @@ object PipelineQueries {
         |CAST(MIN(doc_id) AS BIGINT) AS keep_id,
         |CAST(COUNT(*) AS BIGINT) AS dup_cnt
         |FROM documents GROUP BY 1""".stripMargin,
+
+    "evt_sessions" ->
+      s"""WITH t AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+         |b AS (SELECT user_id,
+         |  CASE WHEN us - LAG(us) OVER (PARTITION BY user_id ORDER BY us, event_id) > $SessionGapUs
+         |       THEN 1 ELSE 0 END AS brk FROM t)
+         |SELECT user_id, CAST(SUM(brk) + 1 AS BIGINT) AS n_sessions,
+         |CAST(COUNT(*) AS BIGINT) AS n_events
+         |FROM b GROUP BY user_id""".stripMargin,
+
+    "evt_topk" ->
+      """WITH c AS (SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT event_type, user_id, cnt,
+        |  ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY cnt DESC, user_id) AS rnk FROM c)
+        |SELECT event_type, user_id, cnt, CAST(rnk AS BIGINT) AS rnk
+        |FROM r WHERE rnk <= 3""".stripMargin,
 
     "knn_brute" -> {
       val cos = cosSql("q.v", "x.v")
