@@ -143,10 +143,60 @@ object PipelineQueries {
         .filter(col("rnk") <= 3)
         .select(col("event_type"), col("user_id"), col("cnt"),
           col("rnk").cast("long").as("rnk"))
+    }),
+
+    // ---------------------------------------------------- wire format (O3/O4)
+    "wire_parse" -> (wireParse _),
+
+    // ---------------------------------------------------------- multimodal
+    // Binary-column pipeline with the decode step stubbed (deterministic
+    // fake metadata — see MultimodalOps scaladoc); blob plumbing, metadata
+    // resize, and frame slicing are real.
+    "mm_decode" -> ((s, d) => {
+      import graft.operators.MultimodalOps._
+      docs(s, d)
+        .select(col("source"), decodeStub(asBlob(col("text"))).as("m"))
+        .select(col("source"), resizeStub(col("m"), 224, 224).as("r"), col("m"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("m.width")).as("sum_w"), sum(col("m.height")).as("sum_h"),
+          sum(col("r.width")).as("sum_rw"), sum(col("r.height")).as("sum_rh"))
+    }),
+
+    "mm_frames" -> ((s, d) => {
+      import graft.operators.MultimodalOps._
+      docs(s, d)
+        .select(col("lang"),
+          frameSample(asBlob(col("text")), 64, 48).as("frames"))
+        .select(col("lang"), size(col("frames")).as("nf"),
+          aggregate(col("frames"), lit(0),
+            (acc, f) => acc + length(f)).as("frame_bytes"))
+        .groupBy("lang")
+        .agg(sum(col("nf")).as("total_frames"),
+          sum(col("frame_bytes")).as("total_frame_bytes"),
+          sum(when(col("nf") > 0, 1).otherwise(0)).as("docs_with_frames"))
     })
   )
 
   private val SessionGapUs = 1800L * 1000000L
+
+  /** Wire-format parse (O3/O4): lineitem integer keys re-serialized as the
+    * reference's headerless CSV plus malformed probes; the parse must keep
+    * exactly the well-formed rows ("7,250" is a valid 1-dim tuple, "5" has
+    * too few fields, "1,2,x" has an unparseable value — FIXTURES.md §1.1).
+    */
+  private def wireParse(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val raw = docs(s, d).sparkSession.read.parquet(s"$d/lineitem.parquet")
+      .select(concat_ws(",",
+        col("l_orderkey"), col("l_partkey"), col("l_suppkey")).as("value"))
+      .unionAll(Seq("bogus-line", "5", "1,2,x", "7,250").toDF("value"))
+    graft.sources.WireFormat.parsePoints(raw)
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("id")).as("sum_id"),
+        sum(element_at(col("values"), 1)).cast("long").as("sum_v0"))
+  }
 
   private val EmbDims   = 64
   private val LshTables = 4
@@ -208,6 +258,42 @@ object PipelineQueries {
         |CAST(MIN(doc_id) AS BIGINT) AS keep_id,
         |CAST(COUNT(*) AS BIGINT) AS dup_cnt
         |FROM documents GROUP BY 1""".stripMargin,
+
+    "mm_decode" ->
+      """WITH b AS (SELECT source, octet_length(encode(text)) AS bl, md5(text) AS h FROM documents),
+        |m AS (SELECT source, 16 + (bl % 512) AS w,
+        |  16 + ((ascii(substr(h,1,1))*7 + ascii(substr(h,2,1))) % 512) AS hh FROM b),
+        |r AS (SELECT source, w, hh,
+        |  LEAST(FLOOR(224000 / w), FLOOR(224000 / hh)) AS sc FROM m)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(w) AS BIGINT) AS sum_w, CAST(SUM(hh) AS BIGINT) AS sum_h,
+        |  CAST(SUM(GREATEST(1, FLOOR(w * sc / 1000))) AS BIGINT) AS sum_rw,
+        |  CAST(SUM(GREATEST(1, FLOOR(hh * sc / 1000))) AS BIGINT) AS sum_rh
+        |FROM r GROUP BY source""".stripMargin,
+
+    "mm_frames" ->
+      """WITH b AS (SELECT lang, octet_length(encode(text)) AS bl FROM documents),
+        |f AS (SELECT lang, bl,
+        |  CASE WHEN bl >= 64 THEN CAST(FLOOR((bl - 64) / 48) AS INT) + 1 ELSE 0 END AS nf FROM b)
+        |SELECT lang, CAST(SUM(nf) AS BIGINT) AS total_frames,
+        |  CAST(SUM(COALESCE(list_sum([LEAST(64, bl - 48*i) for i in range(0, nf)]), 0)) AS BIGINT) AS total_frame_bytes,
+        |  CAST(SUM(CASE WHEN nf > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_frames
+        |FROM f GROUP BY lang""".stripMargin,
+
+    "wire_parse" ->
+      """WITH raw AS (
+        |  SELECT CAST(l_orderkey AS VARCHAR) || ',' || CAST(l_partkey AS VARCHAR)
+        |    || ',' || CAST(l_suppkey AS VARCHAR) AS value FROM lineitem
+        |  UNION ALL SELECT * FROM (VALUES ('bogus-line'), ('5'), ('1,2,x'), ('7,250')) v(value)),
+        |p AS (SELECT string_split(value, ',') AS w FROM raw),
+        |t AS (SELECT
+        |  CASE WHEN regexp_matches(w[1], '^-?\d+$') THEN CAST(w[1] AS BIGINT) END AS id,
+        |  [CASE WHEN regexp_matches(x, '^-?\d+(\.\d*)?$') THEN CAST(x AS DOUBLE) END for x in w[2:]] AS vals,
+        |  len(w) AS n FROM p)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_rows, CAST(SUM(id) AS BIGINT) AS sum_id,
+        |  CAST(SUM(vals[1]) AS BIGINT) AS sum_v0
+        |FROM t WHERE n >= 2 AND id IS NOT NULL
+        |  AND len(list_filter(vals, x -> x IS NULL)) = 0""".stripMargin,
 
     "evt_sessions" ->
       s"""WITH t AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),

@@ -1,0 +1,88 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.DataStreamWriter
+
+/** The reference's wire formats and Kafka endpoints (O1–O4, O20).
+  *
+  * Data tuples travel as headerless CSV `"ID,Val1,...,Vald"`
+  * (`java/org.main/ServiceTuple.java:82-104`); malformed rows (fewer than 2
+  * fields, or any unparseable number) become null and are dropped
+  * (`FlinkSkyline.java:102-104`). Triggers travel as `"QueryID,Required
+  * RecordCount"`, where a missing comma means requiredCount = 0 (D5).
+  *
+  * Parsing is pure column expressions (`split` + `try_cast` + higher-order
+  * functions), so the malformed-row drop is a codegen'd filter the optimizer
+  * can push around — the Spark-native equivalent of the reference's
+  * map-then-filter chain.
+  */
+object WireFormat {
+
+  // Regex-guarded casts: ANSI mode (the Spark 4 default) makes a bare
+  // string→number cast of a malformed token throw; the guard reproduces the
+  // reference's parse-failure→null→drop semantics instead.
+  private val LongPat = "^-?\\d+$"
+  private val NumPat  = "^-?\\d+(\\.\\d*)?$"
+
+  /** Parse the point wire format from a string column. Output: (id long,
+    * values array<double>) with the reference's drop semantics. */
+  def parsePoints(raw: DataFrame, valueCol: String = "value"): DataFrame = {
+    val w = split(col(valueCol), ",")
+    val id = when(get(w, lit(0)).rlike(LongPat), get(w, lit(0)).cast("long"))
+    val vals = transform(slice(w, lit(2), greatest(size(w) - 1, lit(0))),
+      v => when(v.rlike(NumPat), v.cast("double")))
+    raw
+      .select(id.as("id"), vals.as("values"), size(w).as("n"))
+      .filter(col("n") >= 2 && col("id").isNotNull &&
+        !exists(col("values"), v => v.isNull))
+      .select(col("id"), col("values"))
+  }
+
+  /** Parse the trigger wire format: payload plus its barrier
+    * (requiredCount; 0 when no comma — divergence D5). */
+  def parseTriggers(raw: DataFrame, valueCol: String = "value"): DataFrame = {
+    val w = split(col(valueCol), ",")
+    raw.select(
+      col(valueCol).as("payload"),
+      coalesce(
+        when(get(w, lit(1)).rlike(LongPat), get(w, lit(1)).cast("long")),
+        lit(0L)).as("required_count"))
+  }
+
+  // ------------------------------------------------------------- Kafka (thin)
+  // The exact reference endpoints (FlinkSkyline.java:84-97, 177-183). These
+  // compile against Spark's pluggable source API; running them requires the
+  // spark-sql-kafka connector jar on the cluster classpath (not shipped in
+  // this offline dev image — exercised there via the memory-source tests'
+  // identical downstream plan instead).
+
+  /** O1: data topic, earliest offsets (`FlinkSkyline.java:84-89`). */
+  def readPointsStream(spark: SparkSession, bootstrap: String, topic: String): DataFrame =
+    parsePoints(
+      spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap)
+        .option("subscribe", topic)
+        .option("startingOffsets", "earliest")
+        .load()
+        .selectExpr("CAST(value AS STRING) AS value"))
+
+  /** O2: control topic, latest offsets (`FlinkSkyline.java:92-97`). */
+  def readTriggersStream(spark: SparkSession, bootstrap: String, topic: String): DataFrame =
+    parseTriggers(
+      spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap)
+        .option("subscribe", topic)
+        .option("startingOffsets", "latest")
+        .load()
+        .selectExpr("CAST(value AS STRING) AS value"))
+
+  /** O20: result sink with the reference's 10 MB max request size
+    * (`FlinkSkyline.java:177-183`). */
+  def writeResultsKafka(results: Dataset[String], bootstrap: String,
+                        topic: String): DataStreamWriter[String] =
+    results.writeStream.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("topic", topic)
+      .option("kafka.max.request.size", "10485760")
+}
