@@ -199,6 +199,16 @@ object SkylineOps {
         lit(queryId), col("rc"), col("ss"), col("opt"),
         lit(ingestMs), lit(localMs), lit(globalMs), lit(totalMs)).as("json"))
 
+  /** O23 parity: the producer's auto-trigger cadence — "query every N
+    * records" (`python/unified_producer.py:25,180-187`) — emulated in batch:
+    * one [[metricsJson]] record per barrier over the prefix `idCol ≤ b`,
+    * query ids numbered from 1 like the producer's counter. */
+  def triggerCadence(df: DataFrame, idCol: String, dims: Seq[String], pid: Column,
+                     partitions: Int, barriers: Seq[Long]): DataFrame =
+    barriers.zipWithIndex.map { case (b, i) =>
+      metricsJson(df.filter(col(idCol) <= b), dims, pid, partitions, (i + 1).toString)
+    }.reduce(_ unionAll _)
+
   /** Scalar optimality per the reference's exact formula (D4): mean over the
     * FIXED partition count of (survivors_i / localSkylineSize_i); partitions
     * that produced no local skyline contribute 0 to the sum but stay in the

@@ -129,20 +129,43 @@ object SkylineQueries {
       val df = li(s, d).filter(col("l_orderkey") % 20 === 0)
       SkylineOps.metricsJson(df, Seq("l_quantity", "l_extendedprice", "l_discount"),
         dimPartitionCol(array(col("l_quantity")), 60.0, NPart), NPart, "1")
+    }),
+
+    // O23: auto-trigger cadence emulation — one metrics record per barrier
+    // prefix (query ids 1..n like the producer's counter).
+    "cadence_metrics" -> ((s, d) => {
+      val df = li(s, d).filter(col("l_orderkey") % 20 === 0)
+      SkylineOps.triggerCadence(df, "l_orderkey",
+        Seq("l_quantity", "l_extendedprice", "l_discount"),
+        dimPartitionCol(array(col("l_quantity")), 60.0, NPart), NPart,
+        CadenceBarriers)
     })
   )
 
-  private val optStatsBase: String = {
+  private def optStatsSql(where: String): String = {
     val dims = Seq("q", "p", "dd")
     s"""WITH t AS (SELECT l_quantity AS q, l_extendedprice AS p, l_discount AS dd,
        |  ${dimPidSql("l_quantity", 60.0, NPart)} AS pid
-       |  FROM lineitem WHERE l_orderkey % 20 = 0),
+       |  FROM lineitem WHERE $where),
        |loc AS (SELECT pid, CAST(COUNT(*) AS BIGINT) AS c_local FROM t a
        |  WHERE NOT EXISTS (SELECT 1 FROM t b WHERE b.pid = a.pid AND ${domSql(dims)}) GROUP BY pid),
        |srv AS (SELECT pid, CAST(COUNT(*) AS BIGINT) AS c_surv FROM t a
        |  WHERE NOT EXISTS (SELECT 1 FROM t b WHERE ${domSql(dims)}) GROUP BY pid)
        |""".stripMargin
   }
+
+  private val optStatsBase: String = optStatsSql("l_orderkey % 20 = 0")
+
+  /** One emitted-JSON-record SELECT (shared by metrics_json and the cadence
+    * oracle); appended after [[optStatsSql]]'s WITH prefix. */
+  private def metricsRecordSql(qid: String): String =
+    s"""SELECT '{"query_id": "$qid", "record_count": ' || (SELECT COUNT(*) FROM t)
+       | || ', "skyline_size": ' || CAST(SUM(COALESCE(c_surv, 0)) AS BIGINT)
+       | || ', "optimality": ' || printf('%.4f', SUM(CAST(COALESCE(c_surv, 0) AS DOUBLE) / CAST(c_local AS DOUBLE)) / $NPart.0)
+       | || ', "ingestion_time_ms": 0, "local_processing_time_ms": 0, "global_processing_time_ms": 0, "total_processing_time_ms": 0}' AS json
+       |FROM loc LEFT JOIN srv ON loc.pid = srv.pid""".stripMargin
+
+  private val CadenceBarriers = Seq(5000L, 10000L, 20000L)
 
   val oracles: Map[String, String] = Map(
     "sky2d" -> sky2dSql("l_extendedprice", "l_discount", "lineitem"),
@@ -195,11 +218,12 @@ object SkylineQueries {
       s"""SELECT ROUND(SUM(CAST(COALESCE(c_surv, 0) AS DOUBLE) / CAST(c_local AS DOUBLE)) / $NPart.0, 9) AS optimality
          |FROM loc LEFT JOIN srv ON loc.pid = srv.pid""".stripMargin),
 
-    "metrics_json" -> (optStatsBase +
-      s"""SELECT '{"query_id": "1", "record_count": ' || (SELECT COUNT(*) FROM t)
-         | || ', "skyline_size": ' || CAST(SUM(COALESCE(c_surv, 0)) AS BIGINT)
-         | || ', "optimality": ' || printf('%.4f', SUM(CAST(COALESCE(c_surv, 0) AS DOUBLE) / CAST(c_local AS DOUBLE)) / $NPart.0)
-         | || ', "ingestion_time_ms": 0, "local_processing_time_ms": 0, "global_processing_time_ms": 0, "total_processing_time_ms": 0}' AS json
-         |FROM loc LEFT JOIN srv ON loc.pid = srv.pid""".stripMargin)
+    "metrics_json" -> (optStatsBase + metricsRecordSql("1")),
+
+    "cadence_metrics" -> CadenceBarriers.zipWithIndex.map { case (b, i) =>
+      "SELECT json FROM (\n" +
+        optStatsSql(s"l_orderkey % 20 = 0 AND l_orderkey <= $b") +
+        metricsRecordSql((i + 1).toString) + "\n)"
+    }.mkString("\nUNION ALL\n")
   )
 }
