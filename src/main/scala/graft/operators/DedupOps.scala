@@ -17,39 +17,60 @@ import org.apache.spark.sql.functions._
   */
 object DedupOps {
 
-  /** Distinct word `n`-gram shingles of `text`; empty array when the
-    * document has fewer than `n` tokens (such docs pair with nothing). */
+  /** Word `n`-gram shingles of `text` (duplicates retained — `array_distinct`
+    * is quadratic per row, so set semantics are established downstream by an
+    * explode + distinct, which Spark turns into a map-side-combined hash
+    * aggregation); empty array when the document has fewer than `n` tokens
+    * (such docs pair with nothing). */
   def shingles(text: Column, n: Int): Column = {
     val w = split(text, " ")
     when(size(w) >= n,
-      array_distinct(transform(sequence(lit(1), size(w) - lit(n - 1)),
-        i => concat_ws(" ", slice(w, i, lit(n))))))
+      transform(sequence(lit(1), size(w) - lit(n - 1)),
+        i => concat_ws(" ", slice(w, i, lit(n)))))
       .otherwise(array().cast("array<string>"))
   }
 
-  /** MinHash signature: `k` independent permutations approximated by
-    * seeding `xxhash64` with the band index; element j is the minimum hash
-    * of any shingle under seed j. NULL-free; empty shingle set → NULL mins
-    * are avoided by guarding upstream. */
-  def minhashSignature(sh: Column, k: Int): Column =
-    transform(sequence(lit(0), lit(k - 1)),
-      j => array_min(transform(sh, s => xxhash64(j, s))))
+  /** Distinct shingle rows (id, s) — the set-semantics form shared by the
+    * signature and verification stages. */
+  def shingleRows(docs: DataFrame, idCol: String, n: Int): DataFrame =
+    docs.select(col(idCol).as("id"), explode(shingles(col("text"), n)).as("s"))
+      .distinct()
 
-  /** Candidate near-duplicate pairs via LSH with `k` bands of one row each:
-    * a pair is a candidate iff it agrees on at least one minhash value.
-    * With one-row bands a pair of true Jaccard s is missed with probability
-    * (1-s)^k — for k=12 and the s ≥ 0.5 pairs this detector targets, under
-    * 10^-3; for near-identical documents, negligible.
-    */
-  def minhashCandidates(docs: DataFrame, idCol: String, n: Int, k: Int): DataFrame = {
-    val sig = docs
-      .select(col(idCol).as("id"), shingles(col("text"), n).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .select(col("id"), posexplode(minhashSignature(col("sh"), k)))
-      .toDF("id", "band", "hv")
-    sig.as("a").join(sig.as("b"),
-        col("a.band") === col("b.band") && col("a.hv") === col("b.hv") &&
-          col("a.id") < col("b.id"))
+  /** MinHash signature rows (id, band, hv): `k` independent permutations
+    * approximated by seeding `xxhash64` with the band index; a band's value
+    * is the minimum hash of any shingle under that seed.
+    *
+    * Shape note: built by exploding the shingle array ONCE and reducing
+    * per-band minima with a map-side-combined aggregation — an array-typed
+    * signature expression would get inlined by projection collapse and
+    * recompute the (quadratic) `array_distinct` shingling once per band. */
+  def minhashSignatureRows(docs: DataFrame, idCol: String, n: Int, k: Int): DataFrame =
+    shingleRows(docs, idCol, n)
+      .select(col("id"), explode(array((0 until k).map(j =>
+        struct(lit(j).as("band"), xxhash64(lit(j), col("s")).as("h"))): _*)).as("bh"))
+      .groupBy(col("id"), col("bh.band").as("band"))
+      .agg(min(col("bh.h")).as("hv"))
+
+  /** Candidate near-duplicate pairs via banded LSH: `b` bands of `r`
+    * minhash rows each (b·r hashes total); a pair is a candidate iff some
+    * band agrees on ALL r values. A pair of true Jaccard s is a candidate
+    * with probability 1-(1-s^r)^b — the r rows suppress the false-positive
+    * flood a shared-vocabulary corpus produces under one-row bands (false
+    * positives scale with b·s^r), while near-identical pairs (s ≥ 0.85 in
+    * this corpus) are missed with probability (1-s^r)^b ≈ 1e-5 at
+    * b=12, r=3. The join is an equi-join on the banded key — work is
+    * bounded by bucket collisions, never the corpus cross-product. */
+  def minhashCandidates(docs: DataFrame, idCol: String, n: Int,
+                        b: Int, r: Int): DataFrame = {
+    val bandCols = (0 until r).map(t =>
+      min(when(col("band") % r === t, col("hv"))).as(s"h$t"))
+    val sig = minhashSignatureRows(docs, idCol, n, b * r)
+      .groupBy(col("id"), (col("band") / r).cast("int").as("band"))
+      .agg(bandCols.head, bandCols.tail: _*)
+    val keys = Seq("band") ++ (0 until r).map(t => s"h$t")
+    val cond = keys.map(c => col(s"a.$c") === col(s"b.$c")).reduce(_ && _) &&
+      col("a.id") < col("b.id")
+    sig.as("a").join(sig.as("b"), cond)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
   }
@@ -58,11 +79,11 @@ object DedupOps {
     * Jaccard is ≥ num/den (integer cross-multiplication — no float compare).
     * Output: (id_a, id_b, c_inter, c_union).
     */
-  def minhashNearDups(docs: DataFrame, idCol: String, n: Int, k: Int,
+  def minhashNearDups(docs: DataFrame, idCol: String, n: Int, b: Int, r: Int,
                       num: Int, den: Int): DataFrame = {
-    val sh = docs.select(col(idCol).as("id"), shingles(col("text"), n).as("sh"))
-      .filter(size(col("sh")) > 0)
-    minhashCandidates(docs, idCol, n, k)
+    val sh = shingleRows(docs, idCol, n)
+      .groupBy("id").agg(collect_list(col("s")).as("sh"))
+    minhashCandidates(docs, idCol, n, b, r)
       .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .select(col("id_a"), col("id_b"),

@@ -89,13 +89,14 @@ object PipelineQueries {
 
     "dedup_exact" -> ((s, d) => TextOps.dedupExact(docs(s, d))),
 
-    // MinHash+LSH near-dup pairs: word-3-gram shingles, 12 one-row bands,
+    // MinHash+LSH near-dup pairs: word-3-gram shingles, 12 bands × 3 rows,
     // verified true Jaccard ≥ 1/2 (integer cross-multiply). The oracle is
-    // the all-pairs check — sound because a J ≥ 0.5 pair escapes all 12
-    // bands with probability ≤ 0.5^12 ≈ 2e-4 (and the corpus' planted
-    // near-dups sit at J ≥ 0.85: miss probability ~1e-10).
+    // the all-pairs check — sound because the corpus' planted near-dups sit
+    // at J ≥ 0.85, where the banding misses with probability
+    // (1-0.85³)^12 ≈ 1e-5; the 3-row bands keep false-positive candidates
+    // (shared-vocabulary pairs at J ≈ 0.05) near zero.
     "dedup_minhash" -> ((s, d) =>
-      graft.operators.DedupOps.minhashNearDups(docs(s, d), "doc_id", 3, 12, 1, 2)),
+      graft.operators.DedupOps.minhashNearDups(docs(s, d), "doc_id", 3, 12, 3, 1, 2)),
 
     // SimHash signatures (xxhash64-based — engine-specific, rows-only gate).
     "dedup_simhash" -> ((s, d) =>
