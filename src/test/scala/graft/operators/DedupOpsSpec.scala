@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.functions._
+
+import graft.TestSpark
+
+class DedupOpsSpec extends AnyFunSuite {
+
+  private def docsDF(rows: (Long, String)*) = {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("shingleRows emits distinct word n-grams; short docs emit nothing") {
+    val df = docsDF((1L, "a b c d c d"), (2L, "x y"))
+    val got = DedupOps.shingleRows(df.withColumnRenamed("doc_id", "id0"), "id0", 3)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    // "c d c" appears once, "a b c"/"b c d"/"d c d" once each; doc 2 (<3 tokens) none
+    assert(got == Set((1L, "a b c"), (1L, "b c d"), (1L, "c d c"), (1L, "d c d")))
+  }
+
+  test("minhashNearDups finds planted near-dups, skips dissimilar pairs, exact dups at J=1") {
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val near = ((1 to 38).map(i => s"tok$i") ++ Seq("zzz", "tok40")).mkString(" ")
+    val far  = (100 to 140).map(i => s"other$i").mkString(" ")
+    val df = docsDF((1L, base), (2L, near), (3L, far), (4L, base))
+    val pairs = DedupOps.minhashNearDups(df, "doc_id", 3, 12, 3, 1, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val keys = pairs.map(p => (p._1, p._2)).toSet
+    assert(keys.contains((1L, 2L)), s"near pair missing: $keys")
+    assert(keys.contains((1L, 4L)) && keys.contains((2L, 4L)))
+    assert(!keys.exists(p => p._1 == 3L || p._2 == 3L), "dissimilar doc paired")
+    val exact = pairs.find(p => p._1 == 1L && p._2 == 4L).get
+    assert(exact._3 == exact._4, "exact duplicate should have inter == union")
+  }
+
+  test("simhash: identical texts collide; near texts land closer than far ones") {
+    val spark = TestSpark.spark
+    val base = (1 to 60).map(i => s"w$i").mkString(" ")
+    val near = ((1 to 58).map(i => s"w$i") ++ Seq("a", "b")).mkString(" ")
+    val far  = (200 to 260).map(i => s"q$i").mkString(" ")
+    val df = docsDF((1L, base), (2L, base), (3L, near), (4L, far))
+      .select(col("doc_id"), DedupOps.simhashCol(col("text")).as("sh"))
+    val m = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    assert(m(1L) == m(2L))
+    assert(hamming(m(1L), m(3L)) < hamming(m(1L), m(4L)))
+  }
+}

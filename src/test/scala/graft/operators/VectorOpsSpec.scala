@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.functions._
+
+import graft.TestSpark
+
+class VectorOpsSpec extends AnyFunSuite {
+
+  test("cosine matches hand-computed values") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val df = Seq(
+      (Array(1.0f, 0.0f), Array(0.0f, 2.0f)),   // orthogonal
+      (Array(1.0f, 1.0f), Array(2.0f, 2.0f)),   // parallel
+      (Array(3.0f, 4.0f), Array(4.0f, 3.0f))
+    ).toDF("a", "b")
+    val got = df.select(VectorOps.cosine(
+        VectorOps.asDouble(col("a")), VectorOps.asDouble(col("b"))))
+      .collect().map(_.getDouble(0))
+    assert(math.abs(got(0)) < 1e-12)
+    assert(math.abs(got(1) - 1.0) < 1e-12)
+    assert(math.abs(got(2) - 24.0 / 25.0) < 1e-12)
+  }
+
+  test("planeText parses to exactly planeValue") {
+    (0 until 2048).foreach { j =>
+      assert(VectorOps.planeText(j).toDouble == VectorOps.planeValue(j),
+        s"plane literal mismatch at $j")
+    }
+  }
+
+  test("knnBrute ranks by cosine with id tiebreak") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val df = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f)),   // closest to 0
+      (2L, Array(0.5f, 0.5f)),
+      (3L, Array(0.0f, 1.0f))    // farthest from 0
+    ).toDF("vec_id", "embedding")
+    val got = VectorOps.knnBrute(df, "vec_id", "embedding", col("vec_id") === 0, 3)
+      .orderBy("rnk").collect().map(r => r.getLong(1))
+    assert(got.toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("knnLsh returns a subset of brute-force ranking, exactly re-ranked") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    val df = (0L until 200L).map(i =>
+      (i, Array.fill(16)(rnd.nextFloat() * 2 - 1))).toDF("vec_id", "embedding")
+    val lsh = VectorOps.knnLsh(df, "vec_id", "embedding", col("vec_id") < 3, 5, 4, 3, 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(lsh.nonEmpty)
+    // within each query the ranks are 1..n without gaps
+    lsh.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq)
+    }
+    // every returned neighbor really is in that query's brute-force order:
+    // lsh rank order must be consistent with brute-force pairwise order
+    val brute = VectorOps.knnBrute(df, "vec_id", "embedding", col("vec_id") < 3, 200)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    lsh.groupBy(_._1).foreach { case (q, rows) =>
+      val sorted = rows.sortBy(_._3).map(_._2)
+      val bruteRanks = sorted.map(n => brute((q, n)))
+      assert(bruteRanks.sorted.toSeq == bruteRanks.toSeq,
+        s"LSH order disagrees with exact cosine order for query $q")
+    }
+  }
+}
