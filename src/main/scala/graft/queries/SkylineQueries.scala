@@ -131,6 +131,18 @@ object SkylineQueries {
         dimPartitionCol(array(col("l_quantity")), 60.0, NPart), NPart, "1")
     }),
 
+    // O22 driver surface: the reference's worst-case distribution generated
+    // distributedly (partition-invariant spark.range generator), skyline'd.
+    // No DuckDB oracle — the RNG stream is JVM-specific — so this rides the
+    // driver's rows-only gate; the envelope is asserted in
+    // DataGenSourceSpec.
+    "datagen_sky2d" -> ((s, d) =>
+      graft.sources.DataGenSource.pointsDF(s, "anti_correlated", 42L,
+          100000L, 2, 0, 10000, 32)
+        .agg(graft.functions.SkylineAgg.skyline_agg(col("values")).as("sky"))
+        .select(explode(col("sky")).as("p"))
+        .select(col("p")(0).as("x"), col("p")(1).as("y"))),
+
     // O23: auto-trigger cadence emulation — one metrics record per barrier
     // prefix (query ids 1..n like the producer's counter).
     "cadence_metrics" -> ((s, d) => {
