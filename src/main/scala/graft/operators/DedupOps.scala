@@ -92,6 +92,30 @@ object DedupOps {
       .filter(col("c_inter") * den >= col("c_union") * num)
   }
 
+  /** Exact n-gram-Jaccard near-duplicate pairs — no LSH, no probability:
+    * pairwise intersection sizes come from a self-join of the distinct
+    * (id, shingle) rows on the shingle (only pairs sharing ≥1 shingle ever
+    * materialize; a J ≥ num/den pair always does), union sizes from the
+    * per-doc set sizes. Exact complement to [[minhashNearDups]]: cost
+    * scales with shingle co-occurrence (hot shingles fan out — for
+    * heavy-tailed corpora prefer the MinHash path or drop top-frequency
+    * shingles first), not with the corpus cross-product.
+    */
+  def jaccardNearDups(docs: DataFrame, idCol: String, n: Int,
+                      num: Int, den: Int): DataFrame = {
+    val sr = shingleRows(docs, idCol, n)
+    val sizes = sr.groupBy("id").agg(count(lit(1)).as("sz"))
+    sr.as("a").join(sr.as("b"),
+        col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("c_inter"))
+      .join(sizes.select(col("id").as("id_a"), col("sz").as("na")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("sz").as("nb")), "id_b")
+      .select(col("id_a"), col("id_b"), col("c_inter"),
+        (col("na") + col("nb") - col("c_inter")).as("c_union"))
+      .filter(col("c_inter") * den >= col("c_union") * num)
+  }
+
   /** 32-bit SimHash over whitespace tokens: bit p is set iff the sum over
     * tokens of ±1 (sign of bit p of the token's xxhash64) is ≥ 0. Documents
     * differing in a few tokens land at small Hamming distance. (No DuckDB

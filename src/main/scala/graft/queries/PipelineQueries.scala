@@ -98,6 +98,11 @@ object PipelineQueries {
     "dedup_minhash" -> ((s, d) =>
       graft.operators.DedupOps.minhashNearDups(docs(s, d), "doc_id", 3, 12, 3, 1, 2)),
 
+    // Exact n-gram-Jaccard near-dups (shingle co-occurrence join — no LSH):
+    // must produce the identical pair set through a different algorithm.
+    "dedup_jaccard" -> ((s, d) =>
+      graft.operators.DedupOps.jaccardNearDups(docs(s, d), "doc_id", 3, 1, 2)),
+
     // SimHash signatures (xxhash64-based — engine-specific, rows-only gate).
     "dedup_simhash" -> ((s, d) =>
       docs(s, d).select(col("doc_id"),
@@ -347,6 +352,17 @@ object PipelineQueries {
          |  SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rnk FROM s)
          |WHERE rnk <= 5""".stripMargin
     },
+
+    "dedup_jaccard" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT doc_id,
+        |  list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)]) AS s
+        |  FROM toks WHERE len(w) >= 3)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS c_inter,
+        |  CAST(len(list_distinct(list_concat(a.s, b.s))) AS BIGINT) AS c_union
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE len(list_intersect(a.s, b.s)) * 2 >= len(list_distinct(list_concat(a.s, b.s)))""".stripMargin,
 
     "dedup_minhash" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
