@@ -45,7 +45,9 @@ object DedupOps {
     * signature expression would get inlined by projection collapse and
     * recompute the (quadratic) `array_distinct` shingling once per band. */
   def minhashSignatureRows(docs: DataFrame, idCol: String, n: Int, k: Int): DataFrame =
-    shingleRows(docs, idCol, n)
+    // raw (non-distinct) shingle rows: the per-band MIN is invariant under
+    // duplicates, so the signature path skips the set-semantics shuffle
+    docs.select(col(idCol).as("id"), explode(shingles(col("text"), n)).as("s"))
       .select(col("id"), explode(array((0 until k).map(j =>
         struct(lit(j).as("band"), xxhash64(lit(j), col("s")).as("h"))): _*)).as("bh"))
       .groupBy(col("id"), col("bh.band").as("band"))
