@@ -122,6 +122,13 @@ object PipelineQueries {
         embs(s, d), "vec_id", "embedding", col("vec_id") < 8, 5,
         LshTables, LshBits, EmbDims)),
 
+    // Embedding-cosine near-dup pairs among LSH-colliding candidates
+    // (the oracle replays the identical hyperplanes, so the candidate set —
+    // not just the verified set — is oracle-checked).
+    "emb_neardup" -> ((s, d) =>
+      graft.operators.VectorOps.cosNearDups(
+        embs(s, d), "vec_id", "embedding", LshTables, LshBits, EmbDims, 0.35)),
+
     // -------------------------------------------------------------- events
     // Gap-based sessionization (30-min gap) — the classic event-stream
     // windowing op: lag over (user, time), count gap breaks. Exact integer
@@ -351,6 +358,29 @@ object PipelineQueries {
          |SELECT qid, nid, CAST(rnk AS BIGINT) AS rnk FROM (
          |  SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rnk FROM s)
          |WHERE rnk <= 5""".stripMargin
+    },
+
+    "emb_neardup" -> {
+      val planeRows = (for { t <- 0 until LshTables; b <- 0 until LshBits } yield {
+        val vals = (0 until EmbDims)
+          .map(i => graft.operators.VectorOps.planeText((t * LshBits + b) * EmbDims + i))
+          .mkString(", ")
+        s"($t, $b, [$vals])"
+      }).mkString(",\n")
+      val pdot = s"list_sum([CAST(e.v[i] AS DOUBLE) * pl.p[i] for i in range(1, ${EmbDims + 1})])"
+      val cos  = cosSql("a.v", "b.v")
+      s"""WITH planes(t, b, p) AS (VALUES
+         |$planeRows),
+         |e AS (SELECT vec_id, embedding AS v FROM embeddings),
+         |buck AS (SELECT e.vec_id AS id, pl.t,
+         |  CAST(SUM(CASE WHEN $pdot >= 0 THEN (1 << pl.b) ELSE 0 END) AS INTEGER) AS bucket
+         |  FROM e, planes pl GROUP BY 1, 2),
+         |cand AS (SELECT x.id AS id_a, y.id AS id_b
+         |  FROM buck x JOIN buck y ON x.t = y.t AND x.bucket = y.bucket AND x.id < y.id
+         |  GROUP BY 1, 2)
+         |SELECT c.id_a, c.id_b FROM cand c
+         |JOIN e a ON a.vec_id = c.id_a JOIN e b ON b.vec_id = c.id_b
+         |WHERE $cos >= 0.35""".stripMargin
     },
 
     "dedup_jaccard" ->
