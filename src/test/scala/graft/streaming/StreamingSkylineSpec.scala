@@ -107,6 +107,38 @@ class StreamingSkylineSpec extends AnyFunSuite {
     assert(parse(results.head, "optimality").toDouble == 0.0)
   }
 
+  test("global latch accumulates across micro-batches (split release)") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[SkyEvent]
+    val rnd = new scala.util.Random(5)
+    def pts(pids: Seq[Int], ids: Range) = ids.flatMap(i => pids.map(p =>
+      SkyEvent(p, isTrigger = false, i.toLong,
+        Array(rnd.nextInt(10000).toDouble, rnd.nextInt(10000).toDouble), "", 0L)))
+    val early = pts(Seq(0, 1), 0 until 100)  // pids 0,1 past the barrier
+    val late1 = pts(Seq(2, 3), 0 until 20)   // pids 2,3 behind it
+    val late2 = pts(Seq(2, 3), 20 until 100) // ...until this batch arrives
+    val name = s"sky_stream_${System.nanoTime()}"
+    val q = StreamingSkyline(stream.toDS(), NPart, clock)
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      stream.addData(early ++ late1)
+      q.processAllAvailable()
+      stream.addData(StreamingSkyline.fanOutTrigger("4,50", NPart, 1L))
+      q.processAllAvailable()
+      // pids 0,1 answered; 2,3 parked — latch (2 of 4) must NOT emit yet
+      assert(spark.table(name).count() == 0)
+      stream.addData(late2)
+      q.processAllAvailable()
+    } finally q.stop()
+    val results = spark.table(name).as[String].collect().toSeq
+    assert(results.size == 1)
+    val all = (early ++ late1 ++ late2).map(_.values)
+    val expected = SkylineKernel.skylineOf(ArrayBuffer(all: _*)).size
+    assert(parse(results.head, "skyline_size").toInt == expected)
+  }
+
   test("D6: local skylines are cumulative — second query sees all data") {
     val spark = TestSpark.spark
     import spark.implicits._
