@@ -3,6 +3,7 @@ package graft.streaming
 import scala.collection.mutable.ArrayBuffer
 
 import org.apache.spark.sql.{Dataset, Encoder, Encoders}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 import graft.core.{Dominance, SkylineKernel}
@@ -184,5 +185,30 @@ object StreamingSkyline {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(localFn(clock))
       .groupByKey(_.payload)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(globalFn(numPartitions, clock))
+  }
+
+  /** The reference's full topology from the two RAW string streams
+    * (`FlinkSkyline.java:79-183`): parse the CSV wire formats
+    * ([[graft.sources.WireFormat]]), key points by a geometric partitioner
+    * from [[graft.core.GeoPartitioners]], fan triggers out to every
+    * partition, union, and run the two-phase state machine.
+    *
+    * @param partitioner pure pid function of the value vector (e.g.
+    *                    `GeoPartitioners.dimPartition(_, maxVal, n)`)
+    */
+  def fromWire(points: org.apache.spark.sql.DataFrame,
+               triggers: org.apache.spark.sql.DataFrame,
+               partitioner: Array[Double] => Int, numPartitions: Int,
+               clock: () => Long = () => System.currentTimeMillis()): Dataset[String] = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    val pointEvents = graft.sources.WireFormat.parsePoints(points)
+      .as[(Long, Array[Double])]
+      .map { case (id, values) =>
+        SkyEvent(partitioner(values), isTrigger = false, id, values, "", 0L) }
+    val triggerEvents = graft.sources.WireFormat.parseTriggers(triggers)
+      .select(col("payload")).as[String]
+      .flatMap(payload => fanOutTrigger(payload, numPartitions, clock()))
+    apply(pointEvents.union(triggerEvents), numPartitions, clock)
   }
 }

@@ -107,6 +107,35 @@ class StreamingSkylineSpec extends AnyFunSuite {
     assert(parse(results.head, "optimality").toDouble == 0.0)
   }
 
+  test("fromWire: raw CSV streams through the full topology, malformed rows dropped") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val pts = MemoryStream[String]
+    val trg = MemoryStream[String]
+    val rnd = new scala.util.Random(9)
+    val raw = (0 until 200).map(i =>
+      s"$i,${rnd.nextInt(10000)},${rnd.nextInt(10000)}")
+    val name = s"sky_wire_${System.nanoTime()}"
+    val n = NPart // local copy: the closure must not capture the spec class
+    val out = StreamingSkyline.fromWire(
+      pts.toDS().toDF("value"), trg.toDS().toDF("value"),
+      v => graft.core.GeoPartitioners.dimPartition(v, 10000.0, n), n, clock)
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      pts.addData(raw ++ Seq("bogus-line", "7", "3,4,x")) // malformed: dropped
+      q.processAllAvailable()
+      trg.addData("1,150") // barrier below every partition's max id w.h.p.
+      q.processAllAvailable()
+    } finally q.stop()
+    val results = spark.table(name).as[String].collect().toSeq
+    assert(results.size == 1)
+    val vecs = raw.map(_.split(",").drop(1).map(_.toDouble))
+    val expected = SkylineKernel.skylineOf(ArrayBuffer(vecs: _*)).size
+    assert(parse(results.head, "skyline_size").toInt == expected)
+  }
+
   test("global latch accumulates across micro-batches (split release)") {
     val spark = TestSpark.spark
     import spark.implicits._
