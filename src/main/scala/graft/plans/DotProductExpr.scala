@@ -1,0 +1,87 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+
+/** Native codegen'd dot product over two `array<double>` columns.
+  *
+  * The higher-order-function formulation (`aggregate(zip_with(a, b, *))`)
+  * is evaluated interpreted — lambda closures per element, no whole-stage
+  * codegen — which made pairwise similarity the hot spot of the ANN/near-dup
+  * operators. This expression compiles to a tight primitive loop over the
+  * unsafe array data (identical left-to-right summation order, so results
+  * and the DuckDB oracles are unchanged).
+  *
+  * Inputs must already be `array<double>` (callers widen `array<float>`
+  * with a cast — exact); checked at analysis time.
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression with Serializable {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName expects two array<double> inputs, got " +
+            s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+    }
+
+  override def dataType: DataType = DoubleType
+
+  override def prettyName: String = "graft_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = Math.min($x.numElements(), $y.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += $x.getDouble($i) * $y.getDouble($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Registration of graft's native expressions into a session's function
+  * registry, so column code can reach them via `call_function`. Uses the
+  * internal `sessionState.functionRegistry` (the same registry
+  * `SparkSessionExtensions.injectFunction` feeds) — isolated here, pinned
+  * to the Spark 4.x line like the encoder note in SkylineAgg. */
+object GraftFunctions {
+  val DotName = "graft_dot"
+
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    if (!registry.functionExists(FunctionIdentifier(DotName))) {
+      registry.registerFunction(
+        FunctionIdentifier(DotName),
+        new ExpressionInfo(classOf[DotProduct].getName, DotName),
+        (children: Seq[Expression]) => DotProduct(children(0), children(1)))
+    }
+  }
+}

@@ -10,6 +10,7 @@ class VectorOpsSpec extends AnyFunSuite {
 
   test("cosine matches hand-computed values") {
     val spark = TestSpark.spark
+    graft.plans.GraftFunctions.register(spark)
     import spark.implicits._
     val df = Seq(
       (Array(1.0f, 0.0f), Array(0.0f, 2.0f)),   // orthogonal
