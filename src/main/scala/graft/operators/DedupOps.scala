@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Fuzzy-deduplication operators: MinHash+LSH near-duplicate pair detection
   * and SimHash document signatures.
@@ -36,39 +37,42 @@ object DedupOps {
     docs.select(col(idCol).as("id"), explode(shingles(col("text"), n)).as("s"))
       .distinct()
 
-  /** MinHash signature rows (id, band, hv): `k` independent permutations
-    * approximated by seeding `xxhash64` with the band index; a band's value
-    * is the minimum hash of any shingle under that seed.
+  /** MinHash signature rows (id, band, hv) from distinct shingle rows
+    * (id, s): `k` independent permutations approximated by seeding
+    * `xxhash64` with the band index; a band's value is the minimum hash of
+    * any shingle under that seed (MIN is invariant under duplicate shingles,
+    * so set semantics in the input are optional).
     *
-    * Shape note: built by exploding the shingle array ONCE and reducing
+    * Shape note: built by exploding the shingle rows ONCE and reducing
     * per-band minima with a map-side-combined aggregation — an array-typed
     * signature expression would get inlined by projection collapse and
     * recompute the (quadratic) `array_distinct` shingling once per band. */
-  def minhashSignatureRows(docs: DataFrame, idCol: String, n: Int, k: Int): DataFrame =
-    // raw (non-distinct) shingle rows: the per-band MIN is invariant under
-    // duplicates, so the signature path skips the set-semantics shuffle
-    docs.select(col(idCol).as("id"), explode(shingles(col("text"), n)).as("s"))
+  def minhashSignatureRows(shingleRows: DataFrame, k: Int): DataFrame =
+    shingleRows
       .select(col("id"), explode(array((0 until k).map(j =>
         struct(lit(j).as("band"), xxhash64(lit(j), col("s")).as("h"))): _*)).as("bh"))
       .groupBy(col("id"), col("bh.band").as("band"))
       .agg(min(col("bh.h")).as("hv"))
 
-  /** Candidate near-duplicate pairs via banded LSH: `b` bands of `r`
-    * minhash rows each (b·r hashes total); a pair is a candidate iff some
-    * band agrees on ALL r values. A pair of true Jaccard s is a candidate
-    * with probability 1-(1-s^r)^b — the r rows suppress the false-positive
-    * flood a shared-vocabulary corpus produces under one-row bands (false
-    * positives scale with b·s^r), while near-identical pairs (s ≥ 0.85 in
-    * this corpus) are missed with probability (1-s^r)^b ≈ 1e-5 at
-    * b=12, r=3. The join is an equi-join on the banded key — work is
-    * bounded by bucket collisions, never the corpus cross-product. */
-  def minhashCandidates(docs: DataFrame, idCol: String, n: Int,
-                        b: Int, r: Int): DataFrame = {
+  /** Banded LSH keys: fold `b*r` minhash rows into `b` bands of `r` hash
+    * columns (h0..h{r-1}) each — the equi-join key of the candidate stage. */
+  def bandedSignatures(shingleRows: DataFrame, b: Int, r: Int): DataFrame = {
     val bandCols = (0 until r).map(t =>
       min(when(col("band") % r === t, col("hv"))).as(s"h$t"))
-    val sig = minhashSignatureRows(docs, idCol, n, b * r)
+    minhashSignatureRows(shingleRows, b * r)
       .groupBy(col("id"), (col("band") / r).cast("int").as("band"))
       .agg(bandCols.head, bandCols.tail: _*)
+  }
+
+  /** Candidate near-duplicate pairs via banded LSH: a pair is a candidate
+    * iff some band agrees on ALL r values. A pair of true Jaccard s is a
+    * candidate with probability 1-(1-s^r)^b — the r rows suppress the
+    * false-positive flood a shared-vocabulary corpus produces under one-row
+    * bands (false positives scale with b·s^r), while near-identical pairs
+    * (s ≥ 0.85 in this corpus) are missed with probability (1-s^r)^b ≈ 1e-5
+    * at b=12, r=3. The join is an equi-join on the banded key — work is
+    * bounded by bucket collisions, never the corpus cross-product. */
+  def candidatePairs(sig: DataFrame, r: Int): DataFrame = {
     val keys = Seq("band") ++ (0 until r).map(t => s"h$t")
     val cond = keys.map(c => col(s"a.$c") === col(s"b.$c")).reduce(_ && _) &&
       col("a.id") < col("b.id")
@@ -77,15 +81,30 @@ object DedupOps {
       .distinct()
   }
 
+  /** [[candidatePairs]] from raw documents (convenience; no caching). */
+  def minhashCandidates(docs: DataFrame, idCol: String, n: Int,
+                        b: Int, r: Int): DataFrame =
+    candidatePairs(bandedSignatures(shingleRows(docs, idCol, n), b, r), r)
+
   /** Verified near-duplicate pairs: LSH candidates whose true shingle-set
     * Jaccard is ≥ num/den (integer cross-multiplication — no float compare).
     * Output: (id_a, id_b, c_inter, c_union).
+    *
+    * The shingle rows and the banded signatures are persisted
+    * (MEMORY_AND_DISK) so the text is shingled exactly once: without the
+    * cache, the self-join of the candidate stage evaluates the
+    * scan→shingle→36-hash→min-agg subtree on BOTH sides, and the
+    * verification stage re-shingles a third time — 3 full build pipelines
+    * for one query. Both cached sets are linear in the corpus (distinct
+    * shingles; b rows of r longs per doc) and spill to disk if they outgrow
+    * executor memory.
     */
   def minhashNearDups(docs: DataFrame, idCol: String, n: Int, b: Int, r: Int,
                       num: Int, den: Int): DataFrame = {
-    val sh = shingleRows(docs, idCol, n)
-      .groupBy("id").agg(collect_list(col("s")).as("sh"))
-    minhashCandidates(docs, idCol, n, b, r)
+    val sr  = shingleRows(docs, idCol, n).persist(StorageLevel.MEMORY_AND_DISK)
+    val sig = bandedSignatures(sr, b, r).persist(StorageLevel.MEMORY_AND_DISK)
+    val sh = sr.groupBy("id").agg(collect_list(col("s")).as("sh"))
+    candidatePairs(sig, r)
       .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .select(col("id_a"), col("id_b"),
@@ -102,10 +121,14 @@ object DedupOps {
     * scales with shingle co-occurrence (hot shingles fan out — for
     * heavy-tailed corpora prefer the MinHash path or drop top-frequency
     * shingles first), not with the corpus cross-product.
+    *
+    * The distinct shingle rows are persisted (MEMORY_AND_DISK): they feed
+    * both sides of the self-join plus the per-doc size aggregate — three
+    * consumers of one linear-in-corpus build.
     */
   def jaccardNearDups(docs: DataFrame, idCol: String, n: Int,
                       num: Int, den: Int): DataFrame = {
-    val sr = shingleRows(docs, idCol, n)
+    val sr = shingleRows(docs, idCol, n).persist(StorageLevel.MEMORY_AND_DISK)
     val sizes = sr.groupBy("id").agg(count(lit(1)).as("sz"))
     sr.as("a").join(sr.as("b"),
         col("a.s") === col("b.s") && col("a.id") < col("b.id"))

@@ -35,20 +35,39 @@ object TextOps {
     "zh" -> Seq("的", "是", "了", "在", "和")
   )
 
-  /** N-gram/stopword language-ID heuristic: score each language by stopword
-    * occurrence count; predict the argmax with a fixed priority-order
-    * tiebreak (profile order). Deterministic integer arithmetic end-to-end.
+  /** N-gram/stopword language-ID heuristic, as a two-projection DataFrame
+    * shape: score each language by stopword occurrence count ONCE into a
+    * real `s_<lang>` column ([[langScoreCols]]), then argmax over the column
+    * REFERENCES ([[langArgmaxCol]]) with a fixed priority-order tiebreak
+    * (profile order). Deterministic integer arithmetic end-to-end.
+    *
+    * Why two steps and not one Column: a single inlined argmax expression
+    * repeats each (interpreted, higher-order) `hitCount` subtree inside
+    * every pairwise comparison — O(L²) redundant lambda evaluations per row.
+    * Projected score columns are evaluated once per row; the comparisons
+    * over attribute references are free. CollapseProject keeps the
+    * projection boundary because the producer expressions are non-cheap and
+    * multiply-referenced.
     */
-  def langIdCol(text: Column): Column = {
-    val toks = tokens(text)
-    val scores = LangProfiles.map { case (l, ws) => l -> hitCount(toks, ws) }
-    // argmax with ties resolved toward the earlier profile: lang i wins iff
-    // no earlier lang has score >= it and no later lang has score > it.
-    scores.zipWithIndex.foldRight(lit(LangProfiles.head._1)) {
-      case (((lang, s), i), elseCol) =>
-        val beatsEarlier = scores.take(i).map(_._2).foldLeft(lit(true))((acc, e) => acc && s > e)
-        val beatsLater   = scores.drop(i + 1).map(_._2).foldLeft(lit(true))((acc, e) => acc && s >= e)
-        when(beatsEarlier && beatsLater, lit(lang)).otherwise(elseCol)
+  def langIdDF(df: DataFrame, textCol: String): DataFrame =
+    df.select(tokens(col(textCol)).as("w"))
+      .select(langScoreCols(col("w")): _*)
+      .select(langArgmaxCol.as("predicted"))
+
+  /** One score column per language profile, aliased `s_<lang>`: stopword
+    * occurrence count among the pre-split tokens column. */
+  def langScoreCols(toks: Column): Seq[Column] =
+    LangProfiles.map { case (l, ws) => hitCount(toks, ws).as(s"s_$l") }
+
+  /** Argmax over projected `s_<lang>` columns: lang i wins iff no earlier
+    * lang has score >= it and no later lang has score > it. */
+  def langArgmaxCol: Column = {
+    val names = LangProfiles.map(_._1)
+    names.zipWithIndex.foldRight(lit(names.head)) { case ((lang, i), elseCol) =>
+      val s = col(s"s_$lang")
+      val beatsEarlier = names.take(i).foldLeft(lit(true))((acc, e) => acc && s > col(s"s_$e"))
+      val beatsLater   = names.drop(i + 1).foldLeft(lit(true))((acc, e) => acc && s >= col(s"s_$e"))
+      when(beatsEarlier && beatsLater, lit(lang)).otherwise(elseCol)
     }
   }
 

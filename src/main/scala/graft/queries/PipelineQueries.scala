@@ -42,7 +42,7 @@ object PipelineQueries {
     s"len(list_filter(w, t -> t IN (${sqlList(ws)})))"
 
   /** DuckDB argmax-with-priority-tiebreak over the per-language scores
-    * s_<lang> — the same logic as [[TextOps.langIdCol]]. */
+    * s_<lang> — the same logic as [[TextOps.langArgmaxCol]]. */
   private val langCaseSql: String = {
     val langs = TextOps.LangProfiles.map(_._1)
     val arms = langs.zipWithIndex.map { case (l, i) =>
@@ -65,8 +65,7 @@ object PipelineQueries {
           countDistinct(col("lang")).as("lang_cnt"))),
 
     "txt_langid" -> ((s, d) =>
-      docs(s, d)
-        .select(TextOps.langIdCol(col("text")).as("predicted"))
+      TextOps.langIdDF(docs(s, d), "text")
         .groupBy("predicted").agg(count(lit(1)).as("cnt"))),
 
     "txt_quality" -> ((s, d) =>
