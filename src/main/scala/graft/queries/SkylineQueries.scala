@@ -47,6 +47,23 @@ object SkylineQueries {
   private def dimPidSql(expr: String, maxVal: Double, n: Int): String =
     s"LEAST(${n - 1}, GREATEST(0, CAST(TRUNC($expr / (${maxVal} / $n)) AS INTEGER)))"
 
+  // Grid/angle pid SQL over (l_discount, l_tax) — the exact expressions the
+  // hash-green mrgrid_hist / mrangle_hist oracles replay, shared here so the
+  // per-strategy optimality oracles partition identically to the Spark side.
+  private val gridPidSql: String =
+    s"""((CASE WHEN l_discount >= 0.06 THEN 1 ELSE 0 END)
+       | + (CASE WHEN l_tax >= 0.06 THEN 2 ELSE 0 END)) % $NPart""".stripMargin
+
+  private val anglePidSql: String =
+    s"""LEAST(${NPart - 1}, GREATEST(0, CAST(TRUNC(
+       |  (ATAN2(SQRT(l_tax * l_tax), l_discount) / (PI() / 2)) * $NPart) AS INTEGER)))""".stripMargin
+
+  /** Spark-side grid/angle pid columns matching the SQL above. */
+  private def gridPid  = SkylineOps.gridPartitionCol(
+    array(col("l_discount"), col("l_tax")), 2, 0.12, NPart)
+  private def anglePid = SkylineOps.anglePartitionCol(
+    array(col("l_discount"), col("l_tax")), 2, NPart)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sky2d" -> ((s, d) => skylineRows(li(s, d), Dims2)),
 
@@ -59,6 +76,12 @@ object SkylineQueries {
     "sky4d" -> ((s, d) =>
       skylineRows(li(s, d).filter(col("l_orderkey") % 40 === 0),
         Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))),
+
+    // Denser 3D coverage (4× sky3d's sample): the high-dim scale path gated
+    // at the largest size the quadratic DuckDB NOT-EXISTS oracle tolerates.
+    "sky3d_dense" -> ((s, d) =>
+      skylineRows(li(s, d).filter(col("l_orderkey") % 5 === 0),
+        Seq("l_quantity", "l_extendedprice", "l_discount"))),
 
     "sky_grouped" -> ((s, d) =>
       groupedSkylineRows(li(s, d).filter(col("l_orderkey") % 20 === 0),
@@ -122,6 +145,22 @@ object SkylineQueries {
         dimPartitionCol(array(col("l_quantity")), 60.0, NPart), NPart)
     }),
 
+    // Per-strategy optimality (the reference's headline experiment compares
+    // strategies by this metric — BASELINE.md optimality rows): identical
+    // stats pipeline under the grid / angle partitioners.
+    "opt_stats_mrgrid" -> ((s, d) => {
+      val df = li(s, d).filter(col("l_orderkey") % 20 === 0)
+      partitionSkylineStats(df,
+          Seq("l_quantity", "l_extendedprice", "l_discount"), gridPid)
+        .select(col("pid").cast("long").as("pid"), col("c_local"), col("c_surv"))
+    }),
+    "opt_stats_mrangle" -> ((s, d) => {
+      val df = li(s, d).filter(col("l_orderkey") % 20 === 0)
+      partitionSkylineStats(df,
+          Seq("l_quantity", "l_extendedprice", "l_discount"), anglePid)
+        .select(col("pid").cast("long").as("pid"), col("c_local"), col("c_surv"))
+    }),
+
     // The reference's emitted JSON result record (byte layout of
     // FlinkSkyline.java:625-650, incl. divergence D3 — no query_latency_ms).
     // Timings pinned to 0: deterministic batch semantics.
@@ -129,6 +168,14 @@ object SkylineQueries {
       val df = li(s, d).filter(col("l_orderkey") % 20 === 0)
       SkylineOps.metricsJson(df, Seq("l_quantity", "l_extendedprice", "l_discount"),
         dimPartitionCol(array(col("l_quantity")), 60.0, NPart), NPart, "1")
+    }),
+
+    // Emitted-record parity under a non-dim partitioner: proves the metrics
+    // path is strategy-agnostic, not MR-Dim-only.
+    "metrics_json_mrgrid" -> ((s, d) => {
+      val df = li(s, d).filter(col("l_orderkey") % 20 === 0)
+      SkylineOps.metricsJson(df, Seq("l_quantity", "l_extendedprice", "l_discount"),
+        gridPid, NPart, "1")
     }),
 
     // O22 driver surface: the reference's worst-case distribution generated
@@ -154,10 +201,11 @@ object SkylineQueries {
     })
   )
 
-  private def optStatsSql(where: String): String = {
+  private def optStatsSql(where: String,
+                          pidSql: String = dimPidSql("l_quantity", 60.0, NPart)): String = {
     val dims = Seq("q", "p", "dd")
     s"""WITH t AS (SELECT l_quantity AS q, l_extendedprice AS p, l_discount AS dd,
-       |  ${dimPidSql("l_quantity", 60.0, NPart)} AS pid
+       |  $pidSql AS pid
        |  FROM lineitem WHERE $where),
        |loc AS (SELECT pid, CAST(COUNT(*) AS BIGINT) AS c_local FROM t a
        |  WHERE NOT EXISTS (SELECT 1 FROM t b WHERE b.pid = a.pid AND ${domSql(dims)}) GROUP BY pid),
@@ -167,6 +215,11 @@ object SkylineQueries {
   }
 
   private val optStatsBase: String = optStatsSql("l_orderkey % 20 = 0")
+
+  /** The per-pid stats SELECT appended after [[optStatsSql]]'s WITH prefix. */
+  private val optStatsSelect: String =
+    """SELECT CAST(loc.pid AS BIGINT) AS pid, c_local, COALESCE(c_surv, 0) AS c_surv
+      |FROM loc LEFT JOIN srv ON loc.pid = srv.pid""".stripMargin
 
   /** One emitted-JSON-record SELECT (shared by metrics_json and the cadence
     * oracle); appended after [[optStatsSql]]'s WITH prefix. */
@@ -222,15 +275,27 @@ object SkylineQueries {
          |WHERE l_quantity < ${MaxPrice / 2} OR l_extendedprice < ${MaxPrice / 2}
          |GROUP BY l_returnflag""".stripMargin,
 
-    "opt_stats_mrdim" -> (optStatsBase +
-      """SELECT CAST(loc.pid AS BIGINT) AS pid, c_local, COALESCE(c_surv, 0) AS c_surv
-        |FROM loc LEFT JOIN srv ON loc.pid = srv.pid""".stripMargin),
+    "sky3d_dense" ->
+      s"""WITH t AS (SELECT l_quantity, l_extendedprice, l_discount FROM lineitem WHERE l_orderkey % 5 = 0)
+         |SELECT * FROM t a WHERE NOT EXISTS (SELECT 1 FROM t b
+         |WHERE ${domSql(Seq("l_quantity", "l_extendedprice", "l_discount"))})""".stripMargin,
+
+    "opt_stats_mrdim" -> (optStatsBase + optStatsSelect),
+
+    "opt_stats_mrgrid" ->
+      (optStatsSql("l_orderkey % 20 = 0", gridPidSql) + optStatsSelect),
+
+    "opt_stats_mrangle" ->
+      (optStatsSql("l_orderkey % 20 = 0", anglePidSql) + optStatsSelect),
 
     "opt_scalar_mrdim" -> (optStatsBase +
       s"""SELECT ROUND(SUM(CAST(COALESCE(c_surv, 0) AS DOUBLE) / CAST(c_local AS DOUBLE)) / $NPart.0, 9) AS optimality
          |FROM loc LEFT JOIN srv ON loc.pid = srv.pid""".stripMargin),
 
     "metrics_json" -> (optStatsBase + metricsRecordSql("1")),
+
+    "metrics_json_mrgrid" ->
+      (optStatsSql("l_orderkey % 20 = 0", gridPidSql) + metricsRecordSql("1")),
 
     "cadence_metrics" -> CadenceBarriers.zipWithIndex.map { case (b, i) =>
       "SELECT json FROM (\n" +
