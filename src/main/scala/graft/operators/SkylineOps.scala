@@ -187,10 +187,12 @@ object SkylineOps {
                   globalMs: Long = 0L, totalMs: Long = 0L): DataFrame =
     partitionSkylineStatsFull(df, dims, pid)
       .agg(
-        sum(col("c_rows")).as("rc"),
-        sum(col("c_surv")).as("ss"),
-        (sum(col("c_surv").cast("double") / col("c_local").cast("double"))
-          / lit(partitions.toDouble)).as("opt"))
+        // coalesce: an empty input has no partition rows, so the sums are
+        // null — emit a zeroed record, not a null-poisoned json string.
+        coalesce(sum(col("c_rows")), lit(0L)).as("rc"),
+        coalesce(sum(col("c_surv")), lit(0L)).as("ss"),
+        coalesce(sum(col("c_surv").cast("double") / col("c_local").cast("double"))
+          / lit(partitions.toDouble), lit(0.0)).as("opt"))
       .select(format_string(
         "{\"query_id\": \"%s\", \"record_count\": %d, \"skyline_size\": %d, " +
           "\"optimality\": %.4f, \"ingestion_time_ms\": %d, " +
@@ -204,10 +206,12 @@ object SkylineOps {
     * one [[metricsJson]] record per barrier over the prefix `idCol ≤ b`,
     * query ids numbered from 1 like the producer's counter. */
   def triggerCadence(df: DataFrame, idCol: String, dims: Seq[String], pid: Column,
-                     partitions: Int, barriers: Seq[Long]): DataFrame =
+                     partitions: Int, barriers: Seq[Long]): DataFrame = {
+    require(barriers.nonEmpty, "triggerCadence needs at least one barrier")
     barriers.zipWithIndex.map { case (b, i) =>
       metricsJson(df.filter(col(idCol) <= b), dims, pid, partitions, (i + 1).toString)
     }.reduce(_ unionAll _)
+  }
 
   /** Scalar optimality per the reference's exact formula (D4): mean over the
     * FIXED partition count of (survivors_i / localSkylineSize_i); partitions

@@ -90,10 +90,14 @@ object PipelineQueries {
 
     // MinHash+LSH near-dup pairs: word-3-gram shingles, 12 bands × 3 rows,
     // verified true Jaccard ≥ 1/2 (integer cross-multiply). The oracle is
-    // the all-pairs check — sound because the corpus' planted near-dups sit
-    // at J ≥ 0.85, where the banding misses with probability
-    // (1-0.85³)^12 ≈ 1e-5; the 3-row bands keep false-positive candidates
-    // (shared-vocabulary pairs at J ≈ 0.05) near zero.
+    // the all-pairs check — a RECALL CONTRACT with the fixture, not an
+    // identity: the corpus' planted near-dups sit at J ≥ 0.85, where the
+    // banding misses with probability (1-0.85³)^12 ≈ 1e-5, and the 3-row
+    // bands keep false-positive candidates (shared-vocabulary pairs at
+    // J ≈ 0.05) near zero. A future fixture pair in the banding's fuzzy
+    // zone J ∈ [0.5, ~0.8) could legitimately be missed (e.g. ~7% at
+    // J = 0.6) — if the corpus ever grows such pairs, move this gate
+    // rows-only like dedup_simhash rather than paper over the recall curve.
     "dedup_minhash" -> ((s, d) =>
       graft.operators.DedupOps.minhashNearDups(docs(s, d), "doc_id", 3, 12, 3, 1, 2)),
 

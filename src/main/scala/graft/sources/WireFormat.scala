@@ -50,6 +50,20 @@ object WireFormat {
         lit(0L)).as("required_count"))
   }
 
+  /** Scala-side twin of [[parseTriggers]]' required_count rule — the ONE
+    * trigger-barrier parse used by both the column path and the streaming
+    * state machine: field 2 parses as a long, anything else (missing comma —
+    * D5 — or a malformed number) is 0. Divergence note: the reference's
+    * `Long.parseLong` crashes the whole job on a payload like "q1,abc"
+    * (`java/org.main/FlinkSkyline.java:300`); the regex-guarded 0 fallback
+    * extends D5's "no comma → 0" to "unparseable → 0" so one malformed
+    * control message cannot kill the stream. */
+  def requiredCountOf(payload: String): Long = {
+    val parts = payload.split(",")
+    if (parts.length > 1 && parts(1).matches("-?\\d+")) parts(1).toLong
+    else 0L
+  }
+
   // ------------------------------------------------------------- Kafka (thin)
   // The exact reference endpoints (FlinkSkyline.java:84-97, 177-183). These
   // compile against Spark's pluggable source API; running them requires the

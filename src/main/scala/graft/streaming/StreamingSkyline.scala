@@ -74,11 +74,12 @@ object StreamingSkyline {
     (0 until numPartitions).map(p =>
       SkyEvent(p, isTrigger = true, id = -1L, values = Array.empty, payload, nowMs))
 
-  /** Trigger barrier: payload "qid,N" → N; no comma → 0 (divergence D5). */
-  def requiredCount(payload: String): Long = {
-    val parts = payload.split(",")
-    if (parts.length > 1) parts(1).trim.toLong else 0L
-  }
+  /** Trigger barrier: payload "qid,N" → N; no comma or malformed → 0
+    * (divergence D5 + the no-crash extension). Delegates to
+    * [[graft.sources.WireFormat.requiredCountOf]] so the column-level and
+    * state-machine trigger parses can never disagree. */
+  def requiredCount(payload: String): Long =
+    graft.sources.WireFormat.requiredCountOf(payload)
 
   /** Local phase (`FlinkSkyline.java:214-445`). Points are folded into the
     * cumulative skyline in id order; then every parked or newly-arrived

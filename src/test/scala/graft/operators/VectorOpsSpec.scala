@@ -25,6 +25,19 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(math.abs(got(2) - 24.0 / 25.0) < 1e-12)
   }
 
+  test("graft_dot is null on mismatched array lengths, not a truncated sum") {
+    val spark = TestSpark.spark
+    graft.plans.GraftFunctions.register(spark)
+    import spark.implicits._
+    val df = Seq(
+      (Array(1.0, 2.0, 3.0), Array(1.0, 1.0, 1.0)), // equal dims -> 6.0
+      (Array(1.0, 2.0, 3.0), Array(1.0, 1.0))       // drifted dims -> null
+    ).toDF("a", "b")
+    val got = df.select(VectorOps.dot(col("a"), col("b"))).collect()
+    assert(got(0).getDouble(0) == 6.0)
+    assert(got(1).isNullAt(0), "length mismatch must surface as null")
+  }
+
   test("planeText parses to exactly planeValue") {
     (0 until 2048).foreach { j =>
       assert(VectorOps.planeText(j).toDouble == VectorOps.planeValue(j),
