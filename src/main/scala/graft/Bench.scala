@@ -14,13 +14,23 @@ object Bench {
     // happens to run first.
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // Queries that persist intermediates (dedup LSH) would otherwise leak
-      // cached partitions into every later measurement.
-      spark.catalog.clearCache()
-      name -> dt
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+        val dt = (System.nanoTime() - t0) / 1e9
+        // Queries that persist intermediates (dedup LSH) would otherwise leak
+        // cached partitions into every later measurement.
+        graft.operators.DedupOps.unpersistPipelines()
+        spark.catalog.clearCache()
+        dt
+      }
+      // Min-of-2: one contended run on a shared box can fake a multi-×
+      // regression on a single-shot wall clock. Sub-0.5 s queries skip the
+      // repeat — their noise floor is below any decision threshold and the
+      // repeats would double total wall-clock for nothing.
+      val first = once()
+      val best = if (first < 0.5) first else math.min(first, once())
+      name -> best
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

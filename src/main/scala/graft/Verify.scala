@@ -21,7 +21,8 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      spark.catalog.clearCache() // free query-persisted intermediates
+      graft.operators.DedupOps.unpersistPipelines() // free dedup caches
+      spark.catalog.clearCache() // plus anything else query-persisted
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

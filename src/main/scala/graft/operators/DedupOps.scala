@@ -18,6 +18,38 @@ import org.apache.spark.storage.StorageLevel
   */
 object DedupOps {
 
+  // Cache lifecycle: the near-dup operators persist linear-in-corpus
+  // intermediates (shingle rows, banded signatures) because their plans
+  // consume them 2-3 times. persist() is lazy, so a returned-DataFrame API
+  // cannot unpersist before the caller's action — instead every persisted
+  // intermediate is registered here, and callers release them AFTER
+  // consuming the result via [[unpersistPipelines]] (narrow — touches only
+  // this module's caches, unlike spark.catalog.clearCache()) or the scoped
+  // [[withDedupCaches]].
+  private val liveCaches = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]
+
+  private def cachePersist(df: DataFrame): DataFrame = {
+    val p = df.persist(StorageLevel.MEMORY_AND_DISK)
+    liveCaches.add(p)
+    p
+  }
+
+  /** Unpersist every intermediate this module has persisted so far. Call
+    * after consuming a near-dup result (count/collect/write); long-lived
+    * sessions that skip it accumulate cached shingle sets — disk blocks are
+    * not LRU-evicted. Plans built from the released DataFrames stay correct
+    * (they recompute). */
+  def unpersistPipelines(): Unit = {
+    var df = liveCaches.poll()
+    while (df != null) { df.unpersist(blocking = false); df = liveCaches.poll() }
+  }
+
+  /** Scoped cache lifecycle: `withDedupCaches { minhashNearDups(...).count() }`
+    * — `body` must consume its result eagerly; the module's caches are
+    * released on the way out, success or failure. */
+  def withDedupCaches[T](body: => T): T =
+    try body finally unpersistPipelines()
+
   /** Word `n`-gram shingles of `text` (duplicates retained — `array_distinct`
     * is quadratic per row, so set semantics are established downstream by an
     * explode + distinct, which Spark turns into a map-side-combined hash
@@ -31,11 +63,16 @@ object DedupOps {
       .otherwise(array().cast("array<string>"))
   }
 
-  /** Distinct shingle rows (id, s) — the set-semantics form shared by the
-    * signature and verification stages. */
-  def shingleRows(docs: DataFrame, idCol: String, n: Int): DataFrame =
+  /** Raw (duplicate-retaining) shingle rows (id, s) — enough for the MinHash
+    * signature path, whose per-band MIN is duplicate-invariant, so it skips
+    * [[shingleRows]]' distinct (an exchange + aggregate). */
+  def rawShingleRows(docs: DataFrame, idCol: String, n: Int): DataFrame =
     docs.select(col(idCol).as("id"), explode(shingles(col("text"), n)).as("s"))
-      .distinct()
+
+  /** Distinct shingle rows (id, s) — the set-semantics form the verification
+    * and exact-Jaccard stages need. */
+  def shingleRows(docs: DataFrame, idCol: String, n: Int): DataFrame =
+    rawShingleRows(docs, idCol, n).distinct()
 
   /** MinHash signature rows (id, band, hv) from distinct shingle rows
     * (id, s): `k` independent permutations approximated by seeding
@@ -81,10 +118,12 @@ object DedupOps {
       .distinct()
   }
 
-  /** [[candidatePairs]] from raw documents (convenience; no caching). */
+  /** [[candidatePairs]] from raw documents (convenience; no caching). Feeds
+    * the signatures from [[rawShingleRows]]: per-band MIN is duplicate-
+    * invariant, so the candidate-only path pays no distinct shuffle. */
   def minhashCandidates(docs: DataFrame, idCol: String, n: Int,
                         b: Int, r: Int): DataFrame =
-    candidatePairs(bandedSignatures(shingleRows(docs, idCol, n), b, r), r)
+    candidatePairs(bandedSignatures(rawShingleRows(docs, idCol, n), b, r), r)
 
   /** Verified near-duplicate pairs: LSH candidates whose true shingle-set
     * Jaccard is ≥ num/den (integer cross-multiplication — no float compare).
@@ -97,12 +136,13 @@ object DedupOps {
     * verification stage re-shingles a third time — 3 full build pipelines
     * for one query. Both cached sets are linear in the corpus (distinct
     * shingles; b rows of r longs per doc) and spill to disk if they outgrow
-    * executor memory.
+    * executor memory. Release them after consuming the result —
+    * [[unpersistPipelines]] / [[withDedupCaches]].
     */
   def minhashNearDups(docs: DataFrame, idCol: String, n: Int, b: Int, r: Int,
                       num: Int, den: Int): DataFrame = {
-    val sr  = shingleRows(docs, idCol, n).persist(StorageLevel.MEMORY_AND_DISK)
-    val sig = bandedSignatures(sr, b, r).persist(StorageLevel.MEMORY_AND_DISK)
+    val sr  = cachePersist(shingleRows(docs, idCol, n))
+    val sig = cachePersist(bandedSignatures(sr, b, r))
     val sh = sr.groupBy("id").agg(collect_list(col("s")).as("sh"))
     candidatePairs(sig, r)
       .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
@@ -113,26 +153,59 @@ object DedupOps {
       .filter(col("c_inter") * den >= col("c_union") * num)
   }
 
-  /** Exact n-gram-Jaccard near-duplicate pairs — no LSH, no probability:
-    * pairwise intersection sizes come from a self-join of the distinct
-    * (id, shingle) rows on the shingle (only pairs sharing ≥1 shingle ever
-    * materialize; a J ≥ num/den pair always does), union sizes from the
-    * per-doc set sizes. Exact complement to [[minhashNearDups]]: cost
-    * scales with shingle co-occurrence (hot shingles fan out — for
-    * heavy-tailed corpora prefer the MinHash path or drop top-frequency
-    * shingles first), not with the corpus cross-product.
+  /** Exact n-gram-Jaccard near-duplicate pairs — no LSH, no probability —
+    * via prefix filtering (the PPJoin-family principle; Chaudhuri et al.
+    * SSJoin / Xiao et al. PPJoin):
+    *
+    *   - J(a,b) ≥ t = num/den implies |a∩b| ≥ ⌈t·|a|⌉ (since |a∪b| ≥ |a|);
+    *   - two sets sharing ≥ α elements must collide within their first
+    *     |x|−α+1 elements under ANY shared total order of the element
+    *     universe.
+    *
+    * So each doc's shingles are ranked by global document frequency
+    * ascending (ties broken by the shingle string — a total order), and the
+    * candidate self-join runs on each doc's first |x|−⌈t·|x|⌉+1 RAREST
+    * shingles only. This is exact — every J ≥ t pair is a candidate — and
+    * kills the hot-shingle scale hazard: a stop-shingle ("of the") has
+    * near-maximal frequency, sorts to the back of every doc, and never
+    * enters a prefix, so the skewed join key that would fan out
+    * quadratically on a heavy-tailed corpus simply never reaches the join.
+    * Candidates are then verified against the full shingle sets (exact
+    * integer intersection counts).
     *
     * The distinct shingle rows are persisted (MEMORY_AND_DISK): they feed
-    * both sides of the self-join plus the per-doc size aggregate — three
-    * consumers of one linear-in-corpus build.
+    * the frequency pass, the prefix build, and both verification joins —
+    * four consumers of one linear-in-corpus build. Release after consuming
+    * the result — [[unpersistPipelines]] / [[withDedupCaches]].
     */
   def jaccardNearDups(docs: DataFrame, idCol: String, n: Int,
                       num: Int, den: Int): DataFrame = {
-    val sr = shingleRows(docs, idCol, n).persist(StorageLevel.MEMORY_AND_DISK)
-    val sizes = sr.groupBy("id").agg(count(lit(1)).as("sz"))
-    sr.as("a").join(sr.as("b"),
+    import org.apache.spark.sql.expressions.Window
+    val sr = cachePersist(shingleRows(docs, idCol, n))
+    // Global shingle document frequency — one row per distinct shingle, so
+    // joining it back fans out linearly even for the hottest shingle.
+    val dfreq = sr.groupBy("s").agg(count(lit(1)).as("df"))
+    val byDoc   = Window.partitionBy("id")
+    val ordered = Window.partitionBy("id").orderBy(col("df"), col("s"))
+    // prefixLen = |x| − ⌈t·|x|⌉ + 1 = ⌊|x|·(den−num)/den⌋ + 1 (integer
+    // identity; the double division is exact at per-doc set sizes).
+    val prefix = sr.join(dfreq, "s")
+      .select(col("id"), col("s"),
+        row_number().over(ordered).as("rnk"),
+        count(lit(1)).over(byDoc).as("sz"))
+      .filter(col("rnk") <= floor(col("sz") * (den - num) / den) + 1)
+      .select("id", "s")
+    val cand = prefix.as("a").join(prefix.as("b"),
         col("a.s") === col("b.s") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    // Verification: exact intersection counts over the FULL shingle sets,
+    // bounded by |candidates| × doc length, never corpus².
+    val sizes = sr.groupBy("id").agg(count(lit(1)).as("sz"))
+    cand
+      .join(sr.select(col("id").as("id_a"), col("s")), "id_a")
+      .join(sr.select(col("id").as("id_b"), col("s")), Seq("id_b", "s"))
+      .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("c_inter"))
       .join(sizes.select(col("id").as("id_a"), col("sz").as("na")), "id_a")
       .join(sizes.select(col("id").as("id_b"), col("sz").as("nb")), "id_b")

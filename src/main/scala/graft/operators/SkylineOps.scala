@@ -139,13 +139,26 @@ object SkylineOps {
   /** [[partitionSkylineStats]] plus `c_rows` (total rows per partition),
     * still two input scans: classification of every row happens in one left
     * join against the marked local frontiers. */
-  def partitionSkylineStatsFull(df: DataFrame, dims: Seq[String], pid: Column): DataFrame = {
-    val tagged = df.select((pid.as("pid") +: dims.map(col)): _*)
-    // Scan 1: per-partition local frontiers (map-side partial aggregation).
-    val localFront = tagged.groupBy("pid")
+  def partitionSkylineStatsFull(df: DataFrame, dims: Seq[String], pid: Column): DataFrame =
+    statsByKeys(df.select((pid.as("pid") +: dims.map(col)): _*), dims, Nil)
+      .select(col("pid").cast("int").as("pid"), col("c_rows"),
+        col("c_local"), col("c_surv"))
+
+  /** The stats pipeline behind [[partitionSkylineStatsFull]], generalized to
+    * extra leading group keys (used by [[triggerCadence]] to compute every
+    * barrier's stats in ONE pass): `tagged` carries `keys ++ "pid" ++ dims`;
+    * local frontiers group by (keys, pid), the global frontier by keys.
+    * Output: one row per (keys, pid) with c_rows / c_local / c_surv.
+    */
+  private def statsByKeys(tagged: DataFrame, dims: Seq[String],
+                          keys: Seq[String]): DataFrame = {
+    val pk = keys :+ "pid"
+    // Scan 1: per-(keys, partition) local frontiers (map-side partial
+    // aggregation).
+    val localFront = tagged.groupBy(pk.map(col): _*)
       .agg(skyline_agg(vec(dims)).as("sky"))
-      .select(col("pid") +: explode(col("sky")).as("p") +: Nil: _*)
-      .select(col("pid") +:
+      .select(pk.map(col) :+ explode(col("sky")).as("p"): _*)
+      .select(pk.map(col) ++
         dims.zipWithIndex.map { case (d, i) => col("p")(i).as(d) }: _*)
       .distinct()
     // Global frontier = skyline of the union of local frontiers (the MR
@@ -154,23 +167,23 @@ object SkylineOps {
     // partition's local skyline, so marking localFront rows that survive
     // globally classifies every local-skyline row in one pass.
     val globalFront = localFront
+      .groupBy(keys.map(col): _*)
       .agg(skyline_agg(vec(dims)).as("sky"))
-      .select(explode(col("sky")).as("p"))
-      .select(dims.zipWithIndex.map { case (d, i) => col("p")(i).as(d) }: _*)
+      .select(keys.map(col) :+ explode(col("sky")).as("p"): _*)
+      .select(keys.map(col) ++
+        dims.zipWithIndex.map { case (d, i) => col("p")(i).as(d) }: _*)
       .distinct()
       .withColumn("in_glob", lit(1))
     val marked = localFront
-      .join(globalFront, dims, "left")
+      .join(globalFront, keys ++ dims, "left")
       .withColumn("in_loc", lit(1))
-    // Scan 2: one left join (marked is distinct on (pid, dims) — no row
-    // multiplication) classifies every row and yields all three counts in a
-    // single aggregate.
-    tagged.join(marked, "pid" +: dims, "left")
-      .groupBy("pid")
+    // Scan 2: one left join (marked is distinct on (keys, pid, dims) — no
+    // row multiplication) classifies every row and yields all three counts
+    // in a single aggregate.
+    tagged.join(marked, pk ++ dims, "left")
+      .groupBy(pk.map(col): _*)
       .agg(count(lit(1)).as("c_rows"), count(col("in_loc")).as("c_local"),
         count(col("in_glob")).as("c_surv"))
-      .select(col("pid").cast("int").as("pid"), col("c_rows"),
-        col("c_local"), col("c_surv"))
   }
 
   /** The reference's emitted result record (byte-layout parity with the
@@ -182,6 +195,12 @@ object SkylineOps {
     * barrier/ingestion clock is a streaming concept); the driver-facing
     * query pins them to 0 for determinism.
     */
+  private val RecordFmt =
+    "{\"query_id\": \"%s\", \"record_count\": %d, \"skyline_size\": %d, " +
+      "\"optimality\": %.4f, \"ingestion_time_ms\": %d, " +
+      "\"local_processing_time_ms\": %d, \"global_processing_time_ms\": %d, " +
+      "\"total_processing_time_ms\": %d}"
+
   def metricsJson(df: DataFrame, dims: Seq[String], pid: Column, partitions: Int,
                   queryId: String, ingestMs: Long = 0L, localMs: Long = 0L,
                   globalMs: Long = 0L, totalMs: Long = 0L): DataFrame =
@@ -193,24 +212,50 @@ object SkylineOps {
         coalesce(sum(col("c_surv")), lit(0L)).as("ss"),
         coalesce(sum(col("c_surv").cast("double") / col("c_local").cast("double"))
           / lit(partitions.toDouble), lit(0.0)).as("opt"))
-      .select(format_string(
-        "{\"query_id\": \"%s\", \"record_count\": %d, \"skyline_size\": %d, " +
-          "\"optimality\": %.4f, \"ingestion_time_ms\": %d, " +
-          "\"local_processing_time_ms\": %d, \"global_processing_time_ms\": %d, " +
-          "\"total_processing_time_ms\": %d}",
+      .select(format_string(RecordFmt,
         lit(queryId), col("rc"), col("ss"), col("opt"),
         lit(ingestMs), lit(localMs), lit(globalMs), lit(totalMs)).as("json"))
 
   /** O23 parity: the producer's auto-trigger cadence — "query every N
     * records" (`python/unified_producer.py:25,180-187`) — emulated in batch:
-    * one [[metricsJson]] record per barrier over the prefix `idCol ≤ b`,
-    * query ids numbered from 1 like the producer's counter. */
+    * one [[metricsJson]]-format record per barrier over the prefix
+    * `idCol ≤ b`, query ids numbered from 1 like the producer's counter.
+    *
+    * One scan family, not one per barrier: each row is tagged with EVERY
+    * barrier prefix it belongs to (an explode whose ≤ B fanout is absorbed
+    * by the map-side partial aggregation), then the shared stats pipeline
+    * runs once grouped by (barrier, pid). At the reference's real cadence
+    * (a trigger every 1M records → hundreds of barriers over a long stream)
+    * this stays O(1) input scans where the naive per-barrier plan is O(B).
+    * Barriers whose prefix is empty still emit a zeroed record (the same
+    * empty-input rule as [[metricsJson]]).
+    */
   def triggerCadence(df: DataFrame, idCol: String, dims: Seq[String], pid: Column,
                      partitions: Int, barriers: Seq[Long]): DataFrame = {
     require(barriers.nonEmpty, "triggerCadence needs at least one barrier")
-    barriers.zipWithIndex.map { case (b, i) =>
-      metricsJson(df.filter(col(idCol) <= b), dims, pid, partitions, (i + 1).toString)
-    }.reduce(_ unionAll _)
+    val qids = filter(
+      array(barriers.zipWithIndex.map { case (b, i) =>
+        when(col(idCol) <= b, lit(i + 1)) }: _*),
+      q => q.isNotNull)
+    val tagged = df.select(
+      explode(qids).as("qid") +: pid.as("pid") +: dims.map(col): _*)
+    val perQid = statsByKeys(tagged, dims, Seq("qid"))
+      .groupBy("qid")
+      .agg(
+        sum(col("c_rows")).as("rc"), sum(col("c_surv")).as("ss"),
+        (sum(col("c_surv").cast("double") / col("c_local").cast("double"))
+          / lit(partitions.toDouble)).as("opt"))
+    // Left join against the full barrier list: a barrier with an empty
+    // prefix has no tagged rows at all, so it must be re-introduced here.
+    df.sparkSession.range(1, barriers.size + 1)
+      .select(col("id").cast("int").as("qid"))
+      .join(perQid, Seq("qid"), "left")
+      .orderBy("qid")
+      .select(format_string(RecordFmt,
+        col("qid").cast("string"),
+        coalesce(col("rc"), lit(0L)), coalesce(col("ss"), lit(0L)),
+        coalesce(col("opt"), lit(0.0)),
+        lit(0L), lit(0L), lit(0L), lit(0L)).as("json"))
   }
 
   /** Scalar optimality per the reference's exact formula (D4): mean over the

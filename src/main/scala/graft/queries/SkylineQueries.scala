@@ -83,6 +83,14 @@ object SkylineQueries {
       skylineRows(li(s, d).filter(col("l_orderkey") % 5 === 0),
         Seq("l_quantity", "l_extendedprice", "l_discount"))),
 
+    // Denser 4D coverage (2× sky4d's sample): 4D is the reference's
+    // frontier-blow-up regime (BASELINE.md 4D row, ~717 s at 500k records),
+    // so the gate density here is bounded by the quadratic DuckDB oracle,
+    // not by the Spark side.
+    "sky4d_dense" -> ((s, d) =>
+      skylineRows(li(s, d).filter(col("l_orderkey") % 20 === 0),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))),
+
     "sky_grouped" -> ((s, d) =>
       groupedSkylineRows(li(s, d).filter(col("l_orderkey") % 20 === 0),
         Seq("l_returnflag"), Seq("l_extendedprice", "l_discount"))),
@@ -279,6 +287,11 @@ object SkylineQueries {
       s"""WITH t AS (SELECT l_quantity, l_extendedprice, l_discount FROM lineitem WHERE l_orderkey % 5 = 0)
          |SELECT * FROM t a WHERE NOT EXISTS (SELECT 1 FROM t b
          |WHERE ${domSql(Seq("l_quantity", "l_extendedprice", "l_discount"))})""".stripMargin,
+
+    "sky4d_dense" ->
+      s"""WITH t AS (SELECT l_quantity, l_extendedprice, l_discount, l_tax FROM lineitem WHERE l_orderkey % 20 = 0)
+         |SELECT * FROM t a WHERE NOT EXISTS (SELECT 1 FROM t b
+         |WHERE ${domSql(Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))})""".stripMargin,
 
     "opt_stats_mrdim" -> (optStatsBase + optStatsSelect),
 

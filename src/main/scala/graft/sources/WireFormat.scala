@@ -29,7 +29,11 @@ object WireFormat {
     * values array<double>) with the reference's drop semantics. */
   def parsePoints(raw: DataFrame, valueCol: String = "value"): DataFrame = {
     val w = split(col(valueCol), ",")
-    val id = when(get(w, lit(0)).rlike(LongPat), get(w, lit(0)).cast("long"))
+    // try_cast, not cast: a digit string longer than Long.MaxValue passes the
+    // regex guard but overflows — under ANSI mode a plain cast would throw
+    // (the stream-killing crash class this parse exists to prevent);
+    // try_cast yields null → the row is dropped like any other malformed one.
+    val id = when(get(w, lit(0)).rlike(LongPat), get(w, lit(0)).try_cast("long"))
     val vals = transform(slice(w, lit(2), greatest(size(w) - 1, lit(0))),
       v => when(v.rlike(NumPat), v.cast("double")))
     raw
@@ -46,7 +50,9 @@ object WireFormat {
     raw.select(
       col(valueCol).as("payload"),
       coalesce(
-        when(get(w, lit(1)).rlike(LongPat), get(w, lit(1)).cast("long")),
+        // try_cast: overflow-length digit strings fall through to 0 instead
+        // of throwing under ANSI mode (same rule as requiredCountOf).
+        when(get(w, lit(1)).rlike(LongPat), get(w, lit(1)).try_cast("long")),
         lit(0L)).as("required_count"))
   }
 
@@ -57,10 +63,12 @@ object WireFormat {
     * `Long.parseLong` crashes the whole job on a payload like "q1,abc"
     * (`java/org.main/FlinkSkyline.java:300`); the regex-guarded 0 fallback
     * extends D5's "no comma → 0" to "unparseable → 0" so one malformed
-    * control message cannot kill the stream. */
+    * control message cannot kill the stream. Try, not a regex guard: a
+    * digit string longer than Long.MaxValue matches `-?\d+` yet overflows
+    * `toLong` — the Try catches that residual crash class too. */
   def requiredCountOf(payload: String): Long = {
     val parts = payload.split(",")
-    if (parts.length > 1 && parts(1).matches("-?\\d+")) parts(1).toLong
+    if (parts.length > 1) scala.util.Try(parts(1).toLong).getOrElse(0L)
     else 0L
   }
 

@@ -37,6 +37,45 @@ class DedupOpsSpec extends AnyFunSuite {
     assert(exact._3 == exact._4, "exact duplicate should have inter == union")
   }
 
+  test("jaccardNearDups (prefix-filtered) finds exactly the J >= 1/2 pairs") {
+    // Brute-force expected pairs over distinct 3-gram shingle sets.
+    val texts = Map(
+      1L -> (1 to 40).map(i => s"tok$i").mkString(" "),
+      2L -> ((1 to 38).map(i => s"tok$i") ++ Seq("zzz", "tok40")).mkString(" "),
+      3L -> (100 to 140).map(i => s"other$i").mkString(" "),
+      4L -> (1 to 40).map(i => s"tok$i").mkString(" "),
+      // A doc built almost entirely of one hot shingle pattern: exercises
+      // the hot-shingle path the prefix filter exists to tame.
+      5L -> Seq.fill(30)("of the").flatMap(_.split(" ")).mkString(" "),
+      6L -> (Seq.fill(28)("of the").flatMap(_.split(" ")) ++ Seq("x", "y")).mkString(" "))
+    def sh(t: String): Set[String] = {
+      val w = t.split(" ")
+      if (w.length < 3) Set.empty
+      else w.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val expected = (for {
+      a <- texts.keys; b <- texts.keys if a < b
+      sa = sh(texts(a)); sb = sh(texts(b))
+      inter = (sa & sb).size; union = (sa | sb).size
+      if union > 0 && inter * 2 >= union
+    } yield (a, b, inter.toLong, union.toLong)).toSet
+    val got = DedupOps.jaccardNearDups(
+        docsDF(texts.toSeq.sortBy(_._1): _*), "doc_id", 3, 1, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == expected, s"got $got\nexpected $expected")
+  }
+
+  test("dedup caches: withDedupCaches leaves no cached partitions behind") {
+    val spark = TestSpark.spark
+    val df = docsDF((1L, "a b c d e f"), (2L, "a b c d e g"), (3L, "p q r s t u"))
+    DedupOps.withDedupCaches {
+      DedupOps.minhashNearDups(df, "doc_id", 3, 12, 3, 1, 2).count()
+      DedupOps.jaccardNearDups(df, "doc_id", 3, 1, 2).count()
+    }
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "dedup intermediates still cached after withDedupCaches")
+  }
+
   test("simhash: identical texts collide; near texts land closer than far ones") {
     val spark = TestSpark.spark
     val base = (1 to 60).map(i => s"w$i").mkString(" ")
