@@ -182,35 +182,39 @@ object DedupOps {
                       num: Int, den: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val sr = cachePersist(shingleRows(docs, idCol, n))
-    // Global shingle document frequency — one row per distinct shingle, so
-    // joining it back fans out linearly even for the hottest shingle.
-    val dfreq = sr.groupBy("s").agg(count(lit(1)).as("df"))
-    val byDoc   = Window.partitionBy("id")
-    val ordered = Window.partitionBy("id").orderBy(col("df"), col("s"))
+    // Global shingle document frequency as a window count (one shuffle on
+    // the shingle — no aggregate-then-join-back round trip), then per-doc
+    // rarest-first ranks and set sizes in one more shuffle on the doc id
+    // (both doc windows share the partitioning).
+    val byShingle = Window.partitionBy("s")
+    val byDoc     = Window.partitionBy("id")
+    val ordered   = Window.partitionBy("id").orderBy(col("df"), col("s"))
     // prefixLen = |x| − ⌈t·|x|⌉ + 1 = ⌊|x|·(den−num)/den⌋ + 1 (integer
     // identity; the double division is exact at per-doc set sizes).
-    val prefix = sr.join(dfreq, "s")
-      .select(col("id"), col("s"),
-        row_number().over(ordered).as("rnk"),
-        count(lit(1)).over(byDoc).as("sz"))
-      .filter(col("rnk") <= floor(col("sz") * (den - num) / den) + 1)
-      .select("id", "s")
+    // Persisted: the candidate self-join would otherwise recompute the whole
+    // frequency+rank pipeline on BOTH sides.
+    val prefix = cachePersist(
+      sr.withColumn("df", count(lit(1)).over(byShingle))
+        .select(col("id"), col("s"),
+          row_number().over(ordered).as("rnk"),
+          count(lit(1)).over(byDoc).as("sz"))
+        .filter(col("rnk") <= floor(col("sz") * (den - num) / den) + 1)
+        .select("id", "s"))
     val cand = prefix.as("a").join(prefix.as("b"),
         col("a.s") === col("b.s") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
-    // Verification: exact intersection counts over the FULL shingle sets,
-    // bounded by |candidates| × doc length, never corpus².
-    val sizes = sr.groupBy("id").agg(count(lit(1)).as("sz"))
+    // Verification: exact set arithmetic over the FULL shingle sets — the
+    // same per-doc-array shape as the MinHash path (arrays bounded by doc
+    // length; the joins move one row per candidate side, never re-shuffling
+    // the corpus-sized shingle rows).
+    val sh = sr.groupBy("id").agg(collect_list(col("s")).as("sh"))
     cand
-      .join(sr.select(col("id").as("id_a"), col("s")), "id_a")
-      .join(sr.select(col("id").as("id_b"), col("s")), Seq("id_b", "s"))
-      .groupBy("id_a", "id_b")
-      .agg(count(lit(1)).as("c_inter"))
-      .join(sizes.select(col("id").as("id_a"), col("sz").as("na")), "id_a")
-      .join(sizes.select(col("id").as("id_b"), col("sz").as("nb")), "id_b")
-      .select(col("id_a"), col("id_b"), col("c_inter"),
-        (col("na") + col("nb") - col("c_inter")).as("c_union"))
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long").as("c_inter"),
+        size(array_union(col("sh_a"), col("sh_b"))).cast("long").as("c_union"))
       .filter(col("c_inter") * den >= col("c_union") * num)
   }
 
