@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forward the forked run's stdout/stderr verbatim instead of wrapping every
+// line in "[info] "/"[error] " — Bench's contract is ONE bare JSON line on
+// stdout, and the log prefix defeats line-oriented JSON parsing downstream.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

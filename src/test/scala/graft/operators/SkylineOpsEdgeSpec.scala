@@ -36,6 +36,28 @@ class SkylineOpsEdgeSpec extends AnyFunSuite {
     }
   }
 
+  test("triggerCadence: single-pass output matches per-barrier records, incl. empty prefix") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // ids 10..29: barrier 5 has an EMPTY prefix (must still emit a zeroed
+    // record via the left-join reintroduction), 15 a partial one, 100 all.
+    val df = (10L until 30L).map(i => (i, i.toDouble % 7, i.toDouble % 11))
+      .toDF("id", "x", "y")
+    val pid = SkylineOps.dimPartitionCol(array(col("x")), 7.0, 4)
+    val got = SkylineOps.triggerCadence(df, "id", Seq("x", "y"), pid, 4,
+      Seq(5L, 15L, 100L)).collect().map(_.getString(0))
+    assert(got.length == 3)
+    assert(got(0).contains("\"query_id\": \"1\"") &&
+      got(0).contains("\"record_count\": 0") &&
+      got(0).contains("\"optimality\": 0.0000"), s"empty prefix: ${got(0)}")
+    // Each barrier's record must equal the naive per-prefix metricsJson.
+    Seq((5L, 0), (15L, 1), (100L, 2)).foreach { case (b, i) =>
+      val expect = SkylineOps.metricsJson(df.filter(col("id") <= b),
+        Seq("x", "y"), pid, 4, (i + 1).toString).head().getString(0)
+      assert(got(i) == expect, s"barrier $b: ${got(i)} != $expect")
+    }
+  }
+
   test("trigger barrier parse: one rule for column and state-machine paths") {
     val spark = TestSpark.spark
     import spark.implicits._
