@@ -125,6 +125,14 @@ object PipelineQueries {
         embs(s, d), "vec_id", "embedding", col("vec_id") < 8, 5,
         LshTables, LshBits, EmbDims)),
 
+    // IVF (inverted-file) top-5: 16 deterministic corpus-vector centroids
+    // (vec_id 8..23), nearest-cell assignment, 3 probed cells per query,
+    // exact re-rank. The oracle replays the identical index in SQL.
+    "knn_ivf" -> ((s, d) =>
+      graft.operators.VectorOps.knnIvf(
+        embs(s, d), "vec_id", "embedding", col("vec_id") < 8, 5,
+        col("vec_id").between(IvfCentLo, IvfCentHi), IvfProbes)),
+
     // Embedding-cosine near-dup pairs among LSH-colliding candidates
     // (the oracle replays the identical hyperplanes, so the candidate set —
     // not just the verified set — is oracle-checked).
@@ -217,6 +225,9 @@ object PipelineQueries {
   private val EmbDims   = 64
   private val LshTables = 4
   private val LshBits   = 4
+  private val IvfCentLo = 8
+  private val IvfCentHi = 23
+  private val IvfProbes = 3
 
   /** DuckDB double-precision cosine with the same sequential fold and the
     * same float→double casts as [[graft.operators.VectorOps.cosine]]. */
@@ -360,6 +371,25 @@ object PipelineQueries {
          |  FROM cand c JOIN e a ON a.vec_id = c.qid JOIN e b ON b.vec_id = c.nid)
          |SELECT qid, nid, CAST(rnk AS BIGINT) AS rnk FROM (
          |  SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rnk FROM s)
+         |WHERE rnk <= 5""".stripMargin
+    },
+
+    "knn_ivf" -> {
+      val centCos = cosSql("e.v", "c.v")
+      val candCos = cosSql("p.qv", "a.v")
+      s"""WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+         |sc AS (SELECT e.vec_id AS id, e.v, c.vec_id AS cid, $centCos AS sim
+         |  FROM e, e c WHERE c.vec_id BETWEEN $IvfCentLo AND $IvfCentHi),
+         |cells AS (SELECT id, v, cid FROM (
+         |  SELECT id, v, cid, ROW_NUMBER() OVER (PARTITION BY id ORDER BY sim DESC, cid) AS rn FROM sc)
+         |  WHERE rn = 1),
+         |prob AS (SELECT id AS qid, v AS qv, cid FROM (
+         |  SELECT id, v, cid, ROW_NUMBER() OVER (PARTITION BY id ORDER BY sim DESC, cid) AS rn
+         |  FROM sc WHERE id < 8) WHERE rn <= $IvfProbes),
+         |cand AS (SELECT p.qid, a.id AS nid, $candCos AS sim
+         |  FROM prob p JOIN cells a USING (cid) WHERE a.id != p.qid)
+         |SELECT qid, nid, CAST(rnk AS BIGINT) AS rnk FROM (
+         |  SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rnk FROM cand)
          |WHERE rnk <= 5""".stripMargin
     },
 

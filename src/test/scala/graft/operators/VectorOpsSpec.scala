@@ -45,6 +45,31 @@ class VectorOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("knnIvf: probing all cells equals brute force; one probe stays in-cluster") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // Two tight clusters around the axes; centroids 10 (x-axis) and 20
+    // (y-axis); query 0 sits in the x cluster.
+    val df = Seq(
+      (0L,  Array(1.0f, 0.05f)),
+      (10L, Array(1.0f, 0.0f)),  (11L, Array(0.95f, 0.1f)),
+      (12L, Array(0.9f, 0.15f)),
+      (20L, Array(0.0f, 1.0f)),  (21L, Array(0.1f, 0.95f)),
+      (22L, Array(0.15f, 0.9f))
+    ).toDF("vec_id", "embedding")
+    val cent = col("vec_id") === 10 || col("vec_id") === 20
+    val all = VectorOps.knnIvf(df, "vec_id", "embedding", col("vec_id") === 0,
+        6, cent, probes = 2)
+      .orderBy("rnk").collect().map(_.getLong(1)).toSeq
+    val brute = VectorOps.knnBrute(df, "vec_id", "embedding", col("vec_id") === 0, 6)
+      .orderBy("rnk").collect().map(_.getLong(1)).toSeq
+    assert(all == brute, s"full-probe IVF $all != brute $brute")
+    val one = VectorOps.knnIvf(df, "vec_id", "embedding", col("vec_id") === 0,
+        6, cent, probes = 1)
+      .collect().map(_.getLong(1)).toSet
+    assert(one == Set(10L, 11L, 12L), s"one-probe IVF should stay in the x cell: $one")
+  }
+
   test("knnBrute ranks by cosine with id tiebreak") {
     val spark = TestSpark.spark
     import spark.implicits._
