@@ -218,6 +218,51 @@ object DedupOps {
       .filter(col("c_inter") * den >= col("c_union") * num)
   }
 
+  /** Near-duplicate cluster ids: connected components over a near-dup pair
+    * graph, each document labeled with the minimum doc id reachable from it
+    * (docs in no pair are their own cluster) — the step a dedup pipeline
+    * runs AFTER pair detection, so "keep one per cluster" is
+    * `filter(doc_id === cluster)`.
+    *
+    * Min-label propagation to fixpoint: labels live only on the pair-graph
+    * nodes (near-dup pairs are a vanishing fraction of a 100 TB corpus, so
+    * per-iteration joins touch the pair graph, never the corpus), the edge
+    * list is persisted once, and each iteration joins labels to edges and
+    * takes the neighborhood minimum. Iterations ≤ graph diameter — dup
+    * clusters are shallow (stars/chains), so this converges in a handful of
+    * rounds; the driver-side loop carries only a change counter, never
+    * data. The corpus joins in exactly once, at the end, to label
+    * singletons. Caches are registered for [[unpersistPipelines]].
+    */
+  def nearDupClusters(docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val fwd = pairs.select(col("id_a").cast("long").as("a"),
+      col("id_b").cast("long").as("b"))
+    val edges = cachePersist(fwd.unionAll(
+      fwd.select(col("b").as("a"), col("a").as("b"))))
+    var labels = cachePersist(
+      edges.select(col("a").as("id")).distinct().withColumn("lbl", col("id")))
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < 50) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("b"), col("lbl").as("nlbl")), "b")
+        .groupBy("a").agg(min(col("nlbl")).as("nmin"))
+      val next = cachePersist(
+        labels.join(nbrMin.select(col("a").as("id"), col("nmin")), Seq("id"), "left")
+          .select(col("id"),
+            least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl")))
+      changed = next
+        .join(labels.select(col("id"), col("lbl").as("old")), "id")
+        .filter(col("lbl") =!= col("old")).count()
+      labels.unpersist(blocking = false)
+      labels = next
+      iter += 1
+    }
+    docs.select(col(idCol).as("doc_id"))
+      .join(labels.select(col("id").as("doc_id"), col("lbl")), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("cluster"))
+  }
+
   /** 32-bit SimHash over whitespace tokens: bit p is set iff the sum over
     * tokens of ±1 (sign of bit p of the token's xxhash64) is ≥ 0. Documents
     * differing in a few tokens land at small Hamming distance. (No DuckDB

@@ -106,6 +106,17 @@ object PipelineQueries {
     "dedup_jaccard" -> ((s, d) =>
       graft.operators.DedupOps.jaccardNearDups(docs(s, d), "doc_id", 3, 1, 2)),
 
+    // Near-dup cluster collapse: connected components over the verified
+    // MinHash pair graph, every doc labeled with its cluster's minimum doc
+    // id ("keep one per cluster" = doc_id == cluster). The pair set is the
+    // oracle-green dedup_minhash set, so the oracle replays the same graph
+    // with a recursive CTE.
+    "dedup_clusters" -> ((s, d) => {
+      val dd = docs(s, d)
+      graft.operators.DedupOps.nearDupClusters(dd, "doc_id",
+        graft.operators.DedupOps.minhashNearDups(dd, "doc_id", 3, 12, 3, 1, 2))
+    }),
+
     // SimHash signatures (xxhash64-based — engine-specific, rows-only gate).
     "dedup_simhash" -> ((s, d) =>
       docs(s, d).select(col("doc_id"),
@@ -426,6 +437,23 @@ object PipelineQueries {
         |  CAST(len(list_distinct(list_concat(a.s, b.s))) AS BIGINT) AS c_union
         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         |WHERE len(list_intersect(a.s, b.s)) * 2 >= len(list_distinct(list_concat(a.s, b.s)))""".stripMargin,
+
+    "dedup_clusters" ->
+      """WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT doc_id,
+        |  list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)]) AS s
+        |  FROM toks WHERE len(w) >= 3),
+        |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.s, b.s)) * 2 >= len(list_distinct(list_concat(a.s, b.s)))),
+        |edges AS (SELECT id_a AS a, id_b AS b FROM pairs UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT re.id, e.b FROM reach re JOIN edges e ON e.a = re.r),
+        |lbl AS (SELECT id, MIN(r) AS cluster FROM reach GROUP BY id)
+        |SELECT d.doc_id, CAST(COALESCE(l.cluster, d.doc_id) AS BIGINT) AS cluster
+        |FROM documents d LEFT JOIN lbl l ON d.doc_id = l.id""".stripMargin,
 
     "dedup_minhash" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

@@ -65,6 +65,17 @@ class DedupOpsSpec extends AnyFunSuite {
     assert(got == expected, s"got $got\nexpected $expected")
   }
 
+  test("nearDupClusters: min label propagates across chains; singletons keep their id") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // Pair graph: 1-5, 5-3 (chain -> cluster 1), 7-8 (cluster 7); 2 isolated.
+    val docs = Seq(1L, 2L, 3L, 5L, 7L, 8L).toDF("doc_id")
+    val pairs = Seq((1L, 5L), (3L, 5L), (7L, 8L)).toDF("id_a", "id_b")
+    val got = DedupOps.nearDupClusters(docs, "doc_id", pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 2L, 3L -> 1L, 5L -> 1L, 7L -> 7L, 8L -> 7L))
+  }
+
   test("dedup caches: withDedupCaches leaves no cached partitions behind") {
     val spark = TestSpark.spark
     val df = docsDF((1L, "a b c d e f"), (2L, "a b c d e g"), (3L, "p q r s t u"))
