@@ -1,12 +1,14 @@
 package graft.operators
 
 import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
 
 import org.apache.spark.sql.functions._
 
 import graft.TestSpark
+import graft.core.PropHelpers
 
-class DedupOpsSpec extends AnyFunSuite {
+class DedupOpsSpec extends AnyFunSuite with PropHelpers {
 
   private def docsDF(rows: (Long, String)*) = {
     val spark = TestSpark.spark
@@ -63,6 +65,30 @@ class DedupOpsSpec extends AnyFunSuite {
         docsDF(texts.toSeq.sortBy(_._1): _*), "doc_id", 3, 1, 2)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
     assert(got == expected, s"got $got\nexpected $expected")
+  }
+
+  test("property: prefix-filtered Jaccard equals brute force on tiny-vocab corpora") {
+    // A 6-word vocabulary forces extreme shingle sharing (every shingle is
+    // "hot"), hammering exactly the path the prefix filter prunes.
+    val docGen = Gen.listOfN(8, Gen.choose(3, 12).flatMap(len =>
+      Gen.listOfN(len, Gen.oneOf("a", "b", "c", "d", "e", "f")).map(_.mkString(" "))))
+    def sh(t: String): Set[String] = {
+      val w = t.split(" ")
+      if (w.length < 2) Set.empty else w.sliding(2).map(_.mkString(" ")).toSet
+    }
+    forAll(docGen, n = 12) { texts =>
+      val rows = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val expected = (for {
+        (ta, a) <- texts.zipWithIndex; (tb, b) <- texts.zipWithIndex if a < b
+        sa = sh(ta); sb = sh(tb)
+        inter = (sa & sb).size; union = (sa | sb).size
+        if union > 0 && inter * 3 >= union * 2
+      } yield (a.toLong, b.toLong, inter.toLong, union.toLong)).toSet
+      val got = DedupOps.jaccardNearDups(docsDF(rows: _*), "doc_id", 2, 2, 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(got == expected, s"docs=$texts\ngot $got\nexpected $expected")
+      DedupOps.unpersistPipelines()
+    }
   }
 
   test("nearDupClusters: min label propagates across chains; singletons keep their id") {
