@@ -112,4 +112,25 @@ object TextOps {
   def dedupExact(docs: DataFrame): DataFrame =
     docs.groupBy(normHashCol(col("text")).as("h"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("dup_cnt"))
+
+  /** Deterministic content-hash bucket in [0, 100): three leading md5 hex
+    * chars folded with engine-neutral ascii arithmetic (md5 hex text is
+    * identical everywhere; no base-conversion builtin needed on either
+    * side). Content-keyed, so re-runs, re-partitions, and re-shards never
+    * move a document between buckets. */
+  def hashBucketCol(text: Column): Column =
+    (ascii(substring(md5(text), 1, 1)) * 59 +
+      ascii(substring(md5(text), 2, 1)) * 17 +
+      ascii(substring(md5(text), 3, 1))) % 100
+
+  /** Deterministic train/val/test assignment by content-hash bucket — the
+    * split step of a training-data pipeline, stable under any re-sharding
+    * of a 100 TB corpus (a doc's split is a pure function of its text).
+    * Pure per-row expression; no shuffle, no RNG. */
+  def splitCol(text: Column, trainPct: Int, valPct: Int): Column = {
+    val b = hashBucketCol(text)
+    when(b < trainPct, lit("train"))
+      .when(b < trainPct + valPct, lit("val"))
+      .otherwise(lit("test"))
+  }
 }

@@ -151,6 +151,22 @@ object PipelineQueries {
       graft.operators.VectorOps.cosNearDups(
         embs(s, d), "vec_id", "embedding", LshTables, LshBits, EmbDims, 0.35)),
 
+    // Per-vector int8 quantization (scale = max|x|/127, floor(+0.5)
+    // rounding), gated through exact integer aggregates of the quantized
+    // array plus the double scale.
+    "emb_quant" -> ((s, d) =>
+      graft.operators.VectorOps.quantizeInt8(embs(s, d), "vec_id", "embedding")
+        .select(col("id").as("vec_id"), col("scale"),
+          aggregate(col("q"), lit(0L), (a, x) => a + x).as("q_sum"),
+          array_min(col("q")).as("q_min"), array_max(col("q")).as("q_max"))),
+
+    // Deterministic content-hash train/val/test split (80/10/10) — stable
+    // under any re-sharding; counted per (source, split).
+    "split_counts" -> ((s, d) =>
+      docs(s, d)
+        .groupBy(col("source"), TextOps.splitCol(col("text"), 80, 10).as("split"))
+        .agg(count(lit(1)).as("cnt"))),
+
     // -------------------------------------------------------------- events
     // Gap-based sessionization (30-min gap) — the classic event-stream
     // windowing op: lag over (user, time), count gap breaks. Exact integer
@@ -332,6 +348,25 @@ object PipelineQueries {
         |  CAST(SUM(vals[1]) AS BIGINT) AS sum_v0
         |FROM t WHERE n >= 2 AND id IS NOT NULL
         |  AND len(list_filter(vals, x -> x IS NULL)) = 0""".stripMargin,
+
+    "emb_quant" ->
+      """WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),
+        |s AS (SELECT vec_id, v, list_max([abs(x) for x in v]) / 127.0 AS scale FROM e),
+        |q AS (SELECT vec_id, scale,
+        |  CASE WHEN scale > 0 THEN [CAST(FLOOR(x / scale + 0.5) AS BIGINT) for x in v]
+        |       ELSE [CAST(0 AS BIGINT) for x in v] END AS q FROM s)
+        |SELECT vec_id, scale, CAST(list_sum(q) AS BIGINT) AS q_sum,
+        |  CAST(list_min(q) AS BIGINT) AS q_min, CAST(list_max(q) AS BIGINT) AS q_max
+        |FROM q""".stripMargin,
+
+    "split_counts" ->
+      """WITH b AS (SELECT source,
+        |  (ascii(substr(md5(text),1,1))*59 + ascii(substr(md5(text),2,1))*17
+        |   + ascii(substr(md5(text),3,1))) % 100 AS bkt
+        |  FROM documents)
+        |SELECT source,
+        |  CASE WHEN bkt < 80 THEN 'train' WHEN bkt < 90 THEN 'val' ELSE 'test' END AS split,
+        |  CAST(COUNT(*) AS BIGINT) AS cnt FROM b GROUP BY 1, 2""".stripMargin,
 
     "evt_sessions" ->
       s"""WITH t AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),

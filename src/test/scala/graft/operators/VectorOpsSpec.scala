@@ -45,6 +45,20 @@ class VectorOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("quantizeInt8: extremes hit ±127, zero vector quantizes to zeros with scale 0") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val df = Seq(
+      (0L, Array(2.0f, -2.0f, 1.0f, 0.0f)),
+      (1L, Array(0.0f, 0.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val got = VectorOps.quantizeInt8(df, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getSeq[Long](2))).toMap
+    assert(got(0L)._1 == 2.0 / 127.0)
+    assert(got(0L)._2 == Seq(127L, -127L, 64L, 0L)) // 1.0/scale = 63.5 -> floor(64.0)
+    assert(got(1L)._1 == 0.0 && got(1L)._2 == Seq(0L, 0L, 0L, 0L))
+  }
+
   test("knnIvf: probing all cells equals brute force; one probe stays in-cluster") {
     val spark = TestSpark.spark
     import spark.implicits._
