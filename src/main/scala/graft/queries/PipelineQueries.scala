@@ -151,6 +151,21 @@ object PipelineQueries {
       graft.operators.VectorOps.cosNearDups(
         embs(s, d), "vec_id", "embedding", LshTables, LshBits, EmbDims, 0.35)),
 
+    // Composed curation pipeline — the chain a real training-data run
+    // executes: keep each exact-dup cluster's canonical doc, gate on
+    // quality score >= 3, assign the content-hash split, count per
+    // (lang, split). One semi-join against the dedup keep-list (broadcast
+    // at these cardinalities, hash-bucketed at 100 TB), everything else
+    // per-row expressions.
+    "curate_counts" -> ((s, d) => {
+      val dd = docs(s, d)
+      val keep = TextOps.dedupExact(dd).select(col("keep_id").as("doc_id"))
+      dd.join(keep, Seq("doc_id"), "left_semi")
+        .filter(TextOps.qualityScoreCol(col("text")) >= 3)
+        .groupBy(col("lang"), TextOps.splitCol(col("text"), 80, 10).as("split"))
+        .agg(count(lit(1)).as("cnt"))
+    }),
+
     // Per-vector int8 quantization (scale = max|x|/127, floor(+0.5)
     // rounding), gated through exact integer aggregates of the quantized
     // array plus the double scale.
@@ -270,6 +285,18 @@ object PipelineQueries {
   private val langScores =
     TextOps.LangProfiles.map { case (l, ws) => s"${hitSql(ws)} AS s_$l" }.mkString(", ")
 
+  /** The quality-score formula (expects `w` tokens and `nc` char count in
+    * scope) — shared by the txt_quality and curate_counts oracles. */
+  private val scoreSql: String =
+    s"""(CASE WHEN nc >= 50 AND nc <= 2000 THEN 1 ELSE 0 END)
+       |  + (CASE WHEN len(w) >= 10 AND len(w) <= 500 THEN 1 ELSE 0 END)
+       |  + (CASE WHEN ${hitSql(TextOps.LangProfiles.head._2)} * 5 >= len(w) THEN 1 ELSE 0 END)
+       |  + (CASE WHEN nc - (len(w) - 1) >= len(w) * 3 AND nc - (len(w) - 1) <= len(w) * 8 THEN 1 ELSE 0 END)""".stripMargin
+
+  /** [[graft.operators.TextOps.hashBucketCol]] in DuckDB terms. */
+  private def bucketSql(t: String): String =
+    s"(ascii(substr(md5($t),1,1))*59 + ascii(substr(md5($t),2,1))*17 + ascii(substr(md5($t),3,1))) % 100"
+
   val oracles: Map[String, String] = Map(
     "txt_stats" ->
       """SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -287,13 +314,24 @@ object PipelineQueries {
     "txt_quality" ->
       s"""WITH t AS (SELECT text, string_split(text, ' ') AS w, len(text) AS nc FROM documents),
          |f AS (SELECT
-         |  (CASE WHEN nc >= 50 AND nc <= 2000 THEN 1 ELSE 0 END)
-         |  + (CASE WHEN len(w) >= 10 AND len(w) <= 500 THEN 1 ELSE 0 END)
-         |  + (CASE WHEN ${hitSql(TextOps.LangProfiles.head._2)} * 5 >= len(w) THEN 1 ELSE 0 END)
-         |  + (CASE WHEN nc - (len(w) - 1) >= len(w) * 3 AND nc - (len(w) - 1) <= len(w) * 8 THEN 1 ELSE 0 END)
+         |  $scoreSql
          |  AS score FROM t)
          |SELECT CAST(score AS BIGINT) AS score, CAST(COUNT(*) AS BIGINT) AS cnt
          |FROM f GROUP BY 1""".stripMargin,
+
+    "curate_counts" ->
+      s"""WITH k AS (SELECT MIN(doc_id) AS doc_id FROM documents
+         |  GROUP BY md5(regexp_replace(lower(trim(text)), ' +', ' ', 'g'))),
+         |t AS (SELECT d.lang, string_split(d.text, ' ') AS w, len(d.text) AS nc,
+         |  ${bucketSql("d.text")} AS bkt
+         |  FROM documents d JOIN k USING (doc_id)),
+         |f AS (SELECT lang, bkt,
+         |  $scoreSql
+         |  AS score FROM t)
+         |SELECT lang,
+         |  CASE WHEN bkt < 80 THEN 'train' WHEN bkt < 90 THEN 'val' ELSE 'test' END AS split,
+         |  CAST(COUNT(*) AS BIGINT) AS cnt
+         |FROM f WHERE score >= 3 GROUP BY 1, 2""".stripMargin,
 
     "tok_count" ->
       """SELECT lang,
@@ -360,13 +398,10 @@ object PipelineQueries {
         |FROM q""".stripMargin,
 
     "split_counts" ->
-      """WITH b AS (SELECT source,
-        |  (ascii(substr(md5(text),1,1))*59 + ascii(substr(md5(text),2,1))*17
-        |   + ascii(substr(md5(text),3,1))) % 100 AS bkt
-        |  FROM documents)
-        |SELECT source,
-        |  CASE WHEN bkt < 80 THEN 'train' WHEN bkt < 90 THEN 'val' ELSE 'test' END AS split,
-        |  CAST(COUNT(*) AS BIGINT) AS cnt FROM b GROUP BY 1, 2""".stripMargin,
+      s"""WITH b AS (SELECT source, ${bucketSql("text")} AS bkt FROM documents)
+         |SELECT source,
+         |  CASE WHEN bkt < 80 THEN 'train' WHEN bkt < 90 THEN 'val' ELSE 'test' END AS split,
+         |  CAST(COUNT(*) AS BIGINT) AS cnt FROM b GROUP BY 1, 2""".stripMargin,
 
     "evt_sessions" ->
       s"""WITH t AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
