@@ -235,27 +235,34 @@ object DedupOps {
     * singletons. Caches are registered for [[unpersistPipelines]].
     */
   def nearDupClusters(docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
-    val fwd = pairs.select(col("id_a").cast("long").as("a"),
-      col("id_b").cast("long").as("b"))
+    // Cache the directed pair list BEFORE mirroring it: both unionAll
+    // branches would otherwise each evaluate the full (expensive, uncached)
+    // pair-detection subtree.
+    val fwd = cachePersist(pairs.select(col("id_a").cast("long").as("a"),
+      col("id_b").cast("long").as("b")))
     val edges = cachePersist(fwd.unionAll(
       fwd.select(col("b").as("a"), col("a").as("b"))))
+    // Seed with the first propagation already applied: lbl₀ = min(id,
+    // neighbors) — one fewer fixpoint round than an identity start.
     var labels = cachePersist(
-      edges.select(col("a").as("id")).distinct().withColumn("lbl", col("id")))
+      edges.groupBy("a")
+        .agg(least(col("a"), min(col("b"))).as("lbl"))
+        .select(col("a").as("id"), col("lbl")))
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < 50) {
       val nbrMin = edges
         .join(labels.select(col("id").as("b"), col("lbl").as("nlbl")), "b")
         .groupBy("a").agg(min(col("nlbl")).as("nmin"))
+      // `old` rides along so the change check needs no extra join.
       val next = cachePersist(
         labels.join(nbrMin.select(col("a").as("id"), col("nmin")), Seq("id"), "left")
           .select(col("id"),
-            least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl")))
-      changed = next
-        .join(labels.select(col("id"), col("lbl").as("old")), "id")
-        .filter(col("lbl") =!= col("old")).count()
+            least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"),
+            col("lbl").as("old")))
+      changed = next.filter(col("lbl") =!= col("old")).count()
       labels.unpersist(blocking = false)
-      labels = next
+      labels = next.select(col("id"), col("lbl"))
       iter += 1
     }
     docs.select(col(idCol).as("doc_id"))
