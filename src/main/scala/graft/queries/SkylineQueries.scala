@@ -83,12 +83,12 @@ object SkylineQueries {
       skylineRows(li(s, d).filter(col("l_orderkey") % 5 === 0),
         Seq("l_quantity", "l_extendedprice", "l_discount"))),
 
-    // Denser 4D coverage (2× sky4d's sample): 4D is the reference's
+    // Denser 4D coverage (8× sky4d's sample): 4D is the reference's
     // frontier-blow-up regime (BASELINE.md 4D row, ~717 s at 500k records),
     // so the gate density here is bounded by the quadratic DuckDB oracle,
-    // not by the Spark side.
+    // not by the Spark side (~4 s at sf0.01 for the NOT-EXISTS check).
     "sky4d_dense" -> ((s, d) =>
-      skylineRows(li(s, d).filter(col("l_orderkey") % 20 === 0),
+      skylineRows(li(s, d).filter(col("l_orderkey") % 5 === 0),
         Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))),
 
     "sky_grouped" -> ((s, d) =>
@@ -289,7 +289,7 @@ object SkylineQueries {
          |WHERE ${domSql(Seq("l_quantity", "l_extendedprice", "l_discount"))})""".stripMargin,
 
     "sky4d_dense" ->
-      s"""WITH t AS (SELECT l_quantity, l_extendedprice, l_discount, l_tax FROM lineitem WHERE l_orderkey % 20 = 0)
+      s"""WITH t AS (SELECT l_quantity, l_extendedprice, l_discount, l_tax FROM lineitem WHERE l_orderkey % 5 = 0)
          |SELECT * FROM t a WHERE NOT EXISTS (SELECT 1 FROM t b
          |WHERE ${domSql(Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))})""".stripMargin,
 
