@@ -198,6 +198,17 @@ object PipelineQueries {
         .agg((sum(col("brk")) + lit(1)).as("n_sessions"), count(lit(1)).as("n_events"))
     }),
 
+    // Tumbling 1-hour event-time windows per event type — the SAME code the
+    // streaming path runs (withWatermark is a no-op in batch), gated here
+    // against DuckDB's time_bucket. Output keyed by epoch-micros window
+    // start (no cross-engine timestamp encoding in the compare).
+    "evt_windows" -> ((s, d) =>
+      graft.streaming.EventWindows.windowedKeyCounts(
+          events(s, d).select(col("event_type"),
+            timestamp_micros(expr("ts div 1000")).as("ts")),
+          "ts", "event_type", "1 hour", "10 minutes")
+        .select(unix_micros(col("w_start")).as("w_us"), col("event_type"), col("cnt"))),
+
     // Per-event-type top-3 users by event count (rank window, deterministic
     // (count desc, user_id) tiebreak).
     "evt_topk" -> ((s, d) => {
@@ -411,6 +422,11 @@ object PipelineQueries {
          |SELECT user_id, CAST(SUM(brk) + 1 AS BIGINT) AS n_sessions,
          |CAST(COUNT(*) AS BIGINT) AS n_events
          |FROM b GROUP BY user_id""".stripMargin,
+
+    "evt_windows" ->
+      """SELECT epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS w_us,
+        |  event_type, CAST(COUNT(*) AS BIGINT) AS cnt
+        |FROM events GROUP BY 1, 2""".stripMargin,
 
     "evt_topk" ->
       """WITH c AS (SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS cnt

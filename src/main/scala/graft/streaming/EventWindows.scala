@@ -1,0 +1,35 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Event-time tumbling-window aggregation with a watermark — the standard
+  * Structured Streaming pattern (readStream → watermark → window → agg) for
+  * event-shaped data, complementing [[StreamingSkyline]]'s custom-state
+  * topology (which the reference's barrier protocol needs; reference:
+  * `java/org.main/FlinkSkyline.java:100-102` disables watermarks, so THIS
+  * operator is the beyond-parity streaming surface, not a parity one).
+  *
+  * The same plan runs in both modes: in a streaming query the watermark
+  * bounds state (windows older than max-event-time − `lateness` finalize
+  * and drop, later-than-watermark rows are discarded); over a batch
+  * DataFrame `withWatermark` is a no-op and the result is the plain
+  * windowed aggregate, which is what lets the DuckDB oracle gate the exact
+  * same code the stream runs.
+  *
+  * Scale shape: partial aggregation per (window, key) map-side, one shuffle
+  * keyed on (window, key) — state size is bounded by live windows × keys,
+  * never the stream length.
+  */
+object EventWindows {
+
+  /** Counts per tumbling `windowLen` event-time window per `keyCol`.
+    * Output: (w_start timestamp, keyCol, cnt). */
+  def windowedKeyCounts(events: DataFrame, tsCol: String, keyCol: String,
+                        windowLen: String, lateness: String): DataFrame =
+    events
+      .withWatermark(tsCol, lateness)
+      .groupBy(window(col(tsCol), windowLen).as("w"), col(keyCol))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("w.start").as("w_start"), col(keyCol), col("cnt"))
+}

@@ -1,0 +1,42 @@
+package graft.streaming
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.TestSpark
+
+/** Streaming semantics of [[EventWindows.windowedKeyCounts]]: incremental
+  * window updates across micro-batches, and the watermark discarding a row
+  * that arrives after its window has passed the lateness bound. */
+class EventWindowsSpec extends AnyFunSuite {
+
+  private def ts(minOfDay: Int): java.sql.Timestamp =
+    new java.sql.Timestamp(minOfDay * 60000L) // minutes past epoch (UTC)
+
+  test("windowed counts update across batches; later-than-watermark rows drop") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[(java.sql.Timestamp, String)]
+    val counts = EventWindows.windowedKeyCounts(
+      stream.toDF.toDF("ts", "et"), "ts", "et", "10 minutes", "5 minutes")
+    val q = counts.writeStream.format("memory").queryName("evt_win")
+      .outputMode("update").start()
+    try {
+      stream.addData((ts(600), "a"), (ts(601), "a")) // window [600, 610)
+      q.processAllAvailable()
+      stream.addData((ts(630), "a"))                 // advances watermark to 625
+      q.processAllAvailable()
+      // 602 is now older than the watermark -> discarded; 631 still updates.
+      stream.addData((ts(602), "a"), (ts(631), "a"))
+      q.processAllAvailable()
+      val updates = spark.table("evt_win").collect()
+        .map(r => (r.getTimestamp(0).getTime / 60000L, r.getString(1), r.getLong(2)))
+      val w600max = updates.collect { case (600L, "a", c) => c }.max
+      val w630max = updates.collect { case (630L, "a", c) => c }.max
+      assert(w600max == 2L, s"late row must not reach the closed window: $updates")
+      assert(w630max == 2L, s"in-time row must keep updating its window: $updates")
+    } finally q.stop()
+  }
+}
