@@ -113,6 +113,19 @@ object TextOps {
     docs.groupBy(normHashCol(col("text")).as("h"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("dup_cnt"))
 
+  /** Per-document top-token statistics — the repetition signal curation
+    * uses to drop degenerate text (a doc whose most frequent token owns most
+    * of its length is boilerplate or generation collapse, not prose).
+    * Output: (doc_id, top_cnt, tok_cnt); repetition ratio = top_cnt/tok_cnt.
+    * Two map-side-combined aggregations: the shuffle carries (doc, token)
+    * partial counts then per-doc pairs — never raw token streams. Docs with
+    * no tokens are absent (ratio undefined). */
+  def topTokenStats(docs: DataFrame, idCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(max(col("c")).as("top_cnt"), sum(col("c")).as("tok_cnt"))
+
   /** Deterministic content-hash bucket in [0, 100): three leading md5 hex
     * chars folded with engine-neutral ascii arithmetic (md5 hex text is
     * identical everywhere; no base-conversion builtin needed on either

@@ -86,6 +86,13 @@ object PipelineQueries {
         .select(col("doc_id"),
           TextOps.fingerprintCol(col("text"), 5).as("fp"))),
 
+    // Repetition-decile histogram: per-doc top-token share bucketed to
+    // ⌊10·top/total⌋ (explicit floor on doubles — same value both engines).
+    "txt_repetition" -> ((s, d) =>
+      TextOps.topTokenStats(docs(s, d), "doc_id")
+        .select(floor(col("top_cnt") * lit(10.0) / col("tok_cnt")).as("decile"))
+        .groupBy("decile").agg(count(lit(1)).as("cnt"))),
+
     "dedup_exact" -> ((s, d) => TextOps.dedupExact(docs(s, d))),
 
     // MinHash+LSH near-dup pairs: word-3-gram shingles, 12 bands × 3 rows,
@@ -355,6 +362,14 @@ object PipelineQueries {
         |  list_min([md5(array_to_string(w[i:i+4], ' ')) for i in range(1, len(w) - 3)])
         |END AS fp
         |FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)""".stripMargin,
+
+    "txt_repetition" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |f AS (SELECT doc_id, tok, COUNT(*) AS c FROM t GROUP BY 1, 2),
+        |g AS (SELECT doc_id, MAX(c) AS top, SUM(c) AS n FROM f GROUP BY 1)
+        |SELECT CAST(FLOOR(top * 10.0 / n) AS BIGINT) AS decile,
+        |  CAST(COUNT(*) AS BIGINT) AS cnt
+        |FROM g GROUP BY 1""".stripMargin,
 
     "dedup_exact" ->
       """SELECT md5(regexp_replace(lower(trim(text)), ' +', ' ', 'g')) AS h,
