@@ -23,24 +23,29 @@ object WireFormat {
   // string→number cast of a malformed token throw; the guard reproduces the
   // reference's parse-failure→null→drop semantics instead.
   private val LongPat = "^-?\\d+$"
-  private val NumPat  = "^-?\\d+(\\.\\d*)?$"
+
+  // Whole-row guard, equivalent to the per-field rules (id is `-?\d+`,
+  // each of the ≥1 values is `-?\d+(\.\d*)?`) but evaluated as ONE regex
+  // pass per line instead of one per field — the parse is the hot loop of
+  // the ingest path, and the per-field variant paid ~4 regex evaluations
+  // per record.
+  private val RowPat = "^-?\\d+(,-?\\d+(\\.\\d*)?)+$"
 
   /** Parse the point wire format from a string column. Output: (id long,
     * values array<double>) with the reference's drop semantics. */
   def parsePoints(raw: DataFrame, valueCol: String = "value"): DataFrame = {
     val w = split(col(valueCol), ",")
-    // try_cast, not cast: a digit string longer than Long.MaxValue passes the
-    // regex guard but overflows — under ANSI mode a plain cast would throw
-    // (the stream-killing crash class this parse exists to prevent);
-    // try_cast yields null → the row is dropped like any other malformed one.
-    val id = when(get(w, lit(0)).rlike(LongPat), get(w, lit(0)).try_cast("long"))
-    val vals = transform(slice(w, lit(2), greatest(size(w) - 1, lit(0))),
-      v => when(v.rlike(NumPat), v.cast("double")))
     raw
-      .select(id.as("id"), vals.as("values"), size(w).as("n"))
-      .filter(col("n") >= 2 && col("id").isNotNull &&
-        !exists(col("values"), v => v.isNull))
-      .select(col("id"), col("values"))
+      .filter(col(valueCol).rlike(RowPat))
+      // try_cast, not cast: a digit string longer than Long.MaxValue passes
+      // the regex guard but overflows — under ANSI mode a plain cast would
+      // throw (the stream-killing crash class this parse exists to prevent);
+      // try_cast yields null → the row is dropped like any other malformed
+      // one. Values can only overflow to ±Infinity (double), never throw.
+      .select(get(w, lit(0)).try_cast("long").as("id"),
+        transform(slice(w, lit(2), size(w) - 1),
+          v => v.try_cast("double")).as("values"))
+      .filter(col("id").isNotNull)
   }
 
   /** Parse the trigger wire format: payload plus its barrier
