@@ -265,6 +265,10 @@ object DedupOps {
       labels = next.select(col("id"), col("lbl"))
       iter += 1
     }
+    // A silent non-converged result would mislabel clusters; 50 rounds
+    // covers any realistic dup-graph diameter, so running out means the
+    // input is pathological — fail loudly, don't return wrong labels.
+    require(changed == 0, s"nearDupClusters did not converge in $iter rounds")
     docs.select(col(idCol).as("doc_id"))
       .join(labels.select(col("id").as("doc_id"), col("lbl")), Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("cluster"))

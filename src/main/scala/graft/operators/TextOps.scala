@@ -141,6 +141,8 @@ object TextOps {
     * of a 100 TB corpus (a doc's split is a pure function of its text).
     * Pure per-row expression; no shuffle, no RNG. */
   def splitCol(text: Column, trainPct: Int, valPct: Int): Column = {
+    require(trainPct >= 0 && valPct >= 0 && trainPct + valPct <= 100,
+      s"split percentages out of range: train=$trainPct val=$valPct")
     val b = hashBucketCol(text)
     when(b < trainPct, lit("train"))
       .when(b < trainPct + valPct, lit("val"))
