@@ -141,6 +141,8 @@ object DedupOps {
     */
   def minhashNearDups(docs: DataFrame, idCol: String, n: Int, b: Int, r: Int,
                       num: Int, den: Int): DataFrame = {
+    require(num > 0 && den > 0 && num <= den,
+      s"Jaccard threshold must be in (0, 1]: $num/$den")
     val sr  = cachePersist(shingleRows(docs, idCol, n))
     val sig = cachePersist(bandedSignatures(sr, b, r))
     val sh = sr.groupBy("id").agg(collect_list(col("s")).as("sh"))
@@ -180,6 +182,8 @@ object DedupOps {
     */
   def jaccardNearDups(docs: DataFrame, idCol: String, n: Int,
                       num: Int, den: Int): DataFrame = {
+    require(num > 0 && den > 0 && num <= den,
+      s"Jaccard threshold must be in (0, 1]: $num/$den")
     import org.apache.spark.sql.expressions.Window
     val sr = cachePersist(shingleRows(docs, idCol, n))
     // Global shingle document frequency as a window count (one shuffle on
