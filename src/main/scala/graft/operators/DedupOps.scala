@@ -186,19 +186,22 @@ object DedupOps {
       s"Jaccard threshold must be in (0, 1]: $num/$den")
     import org.apache.spark.sql.expressions.Window
     val sr = cachePersist(shingleRows(docs, idCol, n))
-    // Global shingle document frequency as a window count (one shuffle on
-    // the shingle — no aggregate-then-join-back round trip), then per-doc
-    // rarest-first ranks and set sizes in one more shuffle on the doc id
-    // (both doc windows share the partitioning).
-    val byShingle = Window.partitionBy("s")
-    val byDoc     = Window.partitionBy("id")
-    val ordered   = Window.partitionBy("id").orderBy(col("df"), col("s"))
+    // Global shingle document frequency via groupBy + join-back, NOT a
+    // window over partitionBy(s): a hot shingle would concentrate its whole
+    // (possibly corpus-sized) partition in ONE window task — the exact
+    // straggler this operator exists to avoid. The aggregate partial-combines
+    // map-side, and the join back fans out 1:1 (one dfreq row per shingle)
+    // with AQE's skew-join splitting available for the hot keys. The per-doc
+    // windows are bounded by document length — safe.
+    val dfreq = sr.groupBy("s").agg(count(lit(1)).as("df"))
+    val byDoc   = Window.partitionBy("id")
+    val ordered = Window.partitionBy("id").orderBy(col("df"), col("s"))
     // prefixLen = |x| − ⌈t·|x|⌉ + 1 = ⌊|x|·(den−num)/den⌋ + 1 (integer
     // identity; the double division is exact at per-doc set sizes).
     // Persisted: the candidate self-join would otherwise recompute the whole
     // frequency+rank pipeline on BOTH sides.
     val prefix = cachePersist(
-      sr.withColumn("df", count(lit(1)).over(byShingle))
+      sr.join(dfreq, "s")
         .select(col("id"), col("s"),
           row_number().over(ordered).as("rnk"),
           count(lit(1)).over(byDoc).as("sz"))
