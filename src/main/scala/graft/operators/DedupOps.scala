@@ -169,9 +169,10 @@ object DedupOps {
     * candidate self-join runs on each doc's first |x|−⌈t·|x|⌉+1 RAREST
     * shingles only. This is exact — every J ≥ t pair is a candidate — and
     * kills the hot-shingle scale hazard: a stop-shingle ("of the") has
-    * near-maximal frequency, sorts to the back of every doc, and never
-    * enters a prefix, so the skewed join key that would fan out
-    * quadratically on a heavy-tailed corpus simply never reaches the join.
+    * near-maximal frequency and sorts to the back of every doc, so it only
+    * enters a prefix when a document has almost nothing rarer (i.e. is
+    * boilerplate whose near-dups are real) — the skewed join key that would
+    * fan out quadratically on a heavy-tailed corpus all but vanishes.
     * Candidates are then verified against the full shingle sets (exact
     * integer intersection counts).
     *
