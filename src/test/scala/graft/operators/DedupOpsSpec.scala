@@ -102,6 +102,30 @@ class DedupOpsSpec extends AnyFunSuite with PropHelpers {
     assert(got == Map(1L -> 1L, 2L -> 2L, 3L -> 1L, 5L -> 1L, 7L -> 7L, 8L -> 7L))
   }
 
+  test("property: nearDupClusters equals union-find on random pair graphs") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val edgeGen = Gen.listOfN(10,
+      Gen.zip(Gen.choose(0L, 11L), Gen.choose(0L, 11L)).suchThat(e => e._1 != e._2))
+    forAll(edgeGen, n = 8) { edges =>
+      val pairs = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+      // Reference: plain union-find over the same nodes.
+      val parent = scala.collection.mutable.Map((0L to 11L).map(i => i -> i): _*)
+      def find(x: Long): Long = if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = (0L to 11L).map(i => i -> find(i)).toMap
+      val docs = (0L to 11L).toDF("doc_id")
+      val got = DedupOps.nearDupClusters(docs, "doc_id",
+          pairs.toDF("id_a", "id_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      DedupOps.unpersistPipelines()
+      assert(got == expected, s"edges=$pairs\ngot $got\nexpected $expected")
+    }
+  }
+
   test("dedup caches: withDedupCaches leaves no cached partitions behind") {
     val spark = TestSpark.spark
     val df = docsDF((1L, "a b c d e f"), (2L, "a b c d e g"), (3L, "p q r s t u"))
