@@ -282,21 +282,61 @@ object DedupOps {
       .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("cluster"))
   }
 
-  /** 32-bit SimHash over whitespace tokens: bit p is set iff the sum over
-    * tokens of ±1 (sign of bit p of the token's xxhash64) is ≥ 0. Documents
-    * differing in a few tokens land at small Hamming distance. (No DuckDB
-    * oracle — xxhash64 is engine-specific — so this surface gets the
-    * driver's rows-only check.)
-    */
-  def simhashCol(text: Column): Column = {
+  /** `bits`-wide SimHash over whitespace tokens: bit p is set iff the sum
+    * over tokens of ±1 (sign of bit p of the token's xxhash64) is ≥ 0.
+    * Documents differing in a few tokens land at small Hamming distance.
+    * Unrolled at plan-build time (shift amounts must be Scala Ints); the
+    * repeated `hashes` subtree is shared by codegen subexpression
+    * elimination. */
+  private def simhashBits(text: Column, bits: Int): Column = {
     val hashes = transform(split(text, " "), t => xxhash64(t))
-    // Unrolled at plan-build time (shift amounts must be Scala Ints); the
-    // repeated `hashes` subtree is shared by codegen subexpression
-    // elimination.
-    (0 until 32).map { p =>
+    (0 until bits).map { p =>
       when(aggregate(hashes, lit(0),
           (acc, h) => acc + when(shiftright(h, p).bitwiseAND(1) === 1, 1).otherwise(-1))
         >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
+  }
+
+  /** 32-bit SimHash signature (the reference-parity-shaped surface; no
+    * DuckDB oracle — xxhash64 is engine-specific — so this gets the
+    * driver's rows-only check). */
+  def simhashCol(text: Column): Column = simhashBits(text, 32)
+
+  /** 64-bit SimHash — the width the pair search wants: with 4 16-bit
+    * blocks, unrelated documents collide on a block with probability
+    * ≈ 4·2⁻¹⁶, keeping candidate generation sub-quadratic at corpus scale
+    * (32-bit signatures would collide ~1.6% of the time). */
+  def simhash64Col(text: Column): Column = simhashBits(text, 64)
+
+  /** SimHash near-duplicate pairs via block-partitioned Hamming search:
+    * split the 64-bit signature into `maxDist + 1` equal blocks — by
+    * pigeonhole, two signatures within Hamming distance `maxDist` agree
+    * EXACTLY on at least one block — so candidates come from an equi-join
+    * on (block index, block value), then the true distance is one
+    * `bit_count(xor)`. The same bucketed-candidates shape as the MinHash
+    * band join: work is bounded by block-bucket occupancy, never corpus².
+    * Output: (id_a, id_b, dist ≤ maxDist). 64 must divide into
+    * `maxDist + 1` blocks of equal width.
+    */
+  def simhashNearDups(docs: DataFrame, idCol: String, maxDist: Int = 3): DataFrame = {
+    require(maxDist >= 0 && 64 % (maxDist + 1) == 0,
+      s"maxDist + 1 must divide 64: $maxDist")
+    val blocks = maxDist + 1
+    val width = 64 / blocks
+    val mask = if (width == 64) -1L else (1L << width) - 1
+    val sig = cachePersist(
+      docs.select(col(idCol).as("id"), simhash64Col(col("text")).as("h")))
+    val exploded = sig.select(col("id"), col("h"),
+      explode(array((0 until blocks).map(i =>
+        struct(lit(i).as("blk"),
+          shiftrightunsigned(col("h"), i * width).bitwiseAND(mask).as("v"))): _*)).as("b"))
+      .select(col("id"), col("h"), col("b.blk").as("blk"), col("b.v").as("v"))
+    exploded.as("a").join(exploded.as("b"),
+        col("a.blk") === col("b.blk") && col("a.v") === col("b.v") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        bit_count(col("a.h").bitwiseXOR(col("b.h"))).cast("long").as("dist"))
+      .distinct()
+      .filter(col("dist") <= maxDist)
   }
 }

@@ -129,6 +129,12 @@ object PipelineQueries {
       docs(s, d).select(col("doc_id"),
         graft.operators.DedupOps.simhashCol(col("text")).as("simhash"))),
 
+    // SimHash near-dup pairs: block-partitioned Hamming ≤ 3 search over
+    // 64-bit signatures (rows-only gate — same engine-specific hashing as
+    // dedup_simhash; the pair semantics are spec-tested instead).
+    "dedup_simhash_pairs" -> ((s, d) =>
+      graft.operators.DedupOps.simhashNearDups(docs(s, d), "doc_id", 3)),
+
     // ---------------------------------------------------------- similarity
     // Exact cosine top-10 for 8 query vectors (broadcast baseline).
     "knn_brute" -> ((s, d) =>

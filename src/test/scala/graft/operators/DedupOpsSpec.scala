@@ -137,6 +137,22 @@ class DedupOpsSpec extends AnyFunSuite with PropHelpers {
       "dedup intermediates still cached after withDedupCaches")
   }
 
+  test("simhashNearDups pairs near-identical docs, not dissimilar ones; self-pairs absent") {
+    val base = (1 to 60).map(i => s"w$i").mkString(" ")
+    val near = ((1 to 59).map(i => s"w$i") :+ "zzz").mkString(" ")
+    val far  = (200 to 260).map(i => s"q$i").mkString(" ")
+    val df = docsDF((1L, base), (2L, near), (3L, far), (4L, base))
+    val got = DedupOps.withDedupCaches {
+      DedupOps.simhashNearDups(df, "doc_id", 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    }
+    val keys = got.map(p => (p._1, p._2))
+    assert(keys.contains((1L, 4L)), s"identical docs must pair at dist 0: $got")
+    assert(got.collect { case (1L, 4L, d) => d }.head == 0L)
+    assert(!keys.exists(p => p._1 == p._2))
+    assert(!keys.exists(p => p._2 == 3L || p._1 == 3L), s"dissimilar doc paired: $got")
+  }
+
   test("simhash: identical texts collide; near texts land closer than far ones") {
     val spark = TestSpark.spark
     val base = (1 to 60).map(i => s"w$i").mkString(" ")
