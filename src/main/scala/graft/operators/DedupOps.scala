@@ -302,11 +302,26 @@ object DedupOps {
     * driver's rows-only check). */
   def simhashCol(text: Column): Column = simhashBits(text, 32)
 
-  /** 64-bit SimHash — the width the pair search wants: with 4 16-bit
-    * blocks, unrelated documents collide on a block with probability
+  /** 64-bit SimHash rows (id, h) — the width the pair search wants: with 4
+    * 16-bit blocks, unrelated documents collide on a block with probability
     * ≈ 4·2⁻¹⁶, keeping candidate generation sub-quadratic at corpus scale
-    * (32-bit signatures would collide ~1.6% of the time). */
-  def simhash64Col(text: Column): Column = simhashBits(text, 64)
+    * (32-bit signatures would collide ~1.6% of the time).
+    *
+    * Built explode-then-aggregate, not as a per-row column: each token is
+    * hashed ONCE and the 64 per-bit ±1 sums partial-combine map-side —
+    * the [[simhashBits]] shape would fold the token array once per bit.
+    * Same signature (the ±1 sums are order-independent). */
+  def simhash64Rows(docs: DataFrame, idCol: String): DataFrame = {
+    val toks = docs
+      .select(col(idCol).as("id"), explode(split(col("text"), " ")).as("t"))
+      .select(col("id"), xxhash64(col("t")).as("th"))
+    val sums = (0 until 64).map(p =>
+      sum(when(shiftright(col("th"), p).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"s$p"))
+    toks.groupBy("id").agg(sums.head, sums.tail: _*)
+      .select(col("id"),
+        (0 until 64).map(p =>
+          when(col(s"s$p") >= 0, lit(1L << p)).otherwise(lit(0L))).reduce(_ + _).as("h"))
+  }
 
   /** SimHash near-duplicate pairs via block-partitioned Hamming search:
     * split the 64-bit signature into `maxDist + 1` equal blocks — by
@@ -324,8 +339,7 @@ object DedupOps {
     val blocks = maxDist + 1
     val width = 64 / blocks
     val mask = if (width == 64) -1L else (1L << width) - 1
-    val sig = cachePersist(
-      docs.select(col(idCol).as("id"), simhash64Col(col("text")).as("h")))
+    val sig = cachePersist(simhash64Rows(docs, idCol))
     val exploded = sig.select(col("id"), col("h"),
       explode(array((0 until blocks).map(i =>
         struct(lit(i).as("blk"),
