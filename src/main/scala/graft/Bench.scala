@@ -14,20 +14,29 @@ object Bench {
     // happens to run first.
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     // Optional comma-separated query filter for local iteration; the driver
-    // leaves it unset and measures everything.
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // leaves it unset and measures everything. Names are trimmed and empties
+    // dropped so "a, b" works and SPARK_GRAFT_ONLY="" means "no filter", not
+    // "measure nothing".
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty)
+    val errors = scala.collection.mutable.ListBuffer.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
+      // A query that crashes must not measure as FAST (an aborted job returns
+      // in milliseconds and would flatter the total): record a -1 sentinel
+      // and surface the name in an "errors" field instead.
       def once(): Double = {
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+        val ok = try { fn(spark, sfDir).count(); true }
+                 catch { case _: Throwable => errors += name; false }
         val dt = (System.nanoTime() - t0) / 1e9
         // Queries that persist intermediates (dedup LSH) would otherwise leak
         // cached partitions into every later measurement.
         graft.operators.DedupOps.unpersistPipelines()
         spark.catalog.clearCache()
-        dt
+        if (ok) dt else -1.0
       }
       // Min-of-2: one contended run on a shared box can fake a multi-×
       // regression on a single-shot wall clock. Sub-0.5 s queries skip the
@@ -39,8 +48,9 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val total = results.map(_._2).filter(_ >= 0).sum
+    val errs = errors.distinct.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","errors":$errs}"""
     // Emit BOTH ways: bare on stdout, and to a file — sbt prefixes stdout
     // with [info], which defeats line-oriented JSON parsing downstream.
     println(line)

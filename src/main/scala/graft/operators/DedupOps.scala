@@ -26,6 +26,12 @@ object DedupOps {
   // consuming the result via [[unpersistPipelines]] (narrow — touches only
   // this module's caches, unlike spark.catalog.clearCache()) or the scoped
   // [[withDedupCaches]].
+  //
+  // CONTRACT: the registry is process-global, so build-then-release cycles
+  // must not interleave — two CONCURRENT dedup queries would unpersist each
+  // other's in-flight intermediates (correct results, silent recomputation).
+  // The sequential Bench/Verify drivers satisfy this; concurrent callers
+  // should scope their own lifecycle instead of sharing this registry.
   private val liveCaches = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]
 
   private def cachePersist(df: DataFrame): DataFrame = {
@@ -232,22 +238,27 @@ object DedupOps {
     * runs AFTER pair detection, so "keep one per cluster" is
     * `filter(doc_id === cluster)`.
     *
-    * Min-label propagation to fixpoint: labels live only on the pair-graph
-    * nodes (near-dup pairs are a vanishing fraction of a 100 TB corpus, so
-    * per-iteration joins touch the pair graph, never the corpus), the edge
-    * list is persisted once, and each iteration joins labels to edges and
-    * takes the neighborhood minimum. Iterations ≤ graph diameter — dup
-    * clusters are shallow (stars/chains), so this converges in a handful of
-    * rounds; the driver-side loop carries only a change counter, never
-    * data. The corpus joins in exactly once, at the end, to label
-    * singletons. Caches are registered for [[unpersistPipelines]].
+    * Min-label propagation with pointer doubling to fixpoint: labels live
+    * only on the pair-graph nodes (near-dup pairs are a vanishing fraction
+    * of a 100 TB corpus, so per-iteration joins touch the pair graph, never
+    * the corpus), the edge list is persisted once, and each iteration takes
+    * the minimum over (own label, neighbors' labels, label-of-own-label).
+    * The last term is the pointer jump: label values are themselves node
+    * ids, so joining the label table to itself lets a label leap 2^k hops
+    * along a chain per round — convergence in O(log diameter) rounds instead
+    * of O(diameter), and each Spark round is a whole job, so round count IS
+    * the wall-clock of this operator. The driver-side loop carries only a
+    * change counter, never data. The corpus joins in exactly once, at the
+    * end, to label singletons. Caches are registered for
+    * [[unpersistPipelines]].
+    *
+    * Ids keep their native (orderable) type end-to-end — no silent cast.
     */
   def nearDupClusters(docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
     // Cache the directed pair list BEFORE mirroring it: both unionAll
     // branches would otherwise each evaluate the full (expensive, uncached)
     // pair-detection subtree.
-    val fwd = cachePersist(pairs.select(col("id_a").cast("long").as("a"),
-      col("id_b").cast("long").as("b")))
+    val fwd = cachePersist(pairs.select(col("id_a").as("a"), col("id_b").as("b")))
     val edges = cachePersist(fwd.unionAll(
       fwd.select(col("b").as("a"), col("a").as("b"))))
     // Seed with the first propagation already applied: lbl₀ = min(id,
@@ -262,11 +273,19 @@ object DedupOps {
       val nbrMin = edges
         .join(labels.select(col("id").as("b"), col("lbl").as("nlbl")), "b")
         .groupBy("a").agg(min(col("nlbl")).as("nmin"))
+      // Pointer jump: every label value is a node id present in `labels`
+      // (labels are minima over node ids of the same component), so lbl's
+      // own label is one self-join away; a component-min label maps to
+      // itself, which `least` ignores.
+      val jump = labels.select(col("id").as("lbl"), col("lbl").as("j2"))
       // `old` rides along so the change check needs no extra join.
       val next = cachePersist(
         labels.join(nbrMin.select(col("a").as("id"), col("nmin")), Seq("id"), "left")
+          .join(jump, Seq("lbl"), "left")
           .select(col("id"),
-            least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"),
+            least(col("lbl"),
+              coalesce(col("nmin"), col("lbl")),
+              coalesce(col("j2"), col("lbl"))).as("lbl"),
             col("lbl").as("old")))
       changed = next.filter(col("lbl") =!= col("old")).count()
       labels.unpersist(blocking = false)
@@ -274,8 +293,9 @@ object DedupOps {
       iter += 1
     }
     // A silent non-converged result would mislabel clusters; 50 rounds
-    // covers any realistic dup-graph diameter, so running out means the
-    // input is pathological — fail loudly, don't return wrong labels.
+    // covers any pathological dup-graph diameter under pointer doubling
+    // (2^50 hops), so running out means the input is broken — fail loudly,
+    // don't return wrong labels.
     require(changed == 0, s"nearDupClusters did not converge in $iter rounds")
     docs.select(col(idCol).as("doc_id"))
       .join(labels.select(col("id").as("doc_id"), col("lbl")), Seq("doc_id"), "left")
