@@ -322,19 +322,36 @@ object DedupOps {
     * driver's rows-only check). */
   def simhashCol(text: Column): Column = simhashBits(text, 32)
 
-  /** 64-bit SimHash rows (id, h) — the width the pair search wants: with 4
-    * 16-bit blocks, unrelated documents collide on a block with probability
-    * ≈ 4·2⁻¹⁶, keeping candidate generation sub-quadratic at corpus scale
-    * (32-bit signatures would collide ~1.6% of the time).
+  /** 64-bit token hash assembled from the first 16 hex chars of md5 —
+    * ENGINE-NEUTRAL: DuckDB (and any SQL engine with md5) can replay it
+    * per hex character, which is what flips the SimHash gates from
+    * rows-only to hash-green. The two 32-bit halves are parsed separately
+    * (`conv` of 8 hex chars fits a long with no ANSI overflow) and glued
+    * with shift/or — bitwise ops never overflow. xxhash64 stays the
+    * production default (one codegen'd call vs an md5 + two string parses
+    * per token). */
+  def md5TokenHash(t: Column): Column = {
+    val hx = md5(t)
+    val hi = conv(substring(hx, 1, 8), 16, 10).cast("long")
+    val lo = conv(substring(hx, 9, 8), 16, 10).cast("long")
+    shiftleft(hi, 32).bitwiseOR(lo)
+  }
+
+  /** 64-bit SimHash rows (id, h): bit p is set iff the ±1 sum over tokens
+    * of bit p of `tokenHash(token)` is ≥ 0. Null text hashes like the empty
+    * string (one empty token) so row coverage matches [[simhashCol]] —
+    * a null-text doc must still be *visible* to the pair search.
     *
     * Built explode-then-aggregate, not as a per-row column: each token is
     * hashed ONCE and the 64 per-bit ±1 sums partial-combine map-side —
     * the [[simhashBits]] shape would fold the token array once per bit.
     * Same signature (the ±1 sums are order-independent). */
-  def simhash64Rows(docs: DataFrame, idCol: String): DataFrame = {
+  def simhash64Rows(docs: DataFrame, idCol: String,
+                    tokenHash: Column => Column = xxhash64(_)): DataFrame = {
     val toks = docs
-      .select(col(idCol).as("id"), explode(split(col("text"), " ")).as("t"))
-      .select(col("id"), xxhash64(col("t")).as("th"))
+      .select(col(idCol).as("id"),
+        explode(split(coalesce(col("text"), lit("")), " ")).as("t"))
+      .select(col("id"), tokenHash(col("t")).as("th"))
     val sums = (0 until 64).map(p =>
       sum(when(shiftright(col("th"), p).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"s$p"))
     toks.groupBy("id").agg(sums.head, sums.tail: _*)
@@ -343,31 +360,55 @@ object DedupOps {
           when(col(s"s$p") >= 0, lit(1L << p)).otherwise(lit(0L))).reduce(_ + _).as("h"))
   }
 
-  /** SimHash near-duplicate pairs via block-partitioned Hamming search:
-    * split the 64-bit signature into `maxDist + 1` equal blocks — by
-    * pigeonhole, two signatures within Hamming distance `maxDist` agree
-    * EXACTLY on at least one block — so candidates come from an equi-join
-    * on (block index, block value), then the true distance is one
-    * `bit_count(xor)`. The same bucketed-candidates shape as the MinHash
-    * band join: work is bounded by block-bucket occupancy, never corpus².
-    * Output: (id_a, id_b, dist ≤ maxDist). 64 must divide into
-    * `maxDist + 1` blocks of equal width.
+  /** SimHash near-duplicate pairs via the block-combination Hamming search
+    * (Manku, Jain & Das Sarma, WWW'07 §3; reference intent: near-dup
+    * detection at corpus scale): split the 64-bit signature into `blocks`
+    * nearly-equal blocks with `blocks > maxDist` — by pigeonhole, two
+    * signatures within Hamming distance `maxDist` differ in at most
+    * `maxDist` blocks, so they agree EXACTLY on at least one combination of
+    * `blocks − maxDist` blocks. Candidates come from an equi-join on
+    * (combination id, that combination's concatenated block values), then
+    * the true distance is one `bit_count(xor)`. Exactness is unconditional;
+    * `blocks` only tunes the cost shape.
+    *
+    * KEY-ENTROPY ARGUMENT (why `blocks` defaults to 6, not the minimal
+    * maxDist+1 = 4): the join key carries the bits of `blocks − maxDist`
+    * blocks, i.e. ≥ ⌊64/blocks⌋·(blocks−maxDist) bits. At blocks = 4 that
+    * is one 16-bit block — random signatures collide with probability
+    * ≈ 4·2⁻¹⁶, which at N = 10⁹ documents is ~6·10¹³ candidate pairs from
+    * noise alone: quadratic blow-up with a small constant. At blocks = 6
+    * the key is 3 blocks ≈ 32 bits over C(6,3) = 20 combinations:
+    * ~20·2⁻³²·N²/2 ≈ 2·10⁹ candidates at the same N — linear-ish in the
+    * corpus and each verified by one xor. The trade is a 20-row (vs 4-row)
+    * explode per doc — linear, shuffle-friendly — for a ~10⁴× collapse in
+    * random collisions; raise `blocks` further as N grows.
+    *
+    * Output: (id_a, id_b, dist ≤ maxDist), exactly all such pairs.
     */
-  def simhashNearDups(docs: DataFrame, idCol: String, maxDist: Int = 3): DataFrame = {
-    require(maxDist >= 0 && 64 % (maxDist + 1) == 0,
-      s"maxDist + 1 must divide 64: $maxDist")
-    val blocks = maxDist + 1
-    val width = 64 / blocks
-    val mask = if (width == 64) -1L else (1L << width) - 1
-    val sig = cachePersist(simhash64Rows(docs, idCol))
+  def simhashNearDups(docs: DataFrame, idCol: String, maxDist: Int = 3,
+                      blocks: Int = 6,
+                      tokenHash: Column => Column = xxhash64(_)): DataFrame = {
+    require(maxDist >= 0 && blocks > maxDist && blocks <= 64,
+      s"need maxDist < blocks <= 64: maxDist=$maxDist blocks=$blocks")
+    // First (64 % blocks) blocks are one bit wider: widths differ by ≤ 1.
+    val base = 64 / blocks
+    val rem  = 64 % blocks
+    val widths  = Array.tabulate(blocks)(i => if (i < rem) base + 1 else base)
+    val offsets = widths.scanLeft(0)(_ + _)
+    def blockVal(i: Int): Column = {
+      val mask = if (widths(i) == 64) -1L else (1L << widths(i)) - 1
+      shiftrightunsigned(col("h"), offsets(i)).bitwiseAND(lit(mask))
+    }
+    val m = blocks - maxDist
+    val combos = (0 until blocks).combinations(m).toSeq
+    val sig = cachePersist(simhash64Rows(docs, idCol, tokenHash))
     val exploded = sig.select(col("id"), col("h"),
-      explode(array((0 until blocks).map(i =>
-        struct(lit(i).as("blk"),
-          shiftrightunsigned(col("h"), i * width).bitwiseAND(mask).as("v"))): _*)).as("b"))
-      .select(col("id"), col("h"), col("b.blk").as("blk"), col("b.v").as("v"))
+      explode(array(combos.zipWithIndex.map { case (bs, ci) =>
+        struct(lit(ci).as("c") +:
+          bs.zipWithIndex.map { case (bi, t) => blockVal(bi).as(s"v$t") }: _*)
+      }: _*)).as("k"))
     exploded.as("a").join(exploded.as("b"),
-        col("a.blk") === col("b.blk") && col("a.v") === col("b.v") &&
-          col("a.id") < col("b.id"))
+        col("a.k") === col("b.k") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         bit_count(col("a.h").bitwiseXOR(col("b.h"))).cast("long").as("dist"))
       .distinct()

@@ -124,16 +124,23 @@ object PipelineQueries {
         graft.operators.DedupOps.minhashNearDups(dd, "doc_id", 3, 12, 3, 1, 2))
     }),
 
-    // SimHash signatures (xxhash64-based — engine-specific, rows-only gate).
+    // 64-bit SimHash signatures over the md5-derived token hash — the
+    // engine-neutral hash makes the signature DuckDB-replayable, so this
+    // gate is hash-green (xxhash64 remains the production default hash;
+    // its signature semantics are spec-tested).
     "dedup_simhash" -> ((s, d) =>
-      docs(s, d).select(col("doc_id"),
-        graft.operators.DedupOps.simhashCol(col("text")).as("simhash"))),
+      graft.operators.DedupOps.simhash64Rows(docs(s, d), "doc_id",
+          graft.operators.DedupOps.md5TokenHash)
+        .select(col("id").as("doc_id"), col("h").as("simhash"))),
 
-    // SimHash near-dup pairs: block-partitioned Hamming ≤ 3 search over
-    // 64-bit signatures (rows-only gate — same engine-specific hashing as
-    // dedup_simhash; the pair semantics are spec-tested instead).
+    // SimHash near-dup pairs: Manku block-combination Hamming ≤ 3 search
+    // (6 blocks, join per 3-block combination — 32-bit candidate keys).
+    // The oracle brute-forces all pairs over the replayed signatures, so
+    // exactness of the pigeonhole search is hash-checked, not just
+    // spec-tested.
     "dedup_simhash_pairs" -> ((s, d) =>
-      graft.operators.DedupOps.simhashNearDups(docs(s, d), "doc_id", 3)),
+      graft.operators.DedupOps.simhashNearDups(docs(s, d), "doc_id", 3, 6,
+        graft.operators.DedupOps.md5TokenHash)),
 
     // ---------------------------------------------------------- similarity
     // Exact cosine top-10 for 8 query vectors (broadcast baseline).
@@ -320,6 +327,35 @@ object PipelineQueries {
   /** [[graft.operators.TextOps.hashBucketCol]] in DuckDB terms. */
   private def bucketSql(t: String): String =
     s"(ascii(substr(md5($t),1,1))*59 + ascii(substr(md5($t),2,1))*17 + ascii(substr(md5($t),3,1))) % 100"
+
+  /** Value of one (lowercase) md5 hex char in DuckDB. */
+  private def hexvalSql(c: String): String =
+    s"(ascii($c) - CASE WHEN ascii($c) >= 97 THEN 87 ELSE 48 END)"
+
+  /** Shared SimHash CTE prefix: per-doc 64-bit md5-token SimHash as
+    * `sig(doc_id, simhash)`, replaying [[graft.operators.DedupOps.md5TokenHash]]
+    * + [[graft.operators.DedupOps.simhash64Rows]] bit-for-bit. Bit p of a
+    * token's hash lives in hex char (63−p)/4+1 of its md5 (the first 16
+    * chars big-endian), extracted with integer div/mod — no 64-bit
+    * arithmetic that could trap DuckDB's overflow checks. The signature
+    * reassembles as a sum of 2^p weights (p = 63 spelled -2^63 via
+    * subtraction so the literal itself stays BIGINT). */
+  private val simhashSigSql: String = {
+    val sums = (0 until 64).map { p =>
+      val j = (63 - p) / 4 + 1
+      val div = 1 << (p % 4)
+      s"SUM(CASE WHEN (${hexvalSql(s"substr(hx,$j,1)")} // $div) % 2 = 1 THEN 1 ELSE -1 END) AS s_$p"
+    }.mkString(",\n  ")
+    val weights = (0 until 64).map { p =>
+      val w = if (p == 63) "(-9223372036854775807 - 1)" else (1L << p).toString
+      s"(CASE WHEN s_$p >= 0 THEN CAST($w AS BIGINT) ELSE 0 END)"
+    }.mkString("\n  + ")
+    s"""toks AS (SELECT doc_id, md5(unnest(string_split(coalesce(text, ''), ' '))) AS hx FROM documents),
+       |sums AS (SELECT doc_id,
+       |  $sums
+       |  FROM toks GROUP BY doc_id),
+       |sig AS (SELECT doc_id, CAST($weights AS BIGINT) AS simhash FROM sums)""".stripMargin
+  }
 
   val oracles: Map[String, String] = Map(
     "txt_stats" ->
@@ -561,6 +597,17 @@ object PipelineQueries {
         |lbl AS (SELECT id, MIN(r) AS cluster FROM reach GROUP BY id)
         |SELECT d.doc_id, CAST(COALESCE(l.cluster, d.doc_id) AS BIGINT) AS cluster
         |FROM documents d LEFT JOIN lbl l ON d.doc_id = l.id""".stripMargin,
+
+    "dedup_simhash" ->
+      s"""WITH $simhashSigSql
+         |SELECT doc_id, simhash FROM sig""".stripMargin,
+
+    "dedup_simhash_pairs" ->
+      s"""WITH $simhashSigSql
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS dist
+         |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin,
 
     "dedup_minhash" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

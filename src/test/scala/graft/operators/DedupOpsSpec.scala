@@ -153,6 +153,32 @@ class DedupOpsSpec extends AnyFunSuite with PropHelpers {
     assert(!keys.exists(p => p._2 == 3L || p._1 == 3L), s"dissimilar doc paired: $got")
   }
 
+  test("property: simhashNearDups equals brute-force Hamming search for any block count") {
+    // Small shared vocabulary drives signatures close together, so plenty of
+    // pairs land at small Hamming distances; one planted single-token
+    // mutation guarantees a true near-dup in every sample. Block counts 4-7
+    // exercise minimal pigeonhole, non-dividing widths (5, 7, via 11/10-bit
+    // and 10/9-bit blocks), and the scale default 6.
+    val docGen = Gen.listOfN(9, Gen.choose(5, 30).flatMap(len =>
+      Gen.listOfN(len, Gen.oneOf((1 to 12).map(i => s"w$i"))).map(_.mkString(" "))))
+    forAll(Gen.zip(docGen, Gen.oneOf(4, 5, 6, 7)), n = 8) { case (texts, blocks) =>
+      val all = texts :+ (texts.head + " w1")
+      val rows = all.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val df = docsDF(rows: _*)
+      val sigs = DedupOps.simhash64Rows(df, "doc_id").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val expected = (for {
+        a <- sigs.keys; b <- sigs.keys if a < b
+        d = java.lang.Long.bitCount(sigs(a) ^ sigs(b)) if d <= 3
+      } yield (a, b, d.toLong)).toSet
+      val got = DedupOps.withDedupCaches {
+        DedupOps.simhashNearDups(df, "doc_id", 3, blocks)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      }
+      assert(got == expected, s"blocks=$blocks docs=$all\ngot $got\nexpected $expected")
+    }
+  }
+
   test("simhash: identical texts collide; near texts land closer than far ones") {
     val spark = TestSpark.spark
     val base = (1 to 60).map(i => s"w$i").mkString(" ")
