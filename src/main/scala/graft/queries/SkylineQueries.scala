@@ -188,8 +188,9 @@ object SkylineQueries {
 
     // O22 driver surface: the reference's worst-case distribution generated
     // distributedly (partition-invariant spark.range generator), skyline'd.
-    // No DuckDB oracle — the RNG stream is JVM-specific — so this rides the
-    // driver's rows-only gate; the envelope is asserted in
+    // The generator's uniform draws are md5-derived (DataGen.u), so the
+    // oracle replays the EXACT stream in DuckDB — full hash gate, not
+    // rows-only; distribution envelopes additionally asserted in
     // DataGenSourceSpec.
     "datagen_sky2d" -> ((s, d) =>
       graft.sources.DataGenSource.pointsDF(s, "anti_correlated", 42L,
@@ -239,6 +240,46 @@ object SkylineQueries {
        |FROM loc LEFT JOIN srv ON loc.pid = srv.pid""".stripMargin
 
   private val CadenceBarriers = Seq(5000L, 10000L, 20000L)
+
+  // ---- datagen_sky2d oracle: replay DataGen's md5-derived stream in SQL.
+  // Draw k of record id = first 13 md5 hex chars of "seed:id:k" as a 52-bit
+  // integer (13-term hex-char polynomial, BIGINT weights — INT32 literals
+  // would trap DuckDB's checked multiply) over 2^52. The double constants
+  // (slack, mean−slack) are computed HERE with the same IEEE ops as
+  // DataGen.antiCorrelated and embedded as strings: a string→DOUBLE cast is
+  // correctly rounded, where a DECIMAL literal might not round-trip.
+  private val DgSeed = 42L
+  private val DgN    = 100000L
+  private val DgDims = 2
+  private val DgMin  = 0
+  private val DgMax  = 10000
+  private val DgSlack = 0.0005 * (DgMax - DgMin).toDouble * DgDims
+  private val DgBase  = (DgMin + DgMax) / 2.0 * DgDims - DgSlack
+
+  private def hexPolySql(h: String): String =
+    (1 to 13).map { j =>
+      val c = s"substr($h,$j,1)"
+      s"(ascii($c) - CASE WHEN ascii($c) >= 97 THEN 87 ELSE 48 END) * CAST(${1L << (4 * (13 - j))} AS BIGINT)"
+    }.mkString("(", " + ", ")")
+
+  private def uSql(k: Int): String =
+    s"${hexPolySql(s"md5('$DgSeed:' || CAST(id AS VARCHAR) || ':$k')")} / CAST('4503599627370496' AS DOUBLE)"
+
+  private def dgClampSql(v: String): String =
+    s"GREATEST(CAST('$DgMin' AS DOUBLE), LEAST(CAST('$DgMax' AS DOUBLE), TRUNC($v)))"
+
+  private val datagenSkySql: String =
+    s"""WITH uu AS (SELECT range AS id FROM range(0, $DgN)),
+       |du AS (SELECT id, ${uSql(0)} AS u0, ${uSql(1)} AS u1, ${uSql(2)} AS u2 FROM uu),
+       |sc AS (SELECT u0, u1,
+       |  CASE WHEN (u0 + u1) <> CAST('0' AS DOUBLE)
+       |       THEN (CAST('$DgBase' AS DOUBLE) + (u2 * CAST('2' AS DOUBLE)) * CAST('$DgSlack' AS DOUBLE)) / (u0 + u1)
+       |       ELSE CAST('1' AS DOUBLE) END AS s FROM du),
+       |pts AS (SELECT ${dgClampSql("u0 * s")} AS x, ${dgClampSql("u1 * s")} AS y FROM sc),
+       |d AS (SELECT x, MIN(y) AS my FROM pts GROUP BY x),
+       |r AS (SELECT x, my, MIN(my) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm FROM d)
+       |SELECT p.x AS x, p.y AS y FROM pts p JOIN r ON p.x = r.x
+       |WHERE p.y = r.my AND (r.pm IS NULL OR r.pm > p.y)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "sky2d" -> sky2dSql("l_extendedprice", "l_discount", "lineitem"),
@@ -309,6 +350,8 @@ object SkylineQueries {
 
     "metrics_json_mrgrid" ->
       (optStatsSql("l_orderkey % 20 = 0", gridPidSql) + metricsRecordSql("1")),
+
+    "datagen_sky2d" -> datagenSkySql,
 
     "cadence_metrics" -> CadenceBarriers.zipWithIndex.map { case (b, i) =>
       "SELECT json FROM (\n" +
