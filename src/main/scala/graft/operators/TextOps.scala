@@ -118,8 +118,9 @@ object TextOps {
     * of its length is boilerplate or generation collapse, not prose).
     * Output: (doc_id, top_cnt, tok_cnt); repetition ratio = top_cnt/tok_cnt.
     * Two map-side-combined aggregations: the shuffle carries (doc, token)
-    * partial counts then per-doc pairs — never raw token streams. Docs with
-    * no tokens are absent (ratio undefined). */
+    * partial counts then per-doc pairs — never raw token streams. Only
+    * null-text docs are absent; an empty-string doc tokenizes to one empty
+    * token (split semantics, both engines) and counts with ratio 1.0. */
   def topTokenStats(docs: DataFrame, idCol: String): DataFrame =
     docs.select(col(idCol).as("doc_id"), explode(tokens(col("text"))).as("tok"))
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
