@@ -1,0 +1,43 @@
+package graft.core
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.storage.StorageLevel
+
+/** Process-wide registry for operator-persisted intermediates.
+  *
+  * Several operators (near-dup detection, k-means) persist
+  * linear-in-corpus intermediates their plans consume multiple times;
+  * persist() is lazy, so a returned-DataFrame API cannot unpersist before
+  * the caller's action. Every persisted intermediate registers here and the
+  * caller releases them AFTER consuming the result — narrow (touches only
+  * graft's caches), unlike `spark.catalog.clearCache()`.
+  *
+  * CONTRACT: the registry is process-global, so build-then-release cycles
+  * must not interleave — two CONCURRENT graft queries would unpersist each
+  * other's in-flight intermediates (correct results, silent recomputation).
+  * The sequential Bench/Verify drivers satisfy this; concurrent callers
+  * should scope their own lifecycle instead of sharing this registry.
+  */
+object Caches {
+
+  private val live = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]
+
+  /** Persist (MEMORY_AND_DISK) and register for [[releaseAll]]. */
+  def persistTracked(df: DataFrame): DataFrame = {
+    val p = df.persist(StorageLevel.MEMORY_AND_DISK)
+    live.add(p)
+    p
+  }
+
+  /** Unpersist every registered intermediate. Plans built from the released
+    * DataFrames stay correct (they recompute). */
+  def releaseAll(): Unit = {
+    var df = live.poll()
+    while (df != null) { df.unpersist(blocking = false); df = live.poll() }
+  }
+
+  /** Scoped lifecycle: `body` must consume its result eagerly; all
+    * registered caches are released on the way out, success or failure. */
+  def scoped[T](body: => T): T =
+    try body finally releaseAll()
+}

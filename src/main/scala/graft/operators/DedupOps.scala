@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /** Fuzzy-deduplication operators: MinHash+LSH near-duplicate pair detection
   * and SimHash document signatures.
@@ -20,41 +19,24 @@ object DedupOps {
 
   // Cache lifecycle: the near-dup operators persist linear-in-corpus
   // intermediates (shingle rows, banded signatures) because their plans
-  // consume them 2-3 times. persist() is lazy, so a returned-DataFrame API
-  // cannot unpersist before the caller's action — instead every persisted
-  // intermediate is registered here, and callers release them AFTER
-  // consuming the result via [[unpersistPipelines]] (narrow — touches only
-  // this module's caches, unlike spark.catalog.clearCache()) or the scoped
-  // [[withDedupCaches]].
-  //
-  // CONTRACT: the registry is process-global, so build-then-release cycles
-  // must not interleave — two CONCURRENT dedup queries would unpersist each
-  // other's in-flight intermediates (correct results, silent recomputation).
-  // The sequential Bench/Verify drivers satisfy this; concurrent callers
-  // should scope their own lifecycle instead of sharing this registry.
-  private val liveCaches = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]
+  // consume them 2-3 times; they register with the process-wide
+  // [[graft.core.Caches]] registry (see its scaladoc for the sequential-use
+  // contract) and callers release them AFTER consuming the result via
+  // [[unpersistPipelines]] or the scoped [[withDedupCaches]].
+  private def cachePersist(df: DataFrame): DataFrame =
+    graft.core.Caches.persistTracked(df)
 
-  private def cachePersist(df: DataFrame): DataFrame = {
-    val p = df.persist(StorageLevel.MEMORY_AND_DISK)
-    liveCaches.add(p)
-    p
-  }
-
-  /** Unpersist every intermediate this module has persisted so far. Call
-    * after consuming a near-dup result (count/collect/write); long-lived
-    * sessions that skip it accumulate cached shingle sets — disk blocks are
-    * not LRU-evicted. Plans built from the released DataFrames stay correct
-    * (they recompute). */
-  def unpersistPipelines(): Unit = {
-    var df = liveCaches.poll()
-    while (df != null) { df.unpersist(blocking = false); df = liveCaches.poll() }
-  }
+  /** Unpersist every intermediate graft operators have persisted so far.
+    * Call after consuming a near-dup/k-means result (count/collect/write);
+    * long-lived sessions that skip it accumulate cached shingle sets — disk
+    * blocks are not LRU-evicted. Plans built from the released DataFrames
+    * stay correct (they recompute). */
+  def unpersistPipelines(): Unit = graft.core.Caches.releaseAll()
 
   /** Scoped cache lifecycle: `withDedupCaches { minhashNearDups(...).count() }`
-    * — `body` must consume its result eagerly; the module's caches are
+    * — `body` must consume its result eagerly; the registered caches are
     * released on the way out, success or failure. */
-  def withDedupCaches[T](body: => T): T =
-    try body finally unpersistPipelines()
+  def withDedupCaches[T](body: => T): T = graft.core.Caches.scoped(body)
 
   /** Word `n`-gram shingles of `text` (duplicates retained — `array_distinct`
     * is quadratic per row, so set semantics are established downstream by an

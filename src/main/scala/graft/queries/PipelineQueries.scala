@@ -164,6 +164,17 @@ object PipelineQueries {
         embs(s, d), "vec_id", "embedding", col("vec_id") < 8, 5,
         col("vec_id").between(IvfCentLo, IvfCentHi), IvfProbes)),
 
+    // Deterministic distributed k-means: Lloyd iterations on the int8-
+    // quantized embedding space (8 cells seeded from vec_id 8..15, 3
+    // iterations). Integer distances, integer sums, and round-half-away
+    // integer centroids make the whole TRAINING RUN engine-replayable —
+    // the oracle re-trains the identical model in SQL and the final
+    // assignment is hash-gated, not just the plumbing.
+    "emb_kmeans" -> ((s, d) =>
+      graft.operators.VectorOps.kmeansAssign(
+        embs(s, d), "vec_id", "embedding",
+        col("vec_id").between(KmCentLo, KmCentHi), KmIters, EmbDims)),
+
     // Embedding-cosine near-dup pairs among LSH-colliding candidates
     // (the oracle replays the identical hyperplanes, so the candidate set —
     // not just the verified set — is oracle-checked).
@@ -301,6 +312,9 @@ object PipelineQueries {
   private val IvfCentLo = 8
   private val IvfCentHi = 23
   private val IvfProbes = 3
+  private val KmCentLo  = 8
+  private val KmCentHi  = 15
+  private val KmIters   = 3
 
   /** DuckDB double-precision cosine with the same sequential fold and the
     * same float→double casts as [[graft.operators.VectorOps.cosine]]. */
@@ -568,6 +582,37 @@ object PipelineQueries {
          |SELECT c.id_a, c.id_b FROM cand c
          |JOIN e a ON a.vec_id = c.id_a JOIN e b ON b.vec_id = c.id_b
          |WHERE $cos >= 0.35""".stripMargin
+    },
+
+    "emb_kmeans" -> {
+      // Replays kmeansAssign: quantize (the emb_quant pipeline), seed c0
+      // from vec_id 8..15, then per iteration argmin-assign (integer
+      // squared L2, ties to lowest cid) / 64 integer dimension sums /
+      // round-half-away integer centroid update (empty cells keep their
+      // centroid), and a final assignment with its distance.
+      val distSql = s"list_sum([(q.v[i]-c.cv[i])*(q.v[i]-c.cv[i]) for i in range(1, ${EmbDims + 1})])"
+      val sumCols = (1 to EmbDims).map(i => s"SUM(v[$i]) AS s$i").mkString(", ")
+      val centList = (1 to EmbDims).map(i =>
+        s"CAST(CASE WHEN s$i < 0 THEN -((2*(-s$i) + n) // (2*n)) ELSE (2*s$i + n) // (2*n) END AS BIGINT)")
+        .mkString("[", ", ", "]")
+      val iterCtes = (1 to KmIters).map { t =>
+        s"""a$t AS (SELECT id, v, cid FROM (
+           |  SELECT id, v, cid, ROW_NUMBER() OVER (PARTITION BY id ORDER BY d, cid) AS rn
+           |  FROM (SELECT q.id, q.v, c.cid, $distSql AS d FROM q, c${t - 1} c)) WHERE rn = 1),
+           |g$t AS (SELECT cid, COUNT(*) AS n, $sumCols FROM a$t GROUP BY cid),
+           |c$t AS (SELECT c.cid, CASE WHEN g.cid IS NULL THEN c.cv ELSE $centList END AS cv
+           |  FROM c${t - 1} c LEFT JOIN g$t g ON c.cid = g.cid)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS ev FROM embeddings),
+         |sc AS (SELECT vec_id, ev, list_max([abs(x) for x in ev]) / 127.0 AS scale FROM e),
+         |q AS (SELECT vec_id AS id,
+         |  CASE WHEN scale > 0 THEN [CAST(FLOOR(x / scale + 0.5) AS BIGINT) for x in ev]
+         |       ELSE [CAST(0 AS BIGINT) for x in ev] END AS v FROM sc),
+         |c0 AS (SELECT id AS cid, v AS cv FROM q WHERE id BETWEEN $KmCentLo AND $KmCentHi),
+         |$iterCtes
+         |SELECT id AS vec_id, cid, CAST(d AS BIGINT) AS dist FROM (
+         |  SELECT id, cid, d, ROW_NUMBER() OVER (PARTITION BY id ORDER BY d, cid) AS rn
+         |  FROM (SELECT q.id, c.cid, $distSql AS d FROM q, c$KmIters c)) WHERE rn = 1""".stripMargin
     },
 
     "dedup_jaccard" ->

@@ -84,6 +84,60 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(one == Set(10L, 11L, 12L), s"one-probe IVF should stay in the x cell: $one")
   }
 
+  test("kmeansAssign matches an in-memory Lloyd reference and separates clear clusters") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // Three well-separated blobs in 4D; centroid seeds one per blob (ids
+    // 0, 10, 20) plus noise members.
+    def blob(center: Array[Float], n: Int, from: Long) =
+      (0 until n).map(i => (from + i,
+        center.map(c => c + (rnd.nextFloat() - 0.5f) * 0.1f)))
+    val rows = blob(Array(1f, 0f, 0f, 0f), 7, 0L) ++
+      blob(Array(0f, 1f, 0f, 0f), 7, 10L) ++
+      blob(Array(0f, 0f, 1f, 0f), 7, 20L)
+    val df = rows.toDF("vec_id", "embedding")
+    val got = graft.core.Caches.scoped {
+      VectorOps.kmeansAssign(df, "vec_id", "embedding",
+          col("vec_id") === 0 || col("vec_id") === 10 || col("vec_id") === 20, 3, 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    }
+    // Reference: same integer Lloyd rules on the driver.
+    val quant = rows.map { case (id, v) =>
+      val scale = v.map(x => math.abs(x.toDouble)).max / 127.0
+      id -> (if (scale > 0) v.map(x => math.floor(x / scale + 0.5).toLong)
+             else v.map(_ => 0L))
+    }.toMap
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    var cents: Seq[(Long, Array[Long])] =
+      Seq(0L, 10L, 20L).map(id => id -> quant(id))
+    def assign(): Map[Long, (Long, Long)] = quant.map { case (id, v) =>
+      val (dist, cid) = cents.map { case (cid, cv) => (d2(v, cv), cid) }.min
+      id -> ((cid, dist))
+    }
+    for (_ <- 1 to 3) {
+      val byCell = assign().toSeq.groupBy(_._2._1)
+      cents = cents.map { case (cid, cv) =>
+        byCell.get(cid) match {
+          case Some(members) =>
+            val vs = members.map(m => quant(m._1))
+            val n = vs.size.toLong
+            cid -> Array.tabulate(4) { i =>
+              val s = vs.map(_(i)).sum
+              val a = (2L * math.abs(s) + n) / (2L * n)
+              if (s < 0) -a else a
+            }
+          case None => cid -> cv
+        }
+      }
+    }
+    val expected = assign().map { case (id, (cid, dist)) => (id, cid, dist) }.toSet
+    assert(got.toSet == expected)
+    // And the blobs actually separate: members cluster with their seed.
+    got.foreach { case (id, cid, _) => assert(cid == (id / 10) * 10, s"$id -> $cid") }
+  }
+
   test("knnBrute ranks by cosine with id tiebreak") {
     val spark = TestSpark.spark
     import spark.implicits._
