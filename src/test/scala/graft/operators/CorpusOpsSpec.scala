@@ -1,0 +1,154 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+
+import org.apache.spark.sql.functions._
+
+import graft.TestSpark
+import graft.core.PropHelpers
+
+class CorpusOpsSpec extends AnyFunSuite with PropHelpers {
+
+  private def docsDF(rows: (Long, String, String)*) = {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    rows.toDF("doc_id", "source", "text")
+  }
+
+  // ------------------------------------------------------------- KMinAgg
+
+  test("KMinAgg buffer: k smallest distinct, sorted, bounded") {
+    val agg = new CorpusOps.KMinAgg(3)
+    val gen = Gen.listOf(Gen.oneOf((1 to 8).map(i => f"v$i%02d")))
+    forAll(gen, 60) { vs =>
+      val split = vs.length / 2
+      val b = agg.merge(
+        vs.take(split).foldLeft(agg.zero)(agg.reduce),
+        vs.drop(split).foldLeft(agg.zero)(agg.reduce))
+      val expect = vs.distinct.sorted.take(3)
+      assert(b == expect, s"input $vs")
+      assert(agg.finish(b) == (if (expect.length == 3) expect.last else null))
+    }
+  }
+
+  test("kmin_distinct over a shuffled DataFrame matches the sorted-distinct oracle") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val r = new scala.util.Random(7)
+    val vals = (1 to 500).map(_ => f"h${r.nextInt(120)}%03d")
+    val kth = vals.distinct.sorted.apply(63)
+    val got = vals.toDF("v").repartition(8)
+      .agg(CorpusOps.kmin_distinct(col("v"), 64).as("k"))
+      .head().getString(0)
+    assert(got == kth)
+    // Fewer than k distinct values → null (sketch never saturates).
+    val under = Seq("a", "b", "a").toDF("v")
+      .agg(CorpusOps.kmin_distinct(col("v"), 64)).head().getString(0)
+    assert(under == null)
+  }
+
+  // --------------------------------------------------------- kmvDistinct
+
+  test("kmvDistinct: exact count right, estimate within KMV error bounds") {
+    // 15 docs x 40 tokens of disjoint vocab per source => 15*38 = 570
+    // distinct 3-gram shingles; k=64 gives stderr ~ 1/sqrt(62) ~ 13%.
+    val rows = for {
+      src <- Seq("sA", "sB"); i <- 1 to 15
+    } yield ((if (src == "sA") 0L else 100L) + i, src,
+      (1 to 40).map(t => s"$src-d$i-t$t").mkString(" "))
+    val out = CorpusOps.kmvDistinct(docsDF(rows: _*), "source", 3, 64)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    for ((src, (est, exact)) <- out) {
+      assert(exact == 15L * 38, s"$src exact")
+      val err = math.abs(est.toDouble / exact - 1.0)
+      assert(err < 0.45, s"$src estimate $est vs exact $exact (err $err)")
+    }
+    // A group below k distinct shingles reports null estimate, exact count.
+    val tiny = CorpusOps.kmvDistinct(
+      docsDF((1L, "t", "a b c d")), "source", 3, 64).head()
+    assert(tiny.isNullAt(1) && tiny.getLong(2) == 2L)
+  }
+
+  // ------------------------------------------------------- tfidfTopTerms
+
+  test("tfidfTopTerms matches a brute-force integer TF-IDF") {
+    val rows = Seq(
+      (1L, "sA", "apple banana apple cherry"),
+      (2L, "sA", "apple durian"),
+      (3L, "sB", "banana banana fig"),
+      (4L, "sB", "fig grape apple"))
+    val df = docsDF(rows.map(r => (r._1, r._2, r._3)): _*)
+    val got = CorpusOps.tfidfTopTerms(df, "doc_id", "source", 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    // Brute force: incidence of (doc, src, tok) with set semantics.
+    val inc = rows.flatMap { case (id, s, t) => t.split(" ").distinct.map(tok => (id, s, tok)) }
+    val dfq = inc.groupBy(_._3).map { case (t, xs) => t -> xs.size.toLong }
+    val tfq = inc.groupBy(x => (x._2, x._3)).map { case (k, xs) => k -> xs.size.toLong }
+    val expect = tfq.toSeq.map { case ((s, t), tf) => (s, t, tf * 1000000L / dfq(t)) }
+      .groupBy(_._1).flatMap { case (_, xs) =>
+        xs.sortBy(x => (-x._3, x._2)).zipWithIndex.take(2)
+          .map { case ((s, t, sc), i) => (s, t, sc, i + 1L) }
+      }.toSet
+    assert(got == expect)
+  }
+
+  // ----------------------------------------------------------- spanStats
+
+  test("spanStats counts instances and distinct cross-doc spans (incl. within-doc repeats)") {
+    val span = (1 to 8).map(i => s"s$i").mkString(" ")         // one 8-token span
+    val rows = Seq(
+      // Docs 1 (sA) and 2 (sB) share `span` — cross-source duplication.
+      (1L, "sA", span),
+      (2L, "sB", span + " tail1 tail2"),
+      // Doc 3 repeats its own unique span twice but shares with nobody.
+      (3L, "sA", (1 to 8).map(i => s"u$i").mkString(" ") + " " + (1 to 8).map(i => s"u$i").mkString(" ")),
+      // Doc 4: too short for any span.
+      (4L, "sB", "short text"))
+    val got = CorpusOps.spanStats(docsDF(rows: _*), "doc_id", "source", 8)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // sA: doc1 has 1 span (dup with doc2); doc3 has 9 spans (16 tokens),
+    // all unique to doc3 (the repeated one counts 2 instances, 1 distinct,
+    // but only ONE document => not a dup span).
+    assert(got("sA") == ((10L, 1L, 1L)), s"sA got ${got("sA")}")
+    // sB: doc2 has 3 spans, one of which (the head) is the shared span.
+    assert(got("sB") == ((3L, 1L, 1L)), s"sB got ${got("sB")}")
+  }
+
+  // ---------------------------------------------------- stratifiedSample
+
+  test("stratifiedSample: deterministic, partition-invariant, rate map honored") {
+    val rows = (1 to 200).map(i =>
+      (i.toLong, s"src${i % 4}", s"document number $i with body ${i * 31}"))
+    val df = docsDF(rows: _*)
+    val rates = Map("src0" -> 50, "src1" -> 0)
+    val a = CorpusOps.stratifiedSample(df, "source", rates, 10)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = CorpusOps.stratifiedSample(df.repartition(7), "source", rates, 10)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b, "sample changed under repartitioning")
+    val bySrc = rows.filter(r => a.contains(r._1)).groupBy(_._2).view.mapValues(_.size).toMap
+    assert(!bySrc.contains("src1"), "rate-0 stratum leaked into the sample")
+    assert(bySrc.getOrElse("src0", 0) > bySrc.getOrElse("src2", 0),
+      s"50% stratum not larger than 10% stratum: $bySrc")
+    // Sampling a union == union of samples (content-keyed, not RNG-keyed).
+    val (h1, h2) = rows.splitAt(120)
+    val u = CorpusOps.stratifiedSample(docsDF(h1: _*), "source", rates, 10)
+      .unionAll(CorpusOps.stratifiedSample(docsDF(h2: _*), "source", rates, 10))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(u == a, "sample of union != union of samples")
+    // 100% keeps everything.
+    assert(CorpusOps.stratifiedSample(df, "source", Map.empty, 100).count() == 200)
+  }
+
+  test("stratifiedSample uses a salted bucket (not the split bucket)") {
+    val spark = TestSpark.spark
+    val df = docsDF((1 to 100).map(i =>
+      (i.toLong, "s", s"text body $i ${i * 17}")): _*)
+    val unsalted = df.select(
+      graft.operators.TextOps.hashBucketCol(col("text")).as("b")).collect().map(_.getInt(0))
+    val salted = df.select(
+      CorpusOps.sampleBucketCol(col("text"), "sample:").as("b")).collect().map(_.getInt(0))
+    assert(unsalted.toSeq != salted.toSeq, "sample bucket must differ from split bucket")
+  }
+}
