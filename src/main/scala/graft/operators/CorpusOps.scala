@@ -159,6 +159,58 @@ object CorpusOps {
         sum(when(col("ndocs") > 1, 1L).otherwise(0L)).as("n_dup_spans"))
   }
 
+  /** Benchmark decontamination: train-corpus docs that share at least one
+    * word-`n`-gram span with ANY eval-corpus doc, with the count of distinct
+    * shared spans — the standard "remove eval leakage before training" pass.
+    * Output: (doc_id, n_hits), contaminated docs only.
+    *
+    * The eval span set is explicitly `broadcast()`: eval suites are small by
+    * construction (thousands of docs, ≪ executor memory), so contamination
+    * checking a 100 TB train corpus is one broadcast-hash semi-pass over the
+    * train spans — no shuffle of train data at all. If an eval set ever
+    * outgrows broadcast, drop the hint and AQE falls back to a sort-merge
+    * join on the span hash.
+    */
+  def decontaminate(train: DataFrame, eval: DataFrame, idCol: String,
+                    n: Int): DataFrame = {
+    val evalSpans = eval
+      .select(explode(DedupOps.shingles(col("text"), n)).as("s"))
+      .select(md5(col("s")).as("sh")).distinct()
+    train
+      .select(col(idCol).as("doc_id"),
+        explode(DedupOps.shingles(col("text"), n)).as("s"))
+      .select(col("doc_id"), md5(col("s")).as("sh")).distinct()
+      .join(broadcast(evalSpans), "sh")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+  }
+
+  /** Exact discrete quantiles (lower convention: smallest value whose
+    * cumulative count reaches ⌈q·n/100⌉) of an integer column per group, via
+    * a value histogram + running sum — one output column `p<q>` per
+    * requested percentage.
+    *
+    * This is the scale-safe shape for exact quantiles over grouped data: the
+    * histogram groupBy is map-side combined down to (group, value) rows, the
+    * window runs over value-domain-sized partitions (NOT corpus-sized — for
+    * continuous values bucket first), and the final conditional-min
+    * aggregation is one more combine. Contrast `percentile`, which collects
+    * every raw value per group, and `approx_percentile`, whose sketch DuckDB
+    * cannot replay — this formulation is exact, bounded, and engine-neutral.
+    */
+  def discQuantiles(df: DataFrame, groupCol: String, valCol: String,
+                    qs: Seq[Int]): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q >= 1 && q <= 100),
+      s"quantile percentages out of range: $qs")
+    val hist = df.groupBy(groupCol, valCol).agg(count(lit(1)).as("c"))
+    val cum = hist
+      .withColumn("cum",
+        sum("c").over(Window.partitionBy(groupCol).orderBy(valCol)))
+      .withColumn("n", sum("c").over(Window.partitionBy(groupCol)))
+    val aggs = qs.map(q =>
+      min(when(col("cum") * 100 >= col("n") * q, col(valCol))).as(s"p$q"))
+    cum.groupBy(groupCol).agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Salted content-hash bucket in [0, 100) — [[TextOps.hashBucketCol]]'s
     * fold over `md5(salt ‖ text)`, so sampling decisions are independent of
     * the train/val/test split buckets (an unsalted reuse would make every

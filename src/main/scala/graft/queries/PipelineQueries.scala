@@ -110,6 +110,22 @@ object PipelineQueries {
     "corp_spans" -> ((s, d) =>
       graft.operators.CorpusOps.spanStats(docs(s, d), "doc_id", "source", 8)),
 
+    // Benchmark decontamination: train docs (source != src0) sharing any
+    // 8-token span with the eval set (source = src0), with distinct-span
+    // hit counts — the "remove eval leakage before training" pass.
+    "decontam" -> ((s, d) => {
+      val dd = docs(s, d)
+      graft.operators.CorpusOps.decontaminate(
+        dd.filter(col("source") =!= "src0"),
+        dd.filter(col("source") === "src0"), "doc_id", 8)
+    }),
+
+    // Exact discrete length quantiles per source via the bounded
+    // histogram+cumsum shape (no per-group value collection).
+    "txt_len_quantiles" -> ((s, d) =>
+      graft.operators.CorpusOps.discQuantiles(
+        docs(s, d), "source", "n_chars", Seq(25, 50, 75, 95))),
+
     // Deterministic stratified sample — 30% of src0, src1 excluded, 10%
     // elsewhere; MEMBERSHIP (doc_id rows), not just counts, is gated.
     "strat_sample" -> ((s, d) =>
@@ -490,6 +506,27 @@ object PipelineQueries {
         |  CAST(SUM(CASE WHEN dd.ndocs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_instances,
         |  CAST(COUNT(DISTINCT CASE WHEN dd.ndocs > 1 THEN sp.sh END) AS BIGINT) AS n_dup_spans
         |FROM sp JOIN dd USING (sh) GROUP BY sp.source""".stripMargin,
+
+    "decontam" ->
+      """WITH tr AS (SELECT DISTINCT doc_id,
+        |  unnest([md5(array_to_string(w[i:i+7], ' ')) for i in range(1, len(w) - 6)]) AS sh
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE source != 'src0')),
+        |ev AS (SELECT DISTINCT
+        |  unnest([md5(array_to_string(w[i:i+7], ' ')) for i in range(1, len(w) - 6)]) AS sh
+        |  FROM (SELECT string_split(text, ' ') AS w FROM documents WHERE source = 'src0'))
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+        |FROM tr JOIN ev USING (sh) GROUP BY doc_id""".stripMargin,
+
+    "txt_len_quantiles" ->
+      """WITH h AS (SELECT source, n_chars AS v, COUNT(*) AS c FROM documents GROUP BY 1, 2),
+        |cum AS (SELECT source, v, SUM(c) OVER (PARTITION BY source ORDER BY v) AS cum,
+        |  SUM(c) OVER (PARTITION BY source) AS n FROM h)
+        |SELECT source,
+        |  CAST(MIN(CASE WHEN cum*100 >= n*25 THEN v END) AS BIGINT) AS p25,
+        |  CAST(MIN(CASE WHEN cum*100 >= n*50 THEN v END) AS BIGINT) AS p50,
+        |  CAST(MIN(CASE WHEN cum*100 >= n*75 THEN v END) AS BIGINT) AS p75,
+        |  CAST(MIN(CASE WHEN cum*100 >= n*95 THEN v END) AS BIGINT) AS p95
+        |FROM cum GROUP BY source""".stripMargin,
 
     "strat_sample" ->
       s"""SELECT doc_id, source FROM (

@@ -115,6 +115,46 @@ class CorpusOpsSpec extends AnyFunSuite with PropHelpers {
     assert(got("sB") == ((3L, 1L, 1L)), s"sB got ${got("sB")}")
   }
 
+  // ------------------------------------------------------- decontaminate
+
+  test("decontaminate flags train docs sharing spans with eval, counts distinct hits") {
+    val leaked = (1 to 10).map(i => s"b$i").mkString(" ")   // 10 tokens => 3 8-spans
+    val train = docsDF(
+      (1L, "t", leaked + " extra tail"),                    // shares 3 eval spans
+      (2L, "t", (1 to 12).map(i => s"c$i").mkString(" ")),  // clean
+      (3L, "t", (3 to 10).map(i => s"b$i").mkString(" ") + " zz")) // shares 1 span
+    val eval = docsDF((100L, "e", leaked), (101L, "e", "tiny"))
+    val got = CorpusOps.decontaminate(train, eval, "doc_id", 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // eval spans: b1..b8, b2..b9, b3..b10. Doc 1 (12 tokens) has 5 spans,
+    // 3 of which are eval spans; doc 3's only eval span is b3..b10.
+    assert(got == Map(1L -> 3L, 3L -> 1L), s"got $got")
+  }
+
+  // -------------------------------------------------------- discQuantiles
+
+  test("discQuantiles matches a brute-force lower-discrete quantile") {
+    val r = new scala.util.Random(11)
+    val rows = (1 to 300).map { i =>
+      val g = s"g${i % 3}"
+      (i.toLong, g, "x " * (1 + r.nextInt(5)))  // text unused
+    }
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val vals = rows.map { case (id, g, _) => (g, (id * 37 % 101)) }
+    val df = vals.toDF("grp", "v")
+    val qs = Seq(10, 50, 90, 100)
+    val got = CorpusOps.discQuantiles(df, "grp", "v", qs)
+      .collect().map(r => r.getString(0) -> qs.indices.map(i => r.getLong(i + 1))).toMap
+    for ((g, xs) <- vals.groupBy(_._1)) {
+      val sorted = xs.map(_._2).sorted
+      val expect = qs.map { q =>
+        sorted((math.ceil(q * sorted.length / 100.0) - 1).toInt.max(0)).toLong
+      }
+      assert(got(g) == expect, s"group $g: got ${got(g)} expect $expect")
+    }
+  }
+
   // ---------------------------------------------------- stratifiedSample
 
   test("stratifiedSample: deterministic, partition-invariant, rate map honored") {
