@@ -24,19 +24,21 @@ object CorpusOps {
     * float log-idf). Ties break lexicographically.
     *
     * Shape for scale: one explode → distinct (map-side-combined hash
-    * aggregation) builds the (doc, group, token) incidence; tf and df are
-    * two further map-side-combined aggregations of it. The join and the
-    * top-k window run on (group, token) / (token) aggregates — vocabulary-
-    * sized, orders of magnitude below the corpus — and the window partitions
-    * by group over at most |vocabulary| rows each. Raw text never crosses a
-    * shuffle twice.
+    * aggregation) builds the (doc, group, token) incidence, persisted via
+    * [[graft.core.Caches]] (release after consuming, like the dedup
+    * pipelines) because BOTH the tf and df branches consume it — uncached,
+    * Catalyst re-runs the corpus explode per branch. tf and df are then two
+    * map-side-combined aggregations; the join and the top-k window run on
+    * (group, token) / (token) aggregates — vocabulary-sized, orders of
+    * magnitude below the corpus — and Spark's WindowGroupLimit prunes to
+    * rank ≤ k before the final per-group sort.
     */
   def tfidfTopTerms(docs: DataFrame, idCol: String, groupCol: String,
                     k: Int): DataFrame = {
-    val dt = docs
+    val dt = graft.core.Caches.persistTracked(docs
       .select(col(idCol).as("doc_id"), col(groupCol),
         explode(TextOps.tokens(col("text"))).as("tok"))
-      .distinct()
+      .distinct())
     val dfq = dt.groupBy("tok").agg(count(lit(1)).as("df"))
     val tfq = dt.groupBy(groupCol, "tok").agg(count(lit(1)).as("tf"))
     val w = Window.partitionBy(groupCol).orderBy(col("score").desc, col("tok"))
@@ -141,6 +143,13 @@ object CorpusOps {
     * granularity, at most |groups| rows per span key — never the raw
     * instance stream against a hot boilerplate span, the skew trap the
     * Jaccard document-frequency path already dodges (VERDICT r5).
+    *
+    * The (span, group) aggregate is persisted (registered with
+    * [[graft.core.Caches]] — release after consuming, like the dedup
+    * pipelines): both the global-frequency branch and the join consume it,
+    * and without the cache Catalyst re-runs the corpus explode once per
+    * branch — the dominant cost at 100 TB, traded here for a span-
+    * vocabulary-sized materialization.
     */
   def spanStats(docs: DataFrame, idCol: String, groupCol: String,
                 n: Int): DataFrame = {
@@ -148,8 +157,9 @@ object CorpusOps {
       .select(col(groupCol), col(idCol).as("doc_id"),
         explode(DedupOps.shingles(col("text"), n)).as("s"))
       .select(col(groupCol), col("doc_id"), md5(col("s")).as("sh"))
-    val perGroup = sp.groupBy("sh", groupCol)
-      .agg(count(lit(1)).as("inst"), countDistinct(col("doc_id")).as("nd"))
+    val perGroup = graft.core.Caches.persistTracked(
+      sp.groupBy("sh", groupCol)
+        .agg(count(lit(1)).as("inst"), countDistinct(col("doc_id")).as("nd")))
     val global = perGroup.groupBy("sh").agg(sum(col("nd")).as("ndocs"))
     perGroup.join(global, "sh")
       .groupBy(groupCol)

@@ -100,6 +100,37 @@ object TextOps {
       .otherwise(lit(null))
   }
 
+  /** PII patterns, deliberately backslash-free (character classes only) so
+    * the identical literal is a valid Java regex (Spark) and RE2 pattern
+    * (DuckDB oracle): email, NANP-style dashed phone, http(s) URL. Swap in
+    * stricter production patterns freely — the plumbing is pattern-agnostic. */
+  val UrlRe   = "https?://[a-z0-9./-]+"
+  val EmailRe = "[a-z0-9.]+@[a-z0-9]+[.][a-z0-9.]+"
+  val PhoneRe = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+  /** Staged PII redaction: URLs first (a URL may embed email- or phone-like
+    * substrings; they must redact as part of the URL, not separately), then
+    * emails, then phones. Pure per-row codegen'd expression — at 100 TB this
+    * is a scan-speed map with zero shuffle. */
+  def redactPiiCol(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, UrlRe, "<URL>"),
+        EmailRe, "<EMAIL>"),
+      PhoneRe, "<PHONE>")
+
+  /** Per-row PII match counts (n_url, n_email, n_phone), staged to mirror
+    * [[redactPiiCol]]: each count runs on the text with the earlier stages
+    * already redacted, so the three counts sum to the exact number of
+    * replacements the redaction performs. */
+  def piiCountCols(text: Column): Seq[Column] = {
+    val afterUrl   = regexp_replace(text, UrlRe, "<URL>")
+    val afterEmail = regexp_replace(afterUrl, EmailRe, "<EMAIL>")
+    Seq(regexp_count(text, lit(UrlRe)).cast("long").as("n_url"),
+      regexp_count(afterUrl, lit(EmailRe)).cast("long").as("n_email"),
+      regexp_count(afterEmail, lit(PhoneRe)).cast("long").as("n_phone"))
+  }
+
   /** md5 of whitespace-normalized, lowercased text — the exact-dedup key. */
   def normHashCol(text: Column): Column =
     md5(regexp_replace(lower(trim(text)), " +", " "))

@@ -110,6 +110,19 @@ object PipelineQueries {
     "corp_spans" -> ((s, d) =>
       graft.operators.CorpusOps.spanStats(docs(s, d), "doc_id", "source", 8)),
 
+    // PII detection + redaction over the corpus plus planted probe rows
+    // (the synthetic corpus is PII-free — wire_parse-style probes make the
+    // gate meaningful): staged counts and the md5 of the redacted text for
+    // every doc containing any PII.
+    "pii_redact" -> ((s, d) => {
+      import s.implicits._
+      val probes = PiiProbes.toDF("doc_id", "text")
+      val all = docs(s, d).select(col("doc_id"), col("text")).unionAll(probes)
+      all.select(col("doc_id") +: TextOps.piiCountCols(col("text")) :+
+          md5(TextOps.redactPiiCol(col("text"))).as("redacted_md5"): _*)
+        .filter(col("n_url") + col("n_email") + col("n_phone") > 0)
+    }),
+
     // Benchmark decontamination: train docs (source != src0) sharing any
     // 8-token span with the eval set (source = src0), with distinct-span
     // hit counts — the "remove eval leakage before training" pass.
@@ -328,6 +341,15 @@ object PipelineQueries {
 
   private val SessionGapUs = 1800L * 1000000L
 
+  /** PII probe rows for `pii_redact` (FIXTURES.md-style planted inputs —
+    * the synthetic corpus contains no PII): emails, dashed phones, URLs,
+    * and a mixed row exercising the staged redaction order. */
+  private val PiiProbes: Seq[(Long, String)] = Seq(
+    9000001L -> "contact me at alice@example.com or bob.smith@test.org thanks",
+    9000002L -> "call 555-123-4567 or 555-987-6543 now",
+    9000003L -> "see https://example.com/docs/a and http://foo.bar/x page",
+    9000004L -> "email a@b.co visit https://c.de/path-1 call 111-222-3333")
+
   /** Wire-format parse (O3/O4): lineitem integer keys re-serialized as the
     * reference's headerless CSV plus malformed probes; the parse must keep
     * exactly the well-formed rows ("7,250" is a valid 1-dim tuple, "5" has
@@ -506,6 +528,26 @@ object PipelineQueries {
         |  CAST(SUM(CASE WHEN dd.ndocs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_instances,
         |  CAST(COUNT(DISTINCT CASE WHEN dd.ndocs > 1 THEN sp.sh END) AS BIGINT) AS n_dup_spans
         |FROM sp JOIN dd USING (sh) GROUP BY sp.source""".stripMargin,
+
+    // Built from the same PiiProbes/pattern constants as the Spark query so
+    // the two surfaces cannot drift.
+    "pii_redact" -> {
+      val vals = PiiProbes.map { case (id, t) => s"($id, '$t')" }.mkString(", ")
+      val (u, e, p) = (TextOps.UrlRe, TextOps.EmailRe, TextOps.PhoneRe)
+      s"""WITH allt AS (SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT * FROM (VALUES $vals) v(doc_id, text)),
+         |st AS (SELECT doc_id, text, regexp_replace(text, '$u', '<URL>', 'g') AS a_url FROM allt),
+         |st2 AS (SELECT doc_id, text, a_url,
+         |  regexp_replace(a_url, '$e', '<EMAIL>', 'g') AS a_email FROM st)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '$u')) AS BIGINT) AS n_url,
+         |  CAST(len(regexp_extract_all(a_url, '$e')) AS BIGINT) AS n_email,
+         |  CAST(len(regexp_extract_all(a_email, '$p')) AS BIGINT) AS n_phone,
+         |  md5(regexp_replace(a_email, '$p', '<PHONE>', 'g')) AS redacted_md5
+         |FROM st2
+         |WHERE len(regexp_extract_all(text, '$u')) + len(regexp_extract_all(a_url, '$e'))
+         |    + len(regexp_extract_all(a_email, '$p')) > 0""".stripMargin
+    },
 
     "decontam" ->
       """WITH tr AS (SELECT DISTINCT doc_id,
