@@ -169,6 +169,74 @@ object CorpusOps {
         sum(when(col("ndocs") > 1, 1L).otherwise(0L)).as("n_dup_spans"))
   }
 
+  /** Mergeable Misra–Gries heavy-hitters buffer over strings with `cap`
+    * counters (Misra & Gries '82; mergeability per Agarwal et al.,
+    * "Mergeable Summaries", PODS'12). `reduce` is the classic increment-or-
+    * decrement-all step; `merge` sums counters then subtracts the
+    * (cap+1)-th largest and drops the non-positive. Guarantee: every value
+    * with true count > N/(cap+1) is among the surviving keys — the sketch
+    * can over-report membership but never misses a true heavy hitter, which
+    * is exactly what a candidate-generation pass needs.
+    */
+  class MgSketchAgg(cap: Int)
+      extends Aggregator[String, Map[String, Long], Array[String]] {
+    override def zero: Map[String, Long] = Map.empty
+
+    override def reduce(b: Map[String, Long], v: String): Map[String, Long] =
+      if (v == null) b
+      else b.get(v) match {
+        case Some(c) => b.updated(v, c + 1)
+        case None if b.size < cap => b.updated(v, 1L)
+        case None => b.flatMap { case (k, c) => if (c > 1) Some(k -> (c - 1)) else None }
+      }
+
+    override def merge(b1: Map[String, Long], b2: Map[String, Long]): Map[String, Long] = {
+      val m = b2.foldLeft(b1) { case (acc, (k, c)) =>
+        acc.updated(k, acc.getOrElse(k, 0L) + c)
+      }
+      if (m.size <= cap) m
+      else {
+        val cut = m.values.toSeq.sorted(Ordering[Long].reverse).apply(cap)
+        m.flatMap { case (k, c) => if (c > cut) Some(k -> (c - cut)) else None }
+      }
+    }
+
+    override def finish(b: Map[String, Long]): Array[String] = b.keys.toArray
+
+    override def bufferEncoder: Encoder[Map[String, Long]] =
+      Encoders.kryo[Map[String, Long]]
+    override def outputEncoder: Encoder[Array[String]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[String]]()
+  }
+
+  /** Column form of [[MgSketchAgg]]: candidate heavy-hitter values. */
+  def mg_sketch(v: Column, cap: Int): Column =
+    udaf(new MgSketchAgg(cap)).apply(v)
+
+  /** EXACT heavy hitters — every value of `valCol` whose count exceeds
+    * N/(cap+1), with its exact count — via the standard two-pass scheme:
+    * a one-pass Misra–Gries sketch proposes ≤ `cap` candidates (plus the
+    * total in the same pass), then a broadcast semi-join recounts ONLY the
+    * candidates exactly. Output: (value, cnt), cnt · (cap+1) > N.
+    *
+    * Why not a plain groupBy+filter: its shuffle state is vocabulary-sized
+    * — billions of keys for tokens at 100 TB. Here every aggregation is
+    * bounded by `cap` per partition, the recount shuffles only candidate
+    * rows, and the result is still EXACT (the MG guarantee makes the
+    * candidate set a superset of the answer; the recount + threshold
+    * removes the false positives).
+    */
+  def heavyHitters(df: DataFrame, valCol: String, cap: Int): DataFrame = {
+    val vals = df.select(col(valCol).as("v"))
+    val cand = vals
+      .agg(mg_sketch(col("v"), cap).as("cand"), count(lit(1)).as("total"))
+      .select(explode(col("cand")).as("v"), col("total"))
+    vals.join(broadcast(cand), "v")
+      .groupBy("v", "total").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * (cap + 1) > col("total"))
+      .select(col("v").as(valCol), col("cnt"))
+  }
+
   /** Benchmark decontamination: train-corpus docs that share at least one
     * word-`n`-gram span with ANY eval-corpus doc, with the count of distinct
     * shared spans — the standard "remove eval leakage before training" pass.

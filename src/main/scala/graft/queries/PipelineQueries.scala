@@ -110,6 +110,13 @@ object PipelineQueries {
     "corp_spans" -> ((s, d) =>
       graft.operators.CorpusOps.spanStats(docs(s, d), "doc_id", "source", 8)),
 
+    // Exact heavy-hitter tokens (count > N/65) via the two-pass Misra-Gries
+    // candidate sketch + broadcast recount — bounded-state top tokens.
+    "heavy_tokens" -> ((s, d) =>
+      graft.operators.CorpusOps.heavyHitters(
+        docs(s, d).select(explode(TextOps.tokens(col("text"))).as("tok")),
+        "tok", 64)),
+
     // PII detection + redaction over the corpus plus planted probe rows
     // (the synthetic corpus is PII-free — wire_parse-style probes make the
     // gate meaningful): staged counts and the md5 of the redacted text for
@@ -292,6 +299,19 @@ object PipelineQueries {
             timestamp_micros(expr("ts div 1000")).as("ts")),
           "ts", "event_type", "1 hour", "10 minutes")
         .select(unix_micros(col("w_start")).as("w_us"), col("event_type"), col("cnt"))),
+
+    // Gap-based sessions via the built-in merging session_window — the SAME
+    // code the streaming path runs (watermark a no-op in batch), per-session
+    // rows keyed by session-start epoch-micros. Complements evt_sessions'
+    // lag-based per-user totals with a different algorithm gated against a
+    // lag+cumsum oracle (break on >= gap: session_window is half-open).
+    "evt_session_windows" -> ((s, d) =>
+      graft.streaming.EventWindows.sessionCounts(
+          events(s, d).select(col("user_id"),
+            timestamp_micros(expr("ts div 1000")).as("ts")),
+          "ts", "user_id", "30 minutes", "10 minutes")
+        .select(col("user_id"), unix_micros(col("w_start")).as("w_us"),
+          col("n_events"))),
 
     // Per-event-type top-3 users by event count (rank window, deterministic
     // (count desc, user_id) tiebreak).
@@ -529,6 +549,12 @@ object PipelineQueries {
         |  CAST(COUNT(DISTINCT CASE WHEN dd.ndocs > 1 THEN sp.sh END) AS BIGINT) AS n_dup_spans
         |FROM sp JOIN dd USING (sh) GROUP BY sp.source""".stripMargin,
 
+    "heavy_tokens" ->
+      """WITH t AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+        |c AS (SELECT tok, COUNT(*) AS cnt FROM t GROUP BY tok),
+        |n AS (SELECT COUNT(*) AS total FROM t)
+        |SELECT tok, CAST(cnt AS BIGINT) AS cnt FROM c, n WHERE cnt * 65 > total""".stripMargin,
+
     // Built from the same PiiProbes/pattern constants as the Spark query so
     // the two surfaces cannot drift.
     "pii_redact" -> {
@@ -641,6 +667,16 @@ object PipelineQueries {
          |SELECT user_id, CAST(SUM(brk) + 1 AS BIGINT) AS n_sessions,
          |CAST(COUNT(*) AS BIGINT) AS n_events
          |FROM b GROUP BY user_id""".stripMargin,
+
+    "evt_session_windows" ->
+      s"""WITH t AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+         |b AS (SELECT user_id, us,
+         |  CASE WHEN us - LAG(us) OVER (PARTITION BY user_id ORDER BY us) >= $SessionGapUs
+         |       THEN 1 ELSE 0 END AS brk FROM t),
+         |s AS (SELECT user_id, us,
+         |  SUM(brk) OVER (PARTITION BY user_id ORDER BY us ROWS UNBOUNDED PRECEDING) AS sid FROM b)
+         |SELECT user_id, CAST(MIN(us) AS BIGINT) AS w_us, CAST(COUNT(*) AS BIGINT) AS n_events
+         |FROM s GROUP BY user_id, sid""".stripMargin,
 
     "evt_windows" ->
       """SELECT epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS w_us,

@@ -32,4 +32,24 @@ object EventWindows {
       .groupBy(window(col(tsCol), windowLen).as("w"), col(keyCol))
       .agg(count(lit(1)).as("cnt"))
       .select(col("w.start").as("w_start"), col(keyCol), col("cnt"))
+
+  /** Gap-based sessions per `keyCol` via the built-in `session_window`
+    * (merging event-time windows, half-open: an event exactly `gap` after
+    * its predecessor OPENS a new session). Output: (keyCol, w_start
+    * timestamp = session start, n_events).
+    *
+    * Batch/stream duality as [[windowedKeyCounts]]: streaming, the
+    * watermark finalizes a session once max-event-time − `lateness` passes
+    * its close, so state is bounded by OPEN sessions × keys on an unbounded
+    * feed; batch, the same plan is the exact grouped session aggregate the
+    * DuckDB oracle replays. Spark merges session fragments with a shuffle
+    * keyed on `keyCol` — no per-key sort of the whole stream, fragments
+    * merge in the state store. */
+  def sessionCounts(events: DataFrame, tsCol: String, keyCol: String,
+                    gap: String, lateness: String): DataFrame =
+    events
+      .withWatermark(tsCol, lateness)
+      .groupBy(col(keyCol), session_window(col(tsCol), gap).as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col(keyCol), col("sw.start").as("w_start"), col("n_events"))
 }

@@ -115,6 +115,47 @@ class CorpusOpsSpec extends AnyFunSuite with PropHelpers {
     assert(got("sB") == ((3L, 1L, 1L)), s"sB got ${got("sB")}")
   }
 
+  // -------------------------------------------------------- heavyHitters
+
+  test("MgSketchAgg never misses a value with count > N/(cap+1)") {
+    val agg = new CorpusOps.MgSketchAgg(4)
+    // Skewed stream generator: values drawn from a small domain with a
+    // heavy bias toward low indices.
+    val gen = Gen.listOfN(80, Gen.frequency(
+      (8, Gen.const("hh")), (3, Gen.const("mid")),
+      (1, Gen.oneOf((1 to 12).map(i => s"r$i")))))
+    forAll(gen, 60) { vs =>
+      val split = vs.length / 3
+      val (p1, rest) = vs.splitAt(split)
+      val (p2, p3) = rest.splitAt(split)
+      val sketch = agg.merge(agg.merge(
+        p1.foldLeft(agg.zero)(agg.reduce),
+        p2.foldLeft(agg.zero)(agg.reduce)),
+        p3.foldLeft(agg.zero)(agg.reduce))
+      assert(sketch.size <= 4)
+      val counts = vs.groupBy(identity).view.mapValues(_.size).toMap
+      val mustKeep = counts.filter(_._2 > vs.length / 5.0).keySet
+      assert(mustKeep.subsetOf(agg.finish(sketch).toSet),
+        s"missed heavy hitter: $mustKeep vs ${sketch.keySet} in $vs")
+    }
+  }
+
+  test("heavyHitters returns exactly the values with cnt*(cap+1) > N, with exact counts") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val r = new scala.util.Random(5)
+    // Zipf-ish: value v_i with weight ~ 1/(i+1) over 40 distinct values.
+    val vals = (1 to 3000).map { _ =>
+      val i = math.min((1.0 / (r.nextDouble() + 0.02)).toInt, 39)
+      s"v$i"
+    }
+    val got = CorpusOps.heavyHitters(vals.toDF("tok").repartition(8), "tok", 10)
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    val counts = vals.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val expect = counts.filter { case (_, c) => c * 11 > vals.length }
+    assert(got == expect, s"got $got expect $expect")
+  }
+
   // ------------------------------------------------------- decontaminate
 
   test("decontaminate flags train docs sharing spans with eval, counts distinct hits") {

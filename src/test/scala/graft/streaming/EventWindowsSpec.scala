@@ -39,4 +39,30 @@ class EventWindowsSpec extends AnyFunSuite {
       assert(w630max == 2L, s"in-time row must keep updating its window: $updates")
     } finally q.stop()
   }
+
+  test("session windows merge within gap and finalize once the watermark passes") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[(java.sql.Timestamp, String)]
+    val sessions = EventWindows.sessionCounts(
+      stream.toDF.toDF("ts", "uid"), "ts", "uid", "10 minutes", "5 minutes")
+    // Append mode: a session row is emitted exactly once, when the
+    // watermark passes its close — the bounded-state contract itself.
+    val q = sessions.writeStream.format("memory").queryName("evt_sess")
+      .outputMode("append").start()
+    try {
+      stream.addData((ts(600), "u"), (ts(605), "u"), (ts(609), "u"))
+      q.processAllAvailable()          // one open session [600, 619)
+      stream.addData((ts(640), "u"))   // watermark -> 635, past 619
+      q.processAllAvailable()
+      stream.addData((ts(660), "u"))   // extra batch flushes finalization
+      q.processAllAvailable()
+      val rows = spark.table("evt_sess").collect()
+        .map(r => (r.getString(0), r.getTimestamp(1).getTime / 60000L, r.getLong(2)))
+      assert(rows.contains(("u", 600L, 3L)),
+        s"first session (3 events merged across batches) not finalized: ${rows.toSeq}")
+      assert(!rows.exists(_._2 == 660L), "still-open session must not emit in append mode")
+    } finally q.stop()
+  }
 }
