@@ -289,6 +289,40 @@ object CorpusOps {
     cum.groupBy(groupCol).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Concat-and-chunk sequence-packing bookkeeping — the pretraining data
+    * layout: documents are laid out in a deterministic pseudo-shuffled order
+    * into one concatenated token stream per shard, and each document's
+    * context-window bin is the `budget`-token chunk its first token lands
+    * in. Output per (shard, bin): n_docs, tok_sum.
+    *
+    * Order and shard are md5-derived from the doc id (engine-neutral, seed
+    * via the salt string), so the layout is reproducible across re-runs and
+    * re-partitionings — the property a training run needs to resume
+    * mid-epoch. Scale shape: ONE window (running token sum) per shard;
+    * shards sort independently, so parallelism = `nShards` and no global
+    * sort exists. Pick nShards ≈ cluster parallelism; determinism is
+    * per-shard, which is what data-parallel training consumes anyway.
+    */
+  def packStats(docs: DataFrame, idCol: String, nShards: Int,
+                budget: Int): DataFrame = {
+    require(nShards > 0 && budget > 0, s"bad nShards=$nShards budget=$budget")
+    val ordHex = md5(concat(lit("pack:"), col(idCol).cast("string")))
+    val t = docs.select(col(idCol).as("doc_id"),
+      coalesce(size(TextOps.tokens(col("text"))), lit(0)).as("ntok"),
+      ordHex.as("ord"))
+      .withColumn("shard",
+        (ascii(substring(col("ord"), 1, 1)) * 59 +
+          ascii(substring(col("ord"), 2, 1))) % nShards)
+    val w = Window.partitionBy("shard").orderBy("ord", "doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    t.withColumn("off", coalesce(sum(col("ntok")).over(w), lit(0L)))
+      .withColumn("bin", expr(s"off DIV $budget"))
+      .groupBy("shard", "bin")
+      .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("tok_sum"))
+      .select(col("shard").cast("long").as("shard"), col("bin"),
+        col("n_docs"), col("tok_sum"))
+  }
+
   /** Salted content-hash bucket in [0, 100) — [[TextOps.hashBucketCol]]'s
     * fold over `md5(salt ‖ text)`, so sampling decisions are independent of
     * the train/val/test split buckets (an unsalted reuse would make every
@@ -310,7 +344,9 @@ object CorpusOps {
     * re-partitioning, re-sharding, or re-run, and sampling a union equals
     * the union of samples — none of which holds for `df.sample`'s
     * partition-seeded RNG. Pure per-row expression: no shuffle, no RNG
-    * state, Catalyst pushes the filter to the scan.
+    * state; the filter runs whole-stage-codegen'd in the scan stage (an
+    * md5 expression cannot push into parquet row-group pruning — no
+    * content-hash filter can).
     */
   def stratifiedSample(docs: DataFrame, strataCol: String,
                        rates: Map[String, Int], defaultPct: Int,

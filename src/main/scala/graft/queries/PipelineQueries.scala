@@ -146,6 +146,11 @@ object PipelineQueries {
       graft.operators.CorpusOps.discQuantiles(
         docs(s, d), "source", "n_chars", Seq(25, 50, 75, 95))),
 
+    // Concat-and-chunk packing bookkeeping: md5-shuffled doc order in 4
+    // shards, 2048-token context windows; per (shard, bin) doc/token counts.
+    "pack_bins" -> ((s, d) =>
+      graft.operators.CorpusOps.packStats(docs(s, d), "doc_id", 4, 2048)),
+
     // Deterministic stratified sample — 30% of src0, src1 excluded, 10%
     // elsewhere; MEMBERSHIP (doc_id rows), not just counts, is gated.
     "strat_sample" -> ((s, d) =>
@@ -595,6 +600,19 @@ object PipelineQueries {
         |  CAST(MIN(CASE WHEN cum*100 >= n*75 THEN v END) AS BIGINT) AS p75,
         |  CAST(MIN(CASE WHEN cum*100 >= n*95 THEN v END) AS BIGINT) AS p95
         |FROM cum GROUP BY source""".stripMargin,
+
+    "pack_bins" ->
+      """WITH t AS (SELECT doc_id,
+        |  COALESCE(len(string_split(text, ' ')), 0) AS ntok,
+        |  md5('pack:' || CAST(doc_id AS VARCHAR)) AS ord FROM documents),
+        |s AS (SELECT doc_id, ntok, ord,
+        |  (ascii(substr(ord,1,1))*59 + ascii(substr(ord,2,1))) % 4 AS shard FROM t),
+        |o AS (SELECT shard, ntok,
+        |  COALESCE(SUM(ntok) OVER (PARTITION BY shard ORDER BY ord, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off FROM s)
+        |SELECT CAST(shard AS BIGINT) AS shard, CAST(off // 2048 AS BIGINT) AS bin,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(ntok) AS BIGINT) AS tok_sum
+        |FROM o GROUP BY 1, 2""".stripMargin,
 
     "strat_sample" ->
       s"""SELECT doc_id, source FROM (

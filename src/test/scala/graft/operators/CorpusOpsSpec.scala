@@ -196,6 +196,36 @@ class CorpusOpsSpec extends AnyFunSuite with PropHelpers {
     }
   }
 
+  // ----------------------------------------------------------- packStats
+
+  test("packStats matches a sequential concat-and-chunk simulation; stable under repartition") {
+    val r = new scala.util.Random(3)
+    val rows = (1 to 120).map(i =>
+      (i.toLong, "s", (1 to (1 + r.nextInt(40))).map(t => s"w$t").mkString(" ")))
+    val df = docsDF(rows: _*)
+    def run(d: org.apache.spark.sql.DataFrame) =
+      CorpusOps.packStats(d, "doc_id", 3, 50)
+        .collect().map(x => (x.getLong(0), x.getLong(1)) -> (x.getLong(2), x.getLong(3))).toMap
+    val got = run(df)
+    assert(got == run(df.repartition(7)), "packing changed under repartitioning")
+    // Sequential oracle: md5-shuffle per shard, walk the token stream.
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hex(s: String) = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expect = rows.map { case (id, _, text) =>
+      val o = hex(s"pack:$id")
+      (id, text.split(" ").length.toLong, o,
+        (o(0).toInt * 59 + o(1).toInt) % 3)
+    }.groupBy(_._4).toSeq.flatMap { case (shard, ds) =>
+      var off = 0L
+      ds.sortBy(d => (d._3, d._1)).map { d =>
+        val bin = off / 50; off += d._2; (shard.toLong, bin) -> d._2
+      }
+    }.groupBy(_._1).map { case (k, xs) =>
+      k -> (xs.size.toLong, xs.map(_._2).sum)
+    }
+    assert(got == expect, s"got $got expect $expect")
+  }
+
   // ---------------------------------------------------- stratifiedSample
 
   test("stratifiedSample: deterministic, partition-invariant, rate map honored") {
