@@ -252,6 +252,25 @@ class CorpusOpsSpec extends AnyFunSuite with PropHelpers {
     assert(CorpusOps.stratifiedSample(df, "source", Map.empty, 100).count() == 200)
   }
 
+  test("corpus ops are well-behaved on empty and null-text input") {
+    val empty = docsDF()
+    assert(CorpusOps.tfidfTopTerms(empty, "doc_id", "source", 5).count() == 0)
+    assert(CorpusOps.kmvDistinct(empty, "source", 3, 64).count() == 0)
+    assert(CorpusOps.spanStats(empty, "doc_id", "source", 8).count() == 0)
+    assert(CorpusOps.heavyHitters(empty.select(col("text").as("v")), "v", 8).count() == 0)
+    assert(CorpusOps.discQuantiles(empty, "source", "doc_id", Seq(50)).count() == 0)
+    assert(CorpusOps.packStats(empty, "doc_id", 4, 100).count() == 0)
+    assert(CorpusOps.decontaminate(empty, empty, "doc_id", 8).count() == 0)
+    // Null text: absent from token/span paths, packed with 0 tokens.
+    val nulls = docsDF((1L, "s", null), (2L, "s", "a b c d e f g h i"))
+    assert(CorpusOps.spanStats(nulls, "doc_id", "source", 8)
+      .head().getLong(1) == 2L) // only doc 2's spans
+    val packed = CorpusOps.packStats(nulls, "doc_id", 1, 100)
+      .collect().map(r => r.getLong(2) -> r.getLong(3))
+    assert(packed.toSeq == Seq(2L -> 9L), // both docs packed, null counts 0 tokens
+      s"got ${packed.toSeq}")
+  }
+
   test("stratifiedSample uses a salted bucket (not the split bucket)") {
     val spark = TestSpark.spark
     val df = docsDF((1 to 100).map(i =>
