@@ -289,6 +289,39 @@ object CorpusOps {
     cum.groupBy(groupCol).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Unigram-surprisal banding — the corpus-statistics stand-in for
+    * perplexity filtering: a document whose tokens are globally rare scores
+    * high (gibberish / wrong-corpus text), one built from boilerplate scores
+    * low. Integer-exact end to end: token surprisal = (scale · N) div cnt,
+    * doc score = mean token surprisal, band = score div bandDiv. Output:
+    * (band, cnt) histogram.
+    *
+    * Shape for scale: ONE corpus explode into a persisted (doc, token)
+    * incidence (the [[tfidfTopTerms]] pattern — release caches after
+    * consuming); global token counts and the corpus total derive from the
+    * incidence, not from re-scans. The frequency join-back runs at
+    * (doc, token) granularity — the skew-safe document-frequency shape, not
+    * an instance-stream join against hot tokens. `scale · N` must stay
+    * below 2⁶³ (ANSI mode fails loudly otherwise): the default 10⁶ scale
+    * accommodates ~9·10¹² total tokens; drop `scale` for corpora beyond
+    * that.
+    */
+  def surprisalBands(docs: DataFrame, idCol: String, scale: Long = 1000000L,
+                     bandDiv: Long = 10000000L): DataFrame = {
+    val dt = graft.core.Caches.persistTracked(docs
+      .select(col(idCol).as("doc_id"),
+        explode(TextOps.tokens(col("text"))).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c_dt")))
+    val tc = graft.core.Caches.persistTracked(
+      dt.groupBy("tok").agg(sum(col("c_dt")).as("cnt")))
+    val n = tc.agg(sum(col("cnt")).as("total"))
+    dt.join(tc, "tok").crossJoin(broadcast(n))
+      .withColumn("s", col("c_dt") * expr(s"($scale * total) DIV cnt"))
+      .groupBy("doc_id").agg(sum(col("s")).as("score"), sum(col("c_dt")).as("ntok"))
+      .select(expr(s"(score DIV ntok) DIV $bandDiv").as("band"))
+      .groupBy("band").agg(count(lit(1)).as("cnt"))
+  }
+
   /** Concat-and-chunk sequence-packing bookkeeping — the pretraining data
     * layout: documents are laid out in a deterministic pseudo-shuffled order
     * into one concatenated token stream per shard, and each document's

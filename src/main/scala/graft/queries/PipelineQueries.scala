@@ -146,6 +146,11 @@ object PipelineQueries {
       graft.operators.CorpusOps.discQuantiles(
         docs(s, d), "source", "n_chars", Seq(25, 50, 75, 95))),
 
+    // Unigram-surprisal band histogram — perplexity-filter stand-in built
+    // from the corpus' own token statistics, integer-exact.
+    "txt_surprisal" -> ((s, d) =>
+      graft.operators.CorpusOps.surprisalBands(docs(s, d), "doc_id")),
+
     // Concat-and-chunk packing bookkeeping: md5-shuffled doc order in 4
     // shards, 2048-token context windows; per (shard, bin) doc/token counts.
     "pack_bins" -> ((s, d) =>
@@ -600,6 +605,19 @@ object PipelineQueries {
         |  CAST(MIN(CASE WHEN cum*100 >= n*75 THEN v END) AS BIGINT) AS p75,
         |  CAST(MIN(CASE WHEN cum*100 >= n*95 THEN v END) AS BIGINT) AS p95
         |FROM cum GROUP BY source""".stripMargin,
+
+    "txt_surprisal" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |dt AS (SELECT doc_id, tok, COUNT(*) AS c_dt FROM t GROUP BY 1, 2),
+        |tc AS (SELECT tok, SUM(c_dt) AS cnt FROM dt GROUP BY tok),
+        |n AS (SELECT SUM(cnt) AS total FROM tc),
+        |sc AS (SELECT dt.doc_id,
+        |  SUM(dt.c_dt * ((1000000 * n.total) // tc.cnt)) AS score,
+        |  SUM(dt.c_dt) AS ntok
+        |  FROM dt JOIN tc USING (tok), n GROUP BY dt.doc_id)
+        |SELECT CAST((score // ntok) // 10000000 AS BIGINT) AS band,
+        |  CAST(COUNT(*) AS BIGINT) AS cnt
+        |FROM sc GROUP BY 1""".stripMargin,
 
     "pack_bins" ->
       """WITH t AS (SELECT doc_id,

@@ -196,6 +196,27 @@ class CorpusOpsSpec extends AnyFunSuite with PropHelpers {
     }
   }
 
+  // ------------------------------------------------------ surprisalBands
+
+  test("surprisalBands matches brute-force integer mean-surprisal banding") {
+    val rows = Seq(
+      (1L, "s", "the the the cat"),      // mostly hot tokens -> low band
+      (2L, "s", "the the dog dog"),
+      (3L, "s", "qqq zzz www yyy xxx"))  // all-rare doc -> high band
+    val got = CorpusOps.surprisalBands(docsDF(rows: _*), "doc_id",
+        scale = 1000L, bandDiv = 100L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // Brute force with the same integer arithmetic.
+    val toks = rows.flatMap { case (id, _, t) => t.split(" ").map(id -> _) }
+    val cnt = toks.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val total = toks.size.toLong
+    val expect = toks.groupBy(_._1).values.map { ts =>
+      val score = ts.map { case (_, tok) => (1000L * total) / cnt(tok) }.sum
+      (score / ts.size) / 100L
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(got == expect, s"got $got expect $expect")
+  }
+
   // ----------------------------------------------------------- packStats
 
   test("packStats matches a sequential concat-and-chunk simulation; stable under repartition") {
