@@ -289,6 +289,28 @@ object CorpusOps {
     cum.groupBy(groupCol).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Cross-group span-overlap matrix — which sources duplicate each other,
+    * the signal a mixture designer reads before weighting sources (and the
+    * pairwise view [[decontaminate]] gives for one eval set). Output:
+    * (src_a, src_b, n_shared) for group pairs sharing ≥ 1 distinct
+    * word-`n`-gram span, src_a < src_b.
+    *
+    * Scale shape: spans collapse to DISTINCT (group, span) rows first
+    * (map-side-combined; persisted once — the self-join consumes both
+    * sides), so the span self-join has per-key multiplicity ≤ |groups|,
+    * never instance counts — output fanout per span is bounded by groups²,
+    * not docs². */
+  def sourceOverlap(docs: DataFrame, groupCol: String, n: Int): DataFrame = {
+    val sp = graft.core.Caches.persistTracked(docs
+      .select(col(groupCol).as("g"),
+        explode(DedupOps.shingles(col("text"), n)).as("s"))
+      .select(col("g"), md5(col("s")).as("sh")).distinct())
+    sp.as("a").join(sp.as("b"),
+        col("a.sh") === col("b.sh") && col("a.g") < col("b.g"))
+      .groupBy(col("a.g").as("src_a"), col("b.g").as("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   /** Unigram-surprisal banding — the corpus-statistics stand-in for
     * perplexity filtering: a document whose tokens are globally rare scores
     * high (gibberish / wrong-corpus text), one built from boilerplate scores

@@ -146,6 +146,11 @@ object PipelineQueries {
       graft.operators.CorpusOps.discQuantiles(
         docs(s, d), "source", "n_chars", Seq(25, 50, 75, 95))),
 
+    // Cross-source span-overlap matrix (8-token spans) — which sources
+    // duplicate each other; the mixture-design contamination signal.
+    "corp_overlap" -> ((s, d) =>
+      graft.operators.CorpusOps.sourceOverlap(docs(s, d), "source", 8)),
+
     // Unigram-surprisal band histogram — perplexity-filter stand-in built
     // from the corpus' own token statistics, integer-exact.
     "txt_surprisal" -> ((s, d) =>
@@ -605,6 +610,14 @@ object PipelineQueries {
         |  CAST(MIN(CASE WHEN cum*100 >= n*75 THEN v END) AS BIGINT) AS p75,
         |  CAST(MIN(CASE WHEN cum*100 >= n*95 THEN v END) AS BIGINT) AS p95
         |FROM cum GROUP BY source""".stripMargin,
+
+    "corp_overlap" ->
+      """WITH sp AS (SELECT DISTINCT source,
+        |  unnest([md5(array_to_string(w[i:i+7], ' ')) for i in range(1, len(w) - 6)]) AS sh
+        |  FROM (SELECT source, string_split(text, ' ') AS w FROM documents))
+        |SELECT a.source AS src_a, b.source AS src_b, CAST(COUNT(*) AS BIGINT) AS n_shared
+        |FROM sp a JOIN sp b ON a.sh = b.sh AND a.source < b.source
+        |GROUP BY 1, 2""".stripMargin,
 
     "txt_surprisal" ->
       """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),

@@ -196,6 +196,22 @@ class CorpusOpsSpec extends AnyFunSuite with PropHelpers {
     }
   }
 
+  // ------------------------------------------------------- sourceOverlap
+
+  test("sourceOverlap counts distinct shared spans per group pair, ordered") {
+    val span1 = (1 to 8).map(i => s"a$i").mkString(" ")
+    val span2 = (1 to 8).map(i => s"b$i").mkString(" ")
+    val rows = Seq(
+      (1L, "sA", span1 + " " + span2),      // sA holds both spans (+ overlap spans)
+      (2L, "sB", span1),                    // shares span1 with sA
+      (3L, "sC", span2 + " tail"),          // shares span2 with sA
+      (4L, "sB", span1),                    // duplicate doc: distinct-per-group, no double count
+      (5L, "sD", "u1 u2 u3 u4 u5 u6 u7 u8"))
+    val got = CorpusOps.sourceOverlap(docsDF(rows: _*), "source", 8)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == Map(("sA", "sB") -> 1L, ("sA", "sC") -> 1L), s"got $got")
+  }
+
   // ------------------------------------------------------ surprisalBands
 
   test("surprisalBands matches brute-force integer mean-surprisal banding") {
