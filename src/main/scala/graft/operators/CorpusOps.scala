@@ -295,19 +295,28 @@ object CorpusOps {
     * (src_a, src_b, n_shared) for group pairs sharing ≥ 1 distinct
     * word-`n`-gram span, src_a < src_b.
     *
-    * Scale shape: spans collapse to DISTINCT (group, span) rows first
-    * (map-side-combined; persisted once — the self-join consumes both
-    * sides), so the span self-join has per-key multiplicity ≤ |groups|,
-    * never instance counts — output fanout per span is bounded by groups²,
-    * not docs². */
+    * Scale shape: ONE shuffle, NO join — each span aggregates straight to
+    * its set of groups (`collect_set`, map-side-combined and bounded by
+    * |groups| per key, so a boilerplate span carries at most one set, never
+    * its instance count), and the ordered group pairs explode from the
+    * sorted set inline. Output fanout per span is bounded by groups², not
+    * docs², and the final pair count aggregates over at most
+    * C(|groups|, 2) keys. */
   def sourceOverlap(docs: DataFrame, groupCol: String, n: Int): DataFrame = {
-    val sp = graft.core.Caches.persistTracked(docs
+    val spanGroups = docs
       .select(col(groupCol).as("g"),
         explode(DedupOps.shingles(col("text"), n)).as("s"))
-      .select(col("g"), md5(col("s")).as("sh")).distinct())
-    sp.as("a").join(sp.as("b"),
-        col("a.sh") === col("b.sh") && col("a.g") < col("b.g"))
-      .groupBy(col("a.g").as("src_a"), col("b.g").as("src_b"))
+      .groupBy(md5(col("s")).as("sh"))
+      .agg(array_sort(collect_set(col("g"))).as("gs"))
+      .filter(size(col("gs")) > 1)
+    // All ordered pairs (gs[i], gs[j]), i < j, from the sorted group set.
+    val pairs = flatten(transform(
+      sequence(lit(1), size(col("gs")) - 1),
+      i => transform(slice(col("gs"), i + 1, size(col("gs"))),
+        b => struct(element_at(col("gs"), i).as("a"), b.as("b")))))
+    spanGroups
+      .select(explode(pairs).as("p"))
+      .groupBy(col("p.a").as("src_a"), col("p.b").as("src_b"))
       .agg(count(lit(1)).as("n_shared"))
   }
 
