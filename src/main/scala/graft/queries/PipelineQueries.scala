@@ -250,6 +250,14 @@ object PipelineQueries {
         embs(s, d), "vec_id", "embedding",
         col("vec_id").between(KmCentLo, KmCentHi), KmIters, EmbDims)),
 
+    // IVF search over the k-means-TRAINED coarse quantizer — the realistic
+    // ANN pipeline (train → assign → multi-probe → exact re-rank), every
+    // stage of which the oracle replays.
+    "knn_ivf_kmeans" -> ((s, d) =>
+      graft.operators.VectorOps.knnIvfKmeans(
+        embs(s, d), "vec_id", "embedding", col("vec_id") < 8, 5,
+        col("vec_id").between(KmCentLo, KmCentHi), KmIters, IvfProbes, EmbDims)),
+
     // Embedding-cosine near-dup pairs among LSH-colliding candidates
     // (the oracle replays the identical hyperplanes, so the candidate set —
     // not just the verified set — is oracle-checked).
@@ -466,6 +474,40 @@ object PipelineQueries {
        |  $sums
        |  FROM toks GROUP BY doc_id),
        |sig AS (SELECT doc_id, CAST($weights AS BIGINT) AS simhash FROM sums)""".stripMargin
+  }
+
+  /** Integer squared-L2 between quantized vector `q.v` and centroid `c.cv`
+    * (expects those aliases in scope). */
+  private val kmDistSql =
+    s"list_sum([(q.v[i]-c.cv[i])*(q.v[i]-c.cv[i]) for i in range(1, ${EmbDims + 1})])"
+
+  /** Replays kmeansAssign's training: quantize (the emb_quant pipeline),
+    * seed c0 from vec_id $KmCentLo..$KmCentHi, then per iteration
+    * argmin-assign (integer squared L2, ties to lowest cid) / integer
+    * dimension sums / round-half-away integer centroid update (empty cells
+    * keep their centroid). Yields CTEs `q` (quantized corpus) and
+    * `c$KmIters` (trained centroids) — shared by the emb_kmeans and
+    * knn_ivf_kmeans oracles. */
+  private val kmeansCteSql: String = {
+    val sumCols = (1 to EmbDims).map(i => s"SUM(v[$i]) AS s$i").mkString(", ")
+    val centList = (1 to EmbDims).map(i =>
+      s"CAST(CASE WHEN s$i < 0 THEN -((2*(-s$i) + n) // (2*n)) ELSE (2*s$i + n) // (2*n) END AS BIGINT)")
+      .mkString("[", ", ", "]")
+    val iterCtes = (1 to KmIters).map { t =>
+      s"""a$t AS (SELECT id, v, cid FROM (
+         |  SELECT id, v, cid, ROW_NUMBER() OVER (PARTITION BY id ORDER BY d, cid) AS rn
+         |  FROM (SELECT q.id, q.v, c.cid, $kmDistSql AS d FROM q, c${t - 1} c)) WHERE rn = 1),
+         |g$t AS (SELECT cid, COUNT(*) AS n, $sumCols FROM a$t GROUP BY cid),
+         |c$t AS (SELECT c.cid, CASE WHEN g.cid IS NULL THEN c.cv ELSE $centList END AS cv
+         |  FROM c${t - 1} c LEFT JOIN g$t g ON c.cid = g.cid)""".stripMargin
+    }.mkString(",\n")
+    s"""e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS ev FROM embeddings),
+       |sc AS (SELECT vec_id, ev, list_max([abs(x) for x in ev]) / 127.0 AS scale FROM e),
+       |q AS (SELECT vec_id AS id,
+       |  CASE WHEN scale > 0 THEN [CAST(FLOOR(x / scale + 0.5) AS BIGINT) for x in ev]
+       |       ELSE [CAST(0 AS BIGINT) for x in ev] END AS v FROM sc),
+       |c0 AS (SELECT id AS cid, v AS cv FROM q WHERE id BETWEEN $KmCentLo AND $KmCentHi),
+       |$iterCtes""".stripMargin
   }
 
   val oracles: Map[String, String] = Map(
@@ -817,35 +859,34 @@ object PipelineQueries {
          |WHERE $cos >= 0.35""".stripMargin
     },
 
-    "emb_kmeans" -> {
-      // Replays kmeansAssign: quantize (the emb_quant pipeline), seed c0
-      // from vec_id 8..15, then per iteration argmin-assign (integer
-      // squared L2, ties to lowest cid) / 64 integer dimension sums /
-      // round-half-away integer centroid update (empty cells keep their
-      // centroid), and a final assignment with its distance.
-      val distSql = s"list_sum([(q.v[i]-c.cv[i])*(q.v[i]-c.cv[i]) for i in range(1, ${EmbDims + 1})])"
-      val sumCols = (1 to EmbDims).map(i => s"SUM(v[$i]) AS s$i").mkString(", ")
-      val centList = (1 to EmbDims).map(i =>
-        s"CAST(CASE WHEN s$i < 0 THEN -((2*(-s$i) + n) // (2*n)) ELSE (2*s$i + n) // (2*n) END AS BIGINT)")
-        .mkString("[", ", ", "]")
-      val iterCtes = (1 to KmIters).map { t =>
-        s"""a$t AS (SELECT id, v, cid FROM (
-           |  SELECT id, v, cid, ROW_NUMBER() OVER (PARTITION BY id ORDER BY d, cid) AS rn
-           |  FROM (SELECT q.id, q.v, c.cid, $distSql AS d FROM q, c${t - 1} c)) WHERE rn = 1),
-           |g$t AS (SELECT cid, COUNT(*) AS n, $sumCols FROM a$t GROUP BY cid),
-           |c$t AS (SELECT c.cid, CASE WHEN g.cid IS NULL THEN c.cv ELSE $centList END AS cv
-           |  FROM c${t - 1} c LEFT JOIN g$t g ON c.cid = g.cid)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS ev FROM embeddings),
-         |sc AS (SELECT vec_id, ev, list_max([abs(x) for x in ev]) / 127.0 AS scale FROM e),
-         |q AS (SELECT vec_id AS id,
-         |  CASE WHEN scale > 0 THEN [CAST(FLOOR(x / scale + 0.5) AS BIGINT) for x in ev]
-         |       ELSE [CAST(0 AS BIGINT) for x in ev] END AS v FROM sc),
-         |c0 AS (SELECT id AS cid, v AS cv FROM q WHERE id BETWEEN $KmCentLo AND $KmCentHi),
-         |$iterCtes
+    "emb_kmeans" ->
+      s"""WITH $kmeansCteSql
          |SELECT id AS vec_id, cid, CAST(d AS BIGINT) AS dist FROM (
          |  SELECT id, cid, d, ROW_NUMBER() OVER (PARTITION BY id ORDER BY d, cid) AS rn
-         |  FROM (SELECT q.id, c.cid, $distSql AS d FROM q, c$KmIters c)) WHERE rn = 1""".stripMargin
+         |  FROM (SELECT q.id, c.cid, $kmDistSql AS d FROM q, c$KmIters c)) WHERE rn = 1""".stripMargin,
+
+    "knn_ivf_kmeans" -> {
+      // Same training CTE chain as emb_kmeans, then: argmin cell per
+      // vector, top-`probes` cells per query (same integer distance, ties
+      // to lowest cid), candidates from probed cells, exact-cosine re-rank
+      // on the original float vectors.
+      val cos = cosSql("a.v", "b.v")
+      s"""WITH $kmeansCteSql,
+         |dists AS (SELECT q.id, c.cid, $kmDistSql AS d FROM q, c$KmIters c),
+         |cells AS (SELECT id, cid FROM (
+         |  SELECT id, cid, ROW_NUMBER() OVER (PARTITION BY id ORDER BY d, cid) AS rn
+         |  FROM dists) WHERE rn = 1),
+         |prob AS (SELECT id AS qid, cid FROM (
+         |  SELECT id, cid, ROW_NUMBER() OVER (PARTITION BY id ORDER BY d, cid) AS rn
+         |  FROM dists WHERE id < 8) WHERE rn <= $IvfProbes),
+         |ev AS (SELECT vec_id, embedding AS v FROM embeddings),
+         |cand AS (SELECT p.qid, cl.id AS nid FROM prob p JOIN cells cl USING (cid)
+         |  WHERE cl.id != p.qid),
+         |s AS (SELECT c.qid, c.nid, $cos AS sim
+         |  FROM cand c JOIN ev a ON a.vec_id = c.qid JOIN ev b ON b.vec_id = c.nid)
+         |SELECT qid, nid, CAST(rnk AS BIGINT) AS rnk FROM (
+         |  SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rnk FROM s)
+         |WHERE rnk <= 5""".stripMargin
     },
 
     "dedup_jaccard" ->

@@ -138,6 +138,39 @@ class VectorOpsSpec extends AnyFunSuite {
     got.foreach { case (id, cid, _) => assert(cid == (id / 10) * 10, s"$id -> $cid") }
   }
 
+  test("knnIvfKmeans: probing all trained cells equals brute force; one probe stays in-cluster") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val rnd = new scala.util.Random(21)
+    def blob(center: Array[Float], n: Int, from: Long) =
+      (0 until n).map(i => (from + i,
+        center.map(c => c + (rnd.nextFloat() - 0.5f) * 0.1f)))
+    val rows = blob(Array(1f, 0f, 0f, 0f), 7, 0L) ++
+      blob(Array(0f, 1f, 0f, 0f), 7, 10L) ++
+      blob(Array(0f, 0f, 1f, 0f), 7, 20L)
+    val df = rows.toDF("vec_id", "embedding")
+    val seeds = col("vec_id") === 0 || col("vec_id") === 10 || col("vec_id") === 20
+    val queries = col("vec_id") === 1 || col("vec_id") === 11
+    // All 3 cells probed -> candidate set is the whole corpus -> must equal
+    // exact brute force.
+    val all = graft.core.Caches.scoped {
+      VectorOps.knnIvfKmeans(df, "vec_id", "embedding", queries, 4, seeds,
+          iters = 3, probes = 3, dims = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    }
+    val brute = VectorOps.knnBrute(df, "vec_id", "embedding", queries, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(all == brute, s"all-probe != brute: $all vs $brute")
+    // One probe: every neighbor comes from the query's own blob.
+    val one = graft.core.Caches.scoped {
+      VectorOps.knnIvfKmeans(df, "vec_id", "embedding", queries, 4, seeds,
+          iters = 3, probes = 1, dims = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    assert(one.nonEmpty)
+    one.foreach { case (q, n) => assert(n / 10 == q / 10, s"$q paired out-of-blob $n") }
+  }
+
   test("knnBrute ranks by cosine with id tiebreak") {
     val spark = TestSpark.spark
     import spark.implicits._
