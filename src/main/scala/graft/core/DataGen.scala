@@ -29,18 +29,45 @@ object DataGen {
       java.security.MessageDigest.getInstance("MD5")
   }
 
-  /** Uniform double in [0, 1): bits of md5("$seed:$id:$k") — the first 13
-    * hex chars (= first 6 bytes and the high nibble of the 7th) big-endian,
-    * over 2⁵². Replayed in SQL as a 13-term hex-char polynomial divided by
-    * 4503599627370496.0. */
+  /** Per-thread memo of the last digest: generators draw k = 0, 1, 2, …
+    * per record, and two consecutive draws share one digest (see [[u]]),
+    * so the second is a cache hit — digest count per record is
+    * ⌈draws/2⌉, not draws. */
+  private final class DigestMemo {
+    var seed: Long = Long.MinValue
+    var id: Long = Long.MinValue
+    var kk: Int = -1
+    var d: Array[Byte] = null
+  }
+  private val memoLocal = new ThreadLocal[DigestMemo] {
+    override def initialValue(): DigestMemo = new DigestMemo
+  }
+
+  /** Uniform double in [0, 1): 52 bits of md5("$seed:$id:${k/2}") — hex
+    * chars 1–13 (even k) or 14–26 (odd k) big-endian over 2⁵², so one
+    * digest yields two independent draws (md5 bytes are pairwise
+    * independent for this purpose). Replayed in SQL as a 13-term hex-char
+    * polynomial over the same substring, divided by 4503599627370496.0. */
   def u(seed: Long, id: Long, k: Int): Double = {
-    val md = md5Local.get()
-    md.reset()
-    val d = md.digest(s"$seed:$id:$k".getBytes("UTF-8"))
+    val kk = k >> 1
+    val m = memoLocal.get()
+    if (m.seed != seed || m.id != id || m.kk != kk) {
+      val md = md5Local.get()
+      md.reset()
+      m.d = md.digest(s"$seed:$id:$kk".getBytes("UTF-8"))
+      m.seed = seed; m.id = id; m.kk = kk
+    }
+    val d = m.d
     var v = 0L
-    var i = 0
-    while (i < 6) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
-    v = (v << 4) | ((d(6) & 0xf0L) >>> 4)
+    if ((k & 1) == 0) { // hex chars 1..13: bytes 0..5 + high nibble of 6
+      var i = 0
+      while (i < 6) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+      v = (v << 4) | ((d(6) & 0xf0L) >>> 4)
+    } else {            // hex chars 14..26: low nibble of 6 + bytes 7..12
+      v = d(6) & 0x0fL
+      var i = 7
+      while (i < 13) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    }
     v / 4503599627370496.0
   }
 

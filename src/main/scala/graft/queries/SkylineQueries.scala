@@ -256,14 +256,16 @@ object SkylineQueries {
   private val DgSlack = 0.0005 * (DgMax - DgMin).toDouble * DgDims
   private val DgBase  = (DgMin + DgMax) / 2.0 * DgDims - DgSlack
 
-  private def hexPolySql(h: String): String =
-    (1 to 13).map { j =>
-      val c = s"substr($h,$j,1)"
-      s"(ascii($c) - CASE WHEN ascii($c) >= 97 THEN 87 ELSE 48 END) * CAST(${1L << (4 * (13 - j))} AS BIGINT)"
+  private def hexPolySql(h: String, start: Int): String =
+    (0 until 13).map { j =>
+      val c = s"substr($h,${start + j},1)"
+      s"(ascii($c) - CASE WHEN ascii($c) >= 97 THEN 87 ELSE 48 END) * CAST(${1L << (4 * (12 - j))} AS BIGINT)"
     }.mkString("(", " + ", ")")
 
+  /** Draw k replays [[graft.core.DataGen.u]]: digest "seed:id:k/2", hex
+    * chars 1–13 for even k, 14–26 for odd k. */
   private def uSql(k: Int): String =
-    s"${hexPolySql(s"md5('$DgSeed:' || CAST(id AS VARCHAR) || ':$k')")} / CAST('4503599627370496' AS DOUBLE)"
+    s"${hexPolySql(s"md5('$DgSeed:' || CAST(id AS VARCHAR) || ':${k >> 1}')", if ((k & 1) == 0) 1 else 14)} / CAST('4503599627370496' AS DOUBLE)"
 
   private def dgClampSql(v: String): String =
     s"GREATEST(CAST('$DgMin' AS DOUBLE), LEAST(CAST('$DgMax' AS DOUBLE), TRUNC($v)))"
