@@ -63,6 +63,7 @@ object CorpusOps {
     * fine at k ≲ a few hundred; swap for a bounded TreeSet beyond that.
     */
   class KMinAgg(k: Int) extends Aggregator[String, List[String], String] {
+    require(k >= 2, s"KMV needs k >= 2 (estimator divides by k-1): k=$k")
     override def zero: List[String] = Nil
 
     private def insert(b: List[String], v: String): List[String] =
@@ -180,6 +181,7 @@ object CorpusOps {
     */
   class MgSketchAgg(cap: Int)
       extends Aggregator[String, Map[String, Long], Array[String]] {
+    require(cap >= 1, s"Misra-Gries needs at least one counter: cap=$cap")
     override def zero: Map[String, Long] = Map.empty
 
     override def reduce(b: Map[String, Long], v: String): Map[String, Long] =
@@ -367,16 +369,27 @@ object CorpusOps {
     * sort exists. Pick nShards ≈ cluster parallelism; determinism is
     * per-shard, which is what data-parallel training consumes anyway.
     */
+  /** Value of one lowercase hex char of `h` at 1-based position `j` —
+    * engine-neutral (DuckDB replays it with the same ascii arithmetic). */
+  private def hexVal(h: Column, j: Int): Column = {
+    val a = ascii(substring(h, j, 1))
+    a - when(a >= 97, 87).otherwise(48)
+  }
+
   def packStats(docs: DataFrame, idCol: String, nShards: Int,
                 budget: Int): DataFrame = {
-    require(nShards > 0 && budget > 0, s"bad nShards=$nShards budget=$budget")
+    require(nShards > 0 && nShards <= 4096 && budget > 0,
+      s"bad nShards=$nShards (1..4096) budget=$budget")
     val ordHex = md5(concat(lit("pack:"), col(idCol).cast("string")))
     val t = docs.select(col(idCol).as("doc_id"),
       coalesce(size(TextOps.tokens(col("text"))), lit(0)).as("ntok"),
       ordHex.as("ord"))
+      // Shard from 16 true hash bits (4 hex chars as a base-16 polynomial)
+      // — near-uniform for any nShards well below 2^16; a 2-char ascii fold
+      // would skew or even miss shards past a few dozen.
       .withColumn("shard",
-        (ascii(substring(col("ord"), 1, 1)) * 59 +
-          ascii(substring(col("ord"), 2, 1))) % nShards)
+        (1 to 4).map(j => hexVal(col("ord"), j) * (1 << (4 * (4 - j))))
+          .reduce(_ + _) % nShards)
     val w = Window.partitionBy("shard").orderBy("ord", "doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
     t.withColumn("off", coalesce(sum(col("ntok")).over(w), lit(0L)))

@@ -674,18 +674,21 @@ object PipelineQueries {
         |  CAST(COUNT(*) AS BIGINT) AS cnt
         |FROM sc GROUP BY 1""".stripMargin,
 
-    "pack_bins" ->
-      """WITH t AS (SELECT doc_id,
-        |  COALESCE(len(string_split(text, ' ')), 0) AS ntok,
-        |  md5('pack:' || CAST(doc_id AS VARCHAR)) AS ord FROM documents),
-        |s AS (SELECT doc_id, ntok, ord,
-        |  (ascii(substr(ord,1,1))*59 + ascii(substr(ord,2,1))) % 4 AS shard FROM t),
+    "pack_bins" -> {
+      val shardPoly = (1 to 4).map(j =>
+        s"${hexvalSql(s"substr(ord,$j,1)")} * ${1 << (4 * (4 - j))}").mkString(" + ")
+      s"""WITH t AS (SELECT doc_id,
+         |  COALESCE(len(string_split(text, ' ')), 0) AS ntok,
+         |  md5('pack:' || CAST(doc_id AS VARCHAR)) AS ord FROM documents),
+         |s AS (SELECT doc_id, ntok, ord,
+         |  ($shardPoly) % 4 AS shard FROM t),
         |o AS (SELECT shard, ntok,
         |  COALESCE(SUM(ntok) OVER (PARTITION BY shard ORDER BY ord, doc_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off FROM s)
-        |SELECT CAST(shard AS BIGINT) AS shard, CAST(off // 2048 AS BIGINT) AS bin,
-        |  CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(ntok) AS BIGINT) AS tok_sum
-        |FROM o GROUP BY 1, 2""".stripMargin,
+         |SELECT CAST(shard AS BIGINT) AS shard, CAST(off // 2048 AS BIGINT) AS bin,
+         |  CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(ntok) AS BIGINT) AS tok_sum
+         |FROM o GROUP BY 1, 2""".stripMargin
+    },
 
     "strat_sample" ->
       s"""SELECT doc_id, source FROM (

@@ -248,10 +248,11 @@ class CorpusOpsSpec extends AnyFunSuite with PropHelpers {
     // Sequential oracle: md5-shuffle per shard, walk the token stream.
     val md = java.security.MessageDigest.getInstance("MD5")
     def hex(s: String) = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def hv(c: Char) = if (c <= '9') c - '0' else c - 'a' + 10
     val expect = rows.map { case (id, _, text) =>
       val o = hex(s"pack:$id")
       (id, text.split(" ").length.toLong, o,
-        (o(0).toInt * 59 + o(1).toInt) % 3)
+        (hv(o(0)) * 4096 + hv(o(1)) * 256 + hv(o(2)) * 16 + hv(o(3))) % 3)
     }.groupBy(_._4).toSeq.flatMap { case (shard, ds) =>
       var off = 0L
       ds.sortBy(d => (d._3, d._1)).map { d =>
