@@ -95,6 +95,12 @@ object SkylineQueries {
       groupedSkylineRows(li(s, d).filter(col("l_orderkey") % 20 === 0),
         Seq("l_returnflag"), Seq("l_extendedprice", "l_discount"))),
 
+    // Grouped skyline on a side table (FIXTURES §3: part/orders are the
+    // grouped-skyline fixtures) — cheapest-smallest part per brand.
+    "sky_grouped_part" -> ((s, d) =>
+      groupedSkylineRows(s.read.parquet(s"$d/part.parquet"),
+        Seq("p_brand"), Seq("p_retailprice", "p_size"))),
+
     // MR-parity: explicit two-phase (geometric partition → local skyline →
     // global merge) must equal the single-phase skyline for every strategy.
     "mrdim_sky2d" -> ((s, d) => {
@@ -302,6 +308,11 @@ object SkylineQueries {
       s"""WITH t AS (SELECT l_returnflag, l_extendedprice, l_discount FROM lineitem WHERE l_orderkey % 20 = 0)
          |SELECT * FROM t a WHERE NOT EXISTS (SELECT 1 FROM t b
          |WHERE b.l_returnflag = a.l_returnflag AND ${domSql(Seq("l_extendedprice", "l_discount"))})""".stripMargin,
+
+    "sky_grouped_part" ->
+      s"""WITH t AS (SELECT p_brand, p_retailprice, p_size FROM part)
+         |SELECT * FROM t a WHERE NOT EXISTS (SELECT 1 FROM t b
+         |WHERE b.p_brand = a.p_brand AND ${domSql(Seq("p_retailprice", "p_size"))})""".stripMargin,
 
     "mrdim_sky2d"   -> sky2dSql("l_extendedprice", "l_discount", "lineitem"),
     "mrgrid_sky2d"  -> sky2dSql("l_extendedprice", "l_discount", "lineitem"),
