@@ -30,7 +30,7 @@ object Bench {
       def once(): Double = {
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
-                 catch { case _: Throwable => errors += name; false }
+                 catch { case _: Throwable => false }
         val dt = (System.nanoTime() - t0) / 1e9
         // Queries that persist intermediates (dedup LSH) would otherwise leak
         // cached partitions into every later measurement.
@@ -41,9 +41,17 @@ object Bench {
       // Min-of-2: one contended run on a shared box can fake a multi-×
       // regression on a single-shot wall clock. Sub-0.5 s queries skip the
       // repeat — their noise floor is below any decision threshold and the
-      // repeats would double total wall-clock for nothing.
+      // repeats would double total wall-clock for nothing. An errored FIRST
+      // run gets one retry (a transient OOM/contention hiccup must not mark
+      // the query failed for the whole bench); an errored SECOND run falls
+      // back to the successful first time. Only a double failure records the
+      // -1 sentinel and the name in `errors`.
       val first = once()
-      val best = if (first < 0.5) first else math.min(first, once())
+      val best =
+        if (first < 0) once()
+        else if (first < 0.5) first
+        else { val second = once(); if (second < 0) first else math.min(first, second) }
+      if (best < 0) errors += name
       name -> best
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

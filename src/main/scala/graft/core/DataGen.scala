@@ -49,6 +49,9 @@ object DataGen {
     * independent for this purpose). Replayed in SQL as a 13-term hex-char
     * polynomial over the same substring, divided by 4503599627370496.0. */
   def u(seed: Long, id: Long, k: Int): Double = {
+    // k = -1 would alias the DigestMemo's kk = -1 sentinel (null digest →
+    // NPE); no current caller passes one, but fail clearly if one ever does.
+    require(k >= 0, s"draw index must be non-negative: k=$k")
     val kk = k >> 1
     val m = memoLocal.get()
     if (m.seed != seed || m.id != id || m.kk != kk) {

@@ -59,11 +59,17 @@ object CorpusOps {
     * al., SIGMOD'07): distinct-count without a distinct — dedup happens
     * inside the ≤ k-element buffer, so partial aggregation ships at most
     * `k` hashes per partition per group instead of the full value stream,
-    * and no global distinct exchange ever runs. O(k) list insert per row is
-    * fine at k ≲ a few hundred; swap for a bounded TreeSet beyond that.
+    * and no global distinct exchange ever runs. The O(k) list insert per row
+    * caps `k` at 1024 (enforced below — ±3% standard error at k = 1024,
+    * already beyond what a curation dashboard needs): past that, per-row
+    * cost grows linearly and the right fix is a bounded TreeSet + hash-set
+    * buffer, not a bigger list.
     */
   class KMinAgg(k: Int) extends Aggregator[String, List[String], String] {
     require(k >= 2, s"KMV needs k >= 2 (estimator divides by k-1): k=$k")
+    require(k <= 1024,
+      s"KMinAgg's O(k) list insert is for k <= 1024; got k=$k " +
+        "(swap the buffer for a bounded TreeSet before raising the ceiling)")
     override def zero: List[String] = Nil
 
     private def insert(b: List[String], v: String): List[String] =
@@ -151,6 +157,13 @@ object CorpusOps {
     * and without the cache Catalyst re-runs the corpus explode once per
     * branch — the dominant cost at 100 TB, traded here for a span-
     * vocabulary-sized materialization.
+    *
+    * PRECONDITION on `docs`: each doc_id appears under exactly ONE group —
+    * the corpus-table invariant (a document belongs to one source). Global
+    * span document-frequency is the sum of per-group distinct-doc counts,
+    * which double-counts a doc repeated across groups (inflating ndocs and
+    * the n_dup_* stats). Deduplicate to one group per doc before calling if
+    * the input can violate this.
     */
   def spanStats(docs: DataFrame, idCol: String, groupCol: String,
                 n: Int): DataFrame = {
@@ -230,8 +243,11 @@ object CorpusOps {
     */
   def heavyHitters(df: DataFrame, valCol: String, cap: Int): DataFrame = {
     val vals = df.select(col(valCol).as("v"))
+    // N counts NON-NULL values only: the MG sketch and the recount join both
+    // ignore nulls, so a count(*) total would inflate the N/(cap+1)
+    // threshold with rows that can never be returned.
     val cand = vals
-      .agg(mg_sketch(col("v"), cap).as("cand"), count(lit(1)).as("total"))
+      .agg(mg_sketch(col("v"), cap).as("cand"), count(col("v")).as("total"))
       .select(explode(col("cand")).as("v"), col("total"))
     vals.join(broadcast(cand), "v")
       .groupBy("v", "total").agg(count(lit(1)).as("cnt"))
@@ -334,10 +350,17 @@ object CorpusOps {
     * consuming); global token counts and the corpus total derive from the
     * incidence, not from re-scans. The frequency join-back runs at
     * (doc, token) granularity — the skew-safe document-frequency shape, not
-    * an instance-stream join against hot tokens. `scale · N` must stay
-    * below 2⁶³ (ANSI mode fails loudly otherwise): the default 10⁶ scale
-    * accommodates ~9·10¹² total tokens; drop `scale` for corpora beyond
-    * that.
+    * an instance-stream join against hot tokens.
+    *
+    * Integer headroom: the binding constraint is the PER-DOC score sum,
+    * bounded by max(ntok_doc) · scale · N (a long document made entirely of
+    * corpus-unique tokens scores scale·N per token) — that product must stay
+    * below 2⁶³, and ANSI mode fails loudly if it does not. At the default
+    * 10⁶ scale and a 10⁵-token max document that allows N ≈ 9·10⁷ total
+    * tokens before the worst CASE could overflow; real corpora sit orders of
+    * magnitude below the worst case (a token's surprisal is scale·N/cnt, and
+    * high-cnt tokens dominate long documents), but drop `scale` — or divide
+    * surprisal by ntok earlier — when the bound gets tight.
     */
   def surprisalBands(docs: DataFrame, idCol: String, scale: Long = 1000000L,
                      bandDiv: Long = 10000000L): DataFrame = {
@@ -364,10 +387,21 @@ object CorpusOps {
     * Order and shard are md5-derived from the doc id (engine-neutral, seed
     * via the salt string), so the layout is reproducible across re-runs and
     * re-partitionings — the property a training run needs to resume
-    * mid-epoch. Scale shape: ONE window (running token sum) per shard;
-    * shards sort independently, so parallelism = `nShards` and no global
-    * sort exists. Pick nShards ≈ cluster parallelism; determinism is
-    * per-shard, which is what data-parallel training consumes anyway.
+    * mid-epoch.
+    *
+    * Scale shape — TWO-LEVEL offsets, so no task ever sorts a whole shard
+    * (a `Window.partitionBy(shard)` would put each shard's full 25 GB — at
+    * 100 TB over the 4096-shard cap — into ONE spill-bound sort task):
+    * each shard is range-bucketed by the first two hex chars of the order
+    * key (256 contiguous ranges of the per-shard sort order, since the
+    * bucket is a prefix of the key), per-bucket token sums prefix-sum into
+    * bucket base offsets over an nShards×256-row aggregate (driver-small,
+    * broadcast back), and the running-sum window then runs WITHIN
+    * (shard, bucket) only — per-task sort bounded by shard/256, ~100 MB at
+    * the 100 TB worst case. Output is identical to the one-window
+    * formulation (asserted in CorpusOpsSpec). Parallelism = nShards×256;
+    * determinism is per-shard, which is what data-parallel training
+    * consumes anyway.
     */
   /** Value of one lowercase hex char of `h` at 1-based position `j` —
     * engine-neutral (DuckDB replays it with the same ascii arithmetic). */
@@ -381,18 +415,37 @@ object CorpusOps {
     require(nShards > 0 && nShards <= 4096 && budget > 0,
       s"bad nShards=$nShards (1..4096) budget=$budget")
     val ordHex = md5(concat(lit("pack:"), col(idCol).cast("string")))
-    val t = docs.select(col(idCol).as("doc_id"),
-      coalesce(size(TextOps.tokens(col("text"))), lit(0)).as("ntok"),
-      ordHex.as("ord"))
+    // Persisted (release via DedupOps.unpersistPipelines / Caches): the
+    // tokenized rows feed both the bucket-sum branch and the final window —
+    // one corpus tokenization, not two.
+    val t = graft.core.Caches.persistTracked(docs
+      .select(col(idCol).as("doc_id"),
+        coalesce(size(TextOps.tokens(col("text"))), lit(0)).as("ntok"),
+        ordHex.as("ord"))
       // Shard from 16 true hash bits (4 hex chars as a base-16 polynomial)
       // — near-uniform for any nShards well below 2^16; a 2-char ascii fold
       // would skew or even miss shards past a few dozen.
       .withColumn("shard",
         (1 to 4).map(j => hexVal(col("ord"), j) * (1 << (4 * (4 - j))))
           .reduce(_ + _) % nShards)
-    val w = Window.partitionBy("shard").orderBy("ord", "doc_id")
+      // Range bucket: the first two hex chars of the order key — a PREFIX
+      // of the (ord, doc_id) sort key, so buckets are contiguous ranges of
+      // the per-shard order and per-bucket offsets compose by addition.
+      .withColumn("bkt", hexVal(col("ord"), 1) * 16 + hexVal(col("ord"), 2)))
+    // Level 1: per-(shard, bucket) token sums, prefix-summed into the base
+    // offset of each bucket. At most nShards×256 rows — the window partition
+    // is one shard's ≤256 bucket rows, and the result broadcasts.
+    val wB = Window.partitionBy("shard").orderBy("bkt")
       .rowsBetween(Window.unboundedPreceding, -1)
-    t.withColumn("off", coalesce(sum(col("ntok")).over(w), lit(0L)))
+    val bases = t.groupBy("shard", "bkt").agg(sum(col("ntok")).as("bsum"))
+      .withColumn("base", coalesce(sum(col("bsum")).over(wB), lit(0L)))
+      .select(col("shard"), col("bkt"), col("base"))
+    // Level 2: running sum WITHIN (shard, bucket) + the broadcast base.
+    val wI = Window.partitionBy("shard", "bkt").orderBy("ord", "doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    t.join(broadcast(bases), Seq("shard", "bkt"))
+      .withColumn("off",
+        col("base") + coalesce(sum(col("ntok")).over(wI), lit(0L)))
       .withColumn("bin", expr(s"off DIV $budget"))
       .groupBy("shard", "bin")
       .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("tok_sum"))

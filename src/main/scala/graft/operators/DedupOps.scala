@@ -38,6 +38,43 @@ object DedupOps {
     * released on the way out, success or failure. */
   def withDedupCaches[T](body: => T): T = graft.core.Caches.scoped(body)
 
+  /** Default hot-bucket cap for the LSH candidate self-joins ([[candidatePairs]],
+    * [[simhashNearDups]], [[graft.operators.VectorOps.cosNearDups]]): a join
+    * key shared by more than this many rows is excluded from candidate
+    * generation. 10⁴ bounds the worst single bucket to ~5·10⁷ candidate rows
+    * (vs ~5·10¹¹ for an uncapped 10⁶-doc cluster of mirrored boilerplate —
+    * the one quadratic edge banding doesn't remove) while sitting orders of
+    * magnitude above any honest near-dup cluster AFTER exact dedup — run
+    * [[graft.operators.TextOps.dedupExact]] first (as the curation pipeline
+    * does) and the cap is a no-op, because the co-identical documents that
+    * populate degenerate buckets are already collapsed. Inspect what a cap
+    * would drop with [[hotBuckets]] before lowering it. */
+  val DefaultMaxBucket: Int = 10000
+
+  /** The candidate-join keys shared by more than `maxBucket` rows, with
+    * their row counts — the inspection surface for [[dropHotBuckets]]:
+    * report these (they are near-duplicate MEGA-clusters, interesting in
+    * their own right) rather than silently paying C(m,2) join work. */
+  def hotBuckets(rows: DataFrame, keys: Seq[String], maxBucket: Int): DataFrame =
+    rows.groupBy(keys.map(col): _*).agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") > maxBucket)
+
+  /** Remove rows whose candidate-join key is shared by more than `maxBucket`
+    * rows. The over-cap key set is tiny by construction (each surviving key
+    * bounds its own size), so it broadcasts into a left-anti join — the
+    * guard costs one map-side-combined aggregation over the (already
+    * persisted) signature rows, never a corpus-scale shuffle. Capped
+    * detection trades recall ON THE DROPPED CLUSTERS ONLY for a linear
+    * bound; every pair outside an over-cap bucket is unaffected. */
+  private[operators] def dropHotBuckets(rows: DataFrame, keys: Seq[String],
+                                        maxBucket: Int): DataFrame =
+    if (maxBucket == Int.MaxValue) rows
+    else if (maxBucket < 1)
+      throw new IllegalArgumentException(s"maxBucket must be >= 1: $maxBucket")
+    else rows.join(
+      broadcast(hotBuckets(rows, keys, maxBucket).select(keys.map(col): _*)),
+      keys, "left_anti")
+
   /** Word `n`-gram shingles of `text` (duplicates retained — `array_distinct`
     * is quadratic per row, so set semantics are established downstream by an
     * explode + distinct, which Spark turns into a map-side-combined hash
@@ -96,12 +133,19 @@ object DedupOps {
     * bands (false positives scale with b·s^r), while near-identical pairs
     * (s ≥ 0.85 in this corpus) are missed with probability (1-s^r)^b ≈ 1e-5
     * at b=12, r=3. The join is an equi-join on the banded key — work is
-    * bounded by bucket collisions, never the corpus cross-product. */
-  def candidatePairs(sig: DataFrame, r: Int): DataFrame = {
+    * bounded by bucket collisions, never the corpus cross-product — and
+    * buckets larger than `maxBucket` rows are excluded first
+    * ([[dropHotBuckets]]): m co-identical signatures share ALL b band keys
+    * and would emit ~b·C(m,2) candidate rows, the one quadratic edge banding
+    * leaves open. [[DefaultMaxBucket]] documents why exact-dedup-first makes
+    * the cap a no-op; `Int.MaxValue` disables it. */
+  def candidatePairs(sig: DataFrame, r: Int,
+                     maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val keys = Seq("band") ++ (0 until r).map(t => s"h$t")
+    val g = dropHotBuckets(sig, keys, maxBucket)
     val cond = keys.map(c => col(s"a.$c") === col(s"b.$c")).reduce(_ && _) &&
       col("a.id") < col("b.id")
-    sig.as("a").join(sig.as("b"), cond)
+    g.as("a").join(g.as("b"), cond)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
   }
@@ -110,8 +154,10 @@ object DedupOps {
     * the signatures from [[rawShingleRows]]: per-band MIN is duplicate-
     * invariant, so the candidate-only path pays no distinct shuffle. */
   def minhashCandidates(docs: DataFrame, idCol: String, n: Int,
-                        b: Int, r: Int): DataFrame =
-    candidatePairs(bandedSignatures(rawShingleRows(docs, idCol, n), b, r), r)
+                        b: Int, r: Int,
+                        maxBucket: Int = DefaultMaxBucket): DataFrame =
+    candidatePairs(bandedSignatures(rawShingleRows(docs, idCol, n), b, r), r,
+      maxBucket)
 
   /** Verified near-duplicate pairs: LSH candidates whose true shingle-set
     * Jaccard is ≥ num/den (integer cross-multiplication — no float compare).
@@ -128,13 +174,14 @@ object DedupOps {
     * [[unpersistPipelines]] / [[withDedupCaches]].
     */
   def minhashNearDups(docs: DataFrame, idCol: String, n: Int, b: Int, r: Int,
-                      num: Int, den: Int): DataFrame = {
+                      num: Int, den: Int,
+                      maxBucket: Int = DefaultMaxBucket): DataFrame = {
     require(num > 0 && den > 0 && num <= den,
       s"Jaccard threshold must be in (0, 1]: $num/$den")
     val sr  = cachePersist(shingleRows(docs, idCol, n))
     val sig = cachePersist(bandedSignatures(sr, b, r))
     val sh = sr.groupBy("id").agg(collect_list(col("s")).as("sh"))
-    candidatePairs(sig, r)
+    candidatePairs(sig, r, maxBucket)
       .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .select(col("id_a"), col("id_b"),
@@ -365,11 +412,20 @@ object DedupOps {
     * explode per doc — linear, shuffle-friendly — for a ~10⁴× collapse in
     * random collisions; raise `blocks` further as N grows.
     *
-    * Output: (id_a, id_b, dist ≤ maxDist), exactly all such pairs.
+    * The entropy argument bounds RANDOM collisions only: m documents with
+    * the co-identical signature (boilerplate mirrors) share all 20
+    * combination keys and emit ~20·C(m,2) candidates, so combination-key
+    * buckets above `maxBucket` rows are excluded first ([[dropHotBuckets]];
+    * [[DefaultMaxBucket]] documents the exact-dedup-first contract that
+    * makes the cap a no-op; `Int.MaxValue` disables it).
+    *
+    * Output: (id_a, id_b, dist ≤ maxDist), exactly all such pairs (from
+    * non-excluded buckets).
     */
   def simhashNearDups(docs: DataFrame, idCol: String, maxDist: Int = 3,
                       blocks: Int = 6,
-                      tokenHash: Column => Column = xxhash64(_)): DataFrame = {
+                      tokenHash: Column => Column = xxhash64(_),
+                      maxBucket: Int = DefaultMaxBucket): DataFrame = {
     require(maxDist >= 0 && blocks > maxDist && blocks <= 64,
       s"need maxDist < blocks <= 64: maxDist=$maxDist blocks=$blocks")
     // First (64 % blocks) blocks are one bit wider: widths differ by ≤ 1.
@@ -384,11 +440,13 @@ object DedupOps {
     val m = blocks - maxDist
     val combos = (0 until blocks).combinations(m).toSeq
     val sig = cachePersist(simhash64Rows(docs, idCol, tokenHash))
-    val exploded = sig.select(col("id"), col("h"),
-      explode(array(combos.zipWithIndex.map { case (bs, ci) =>
-        struct(lit(ci).as("c") +:
-          bs.zipWithIndex.map { case (bi, t) => blockVal(bi).as(s"v$t") }: _*)
-      }: _*)).as("k"))
+    val exploded = dropHotBuckets(
+      sig.select(col("id"), col("h"),
+        explode(array(combos.zipWithIndex.map { case (bs, ci) =>
+          struct(lit(ci).as("c") +:
+            bs.zipWithIndex.map { case (bi, t) => blockVal(bi).as(s"v$t") }: _*)
+        }: _*)).as("k")),
+      Seq("k"), maxBucket)
     exploded.as("a").join(exploded.as("b"),
         col("a.k") === col("b.k") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),

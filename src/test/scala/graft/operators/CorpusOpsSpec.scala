@@ -264,6 +264,40 @@ class CorpusOpsSpec extends AnyFunSuite with PropHelpers {
     assert(got == expect, s"got $got expect $expect")
   }
 
+  test("packStats two-level offsets equal the single-window formulation") {
+    // The naive reference: ONE running-sum window per shard (the formulation
+    // the two-level rewrite replaced — correct, but a single sort task per
+    // shard at scale). Outputs must be identical bin-for-bin.
+    import org.apache.spark.sql.expressions.Window
+    val r = new scala.util.Random(11)
+    val rows = (1 to 300).map(i =>
+      (i.toLong, "s", (1 to (1 + r.nextInt(30))).map(t => s"w$t").mkString(" ")))
+    val df = docsDF(rows: _*)
+    val (nShards, budget) = (5, 64)
+    def hexVal(h: org.apache.spark.sql.Column, j: Int) = {
+      val a = ascii(substring(h, j, 1))
+      a - when(a >= 97, 87).otherwise(48)
+    }
+    val ord = md5(concat(lit("pack:"), col("doc_id").cast("string")))
+    val t = df.select(col("doc_id"),
+        coalesce(size(TextOps.tokens(col("text"))), lit(0)).as("ntok"),
+        ord.as("ord"))
+      .withColumn("shard",
+        (1 to 4).map(j => hexVal(col("ord"), j) * (1 << (4 * (4 - j))))
+          .reduce(_ + _) % nShards)
+    val w = Window.partitionBy("shard").orderBy("ord", "doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val naive = t.withColumn("off", coalesce(sum(col("ntok")).over(w), lit(0L)))
+      .withColumn("bin", expr(s"off DIV $budget"))
+      .groupBy("shard", "bin")
+      .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("tok_sum"))
+      .collect().map(x => (x.getInt(0).toLong, x.getLong(1)) -> (x.getLong(2), x.getLong(3))).toMap
+    val got = CorpusOps.packStats(df, "doc_id", nShards, budget)
+      .collect().map(x => (x.getLong(0), x.getLong(1)) -> (x.getLong(2), x.getLong(3))).toMap
+    graft.core.Caches.releaseAll()
+    assert(got == naive, s"two-level packing diverged:\ngot $got\nnaive $naive")
+  }
+
   // ---------------------------------------------------- stratifiedSample
 
   test("stratifiedSample: deterministic, partition-invariant, rate map honored") {

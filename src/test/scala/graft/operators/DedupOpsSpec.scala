@@ -91,6 +91,65 @@ class DedupOpsSpec extends AnyFunSuite with PropHelpers {
     }
   }
 
+  test("hot-bucket guard: cap drops only the degenerate cluster; default cap is a no-op") {
+    // A planted cluster of m co-identical docs shares every band key, so the
+    // uncapped candidate join pays C(m,2) pairs from it; a cap below m drops
+    // exactly those pairs (linear candidate work) and leaves every pair
+    // outside the hot buckets — the honest near-dup — untouched.
+    val m = 10
+    val clusterText = (1 to 30).map(i => s"cl$i").mkString(" ")
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val near = ((1 to 38).map(i => s"tok$i") ++ Seq("zzz", "tok40")).mkString(" ")
+    val rows = Seq((1L, base), (2L, near)) ++
+      (1 to m).map(i => (100L + i, clusterText))
+    val df = docsDF(rows: _*)
+    def run(cap: Int) = DedupOps.withDedupCaches {
+      DedupOps.minhashNearDups(df, "doc_id", 3, 12, 3, 1, 2, cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    val clusterPairs = (for {
+      a <- 1 to m; b <- 1 to m if a < b
+    } yield (100L + a, 100L + b)).toSet
+    val uncapped = run(Int.MaxValue)
+    assert(uncapped.contains((1L, 2L)) && clusterPairs.subsetOf(uncapped),
+      s"uncapped set incomplete: $uncapped")
+    val capped = run(m - 1)
+    assert(capped == uncapped -- clusterPairs,
+      s"cap must drop exactly the hot-cluster pairs:\ncapped $capped\nuncapped $uncapped")
+    // The default cap sits far above any bucket here — output unchanged.
+    assert(run(DedupOps.DefaultMaxBucket) == uncapped)
+    // The inspection surface reports the dropped buckets: all 12 band keys
+    // of the cluster, each holding exactly m signatures.
+    val sig = DedupOps.bandedSignatures(
+      DedupOps.rawShingleRows(df, "doc_id", 3), 12, 3)
+    val hot = DedupOps.hotBuckets(sig, Seq("band", "h0", "h1", "h2"), m - 1)
+      .collect().map(r => r.getAs[Long]("bsz"))
+    DedupOps.unpersistPipelines()
+    assert(hot.length == 12 && hot.forall(_ == m.toLong),
+      s"expected 12 hot band buckets of size $m: ${hot.toSeq}")
+  }
+
+  test("hot-bucket guard on simhashNearDups: capped cluster out, near pair kept") {
+    val m = 8
+    val clusterText = (1 to 25).map(i => s"c$i").mkString(" ")
+    val base = (1 to 60).map(i => s"w$i").mkString(" ")
+    val near = ((1 to 59).map(i => s"w$i") :+ "zzz").mkString(" ")
+    val df = docsDF(Seq((1L, base), (2L, near)) ++
+      (1 to m).map(i => (200L + i, clusterText)): _*)
+    def run(cap: Int) = DedupOps.withDedupCaches {
+      DedupOps.simhashNearDups(df, "doc_id", 3, 6, xxhash64(_), cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    val clusterPairs = (for {
+      a <- 1 to m; b <- 1 to m if a < b
+    } yield (200L + a, 200L + b)).toSet
+    val uncapped = run(Int.MaxValue)
+    assert(clusterPairs.subsetOf(uncapped))
+    // Cap below the cluster size: every combination bucket it occupies is
+    // dropped (the cluster occupies all 20), nothing else is.
+    assert(run(m - 1) == uncapped -- clusterPairs)
+  }
+
   test("nearDupClusters: min label propagates across chains; singletons keep their id") {
     val spark = TestSpark.spark
     import spark.implicits._
