@@ -231,6 +231,14 @@ object PipelineQueries {
         embs(s, d), "vec_id", "embedding", col("vec_id") < 8, 5,
         LshTables, LshBits, EmbDims)),
 
+    // k-NN GRAPH: top-3 neighbors for EVERY corpus vector via the LSH
+    // buckets — the corpus-vs-corpus similarity shape a SemDeDup-style
+    // curation step consumes (knn_lsh ranks for a small query set only).
+    // Oracle replays the identical hyperplanes over all ids.
+    "knn_graph" -> ((s, d) =>
+      graft.operators.VectorOps.knnGraph(
+        embs(s, d), "vec_id", "embedding", KnnGraphK, LshTables, LshBits, EmbDims)),
+
     // IVF (inverted-file) top-5: 16 deterministic corpus-vector centroids
     // (vec_id 8..23), nearest-cell assignment, 3 probed cells per query,
     // exact re-rank. The oracle replays the identical index in SQL.
@@ -414,12 +422,23 @@ object PipelineQueries {
   private val EmbDims   = 64
   private val LshTables = 4
   private val LshBits   = 4
+  private val KnnGraphK = 3
   private val IvfCentLo = 8
   private val IvfCentHi = 23
   private val IvfProbes = 3
   private val KmCentLo  = 8
   private val KmCentHi  = 15
   private val KmIters   = 3
+
+  /** VALUES rows of the deterministic hyperplanes (table, bit, components)
+    * — shared by every LSH-replaying oracle. */
+  private def planesValuesSql: String =
+    (for { t <- 0 until LshTables; b <- 0 until LshBits } yield {
+      val vals = (0 until EmbDims)
+        .map(i => graft.operators.VectorOps.planeText((t * LshBits + b) * EmbDims + i))
+        .mkString(", ")
+      s"($t, $b, [$vals])"
+    }).mkString(",\n")
 
   /** DuckDB double-precision cosine with the same sequential fold and the
     * same float→double casts as [[graft.operators.VectorOps.cosine]]. */
@@ -796,16 +815,10 @@ object PipelineQueries {
     },
 
     "knn_lsh" -> {
-      val planeRows = (for { t <- 0 until LshTables; b <- 0 until LshBits } yield {
-        val vals = (0 until EmbDims)
-          .map(i => graft.operators.VectorOps.planeText((t * LshBits + b) * EmbDims + i))
-          .mkString(", ")
-        s"($t, $b, [$vals])"
-      }).mkString(",\n")
       val pdot = s"list_sum([CAST(e.v[i] AS DOUBLE) * pl.p[i] for i in range(1, ${EmbDims + 1})])"
       val cos  = cosSql("a.v", "b.v")
       s"""WITH planes(t, b, p) AS (VALUES
-         |$planeRows),
+         |$planesValuesSql),
          |e AS (SELECT vec_id, embedding AS v FROM embeddings),
          |buck AS (SELECT e.vec_id AS id, pl.t,
          |  CAST(SUM(CASE WHEN $pdot >= 0 THEN (1 << pl.b) ELSE 0 END) AS INTEGER) AS bucket
@@ -818,6 +831,28 @@ object PipelineQueries {
          |SELECT qid, nid, CAST(rnk AS BIGINT) AS rnk FROM (
          |  SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rnk FROM s)
          |WHERE rnk <= 5""".stripMargin
+    },
+
+    // knn_graph: the knn_lsh replay with NO query predicate — candidates
+    // from symmetric (table, bucket) collisions (x.id != y.id covers both
+    // directions of each pair), exact cosine, top-KnnGraphK per vector.
+    "knn_graph" -> {
+      val pdot = s"list_sum([CAST(e.v[i] AS DOUBLE) * pl.p[i] for i in range(1, ${EmbDims + 1})])"
+      val cos  = cosSql("a.v", "b.v")
+      s"""WITH planes(t, b, p) AS (VALUES
+         |$planesValuesSql),
+         |e AS (SELECT vec_id, embedding AS v FROM embeddings),
+         |buck AS (SELECT e.vec_id AS id, pl.t,
+         |  CAST(SUM(CASE WHEN $pdot >= 0 THEN (1 << pl.b) ELSE 0 END) AS INTEGER) AS bucket
+         |  FROM e, planes pl GROUP BY 1, 2),
+         |cand AS (SELECT x.id AS qid, y.id AS nid
+         |  FROM buck x JOIN buck y ON x.t = y.t AND x.bucket = y.bucket AND x.id != y.id
+         |  GROUP BY 1, 2),
+         |s AS (SELECT c.qid, c.nid, $cos AS sim
+         |  FROM cand c JOIN e a ON a.vec_id = c.qid JOIN e b ON b.vec_id = c.nid)
+         |SELECT qid, nid, CAST(rnk AS BIGINT) AS rnk FROM (
+         |  SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rnk FROM s)
+         |WHERE rnk <= $KnnGraphK""".stripMargin
     },
 
     "knn_ivf" -> {
@@ -840,16 +875,10 @@ object PipelineQueries {
     },
 
     "emb_neardup" -> {
-      val planeRows = (for { t <- 0 until LshTables; b <- 0 until LshBits } yield {
-        val vals = (0 until EmbDims)
-          .map(i => graft.operators.VectorOps.planeText((t * LshBits + b) * EmbDims + i))
-          .mkString(", ")
-        s"($t, $b, [$vals])"
-      }).mkString(",\n")
       val pdot = s"list_sum([CAST(e.v[i] AS DOUBLE) * pl.p[i] for i in range(1, ${EmbDims + 1})])"
       val cos  = cosSql("a.v", "b.v")
       s"""WITH planes(t, b, p) AS (VALUES
-         |$planeRows),
+         |$planesValuesSql),
          |e AS (SELECT vec_id, embedding AS v FROM embeddings),
          |buck AS (SELECT e.vec_id AS id, pl.t,
          |  CAST(SUM(CASE WHEN $pdot >= 0 THEN (1 << pl.b) ELSE 0 END) AS INTEGER) AS bucket

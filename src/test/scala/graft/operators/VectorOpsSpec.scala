@@ -171,6 +171,34 @@ class VectorOpsSpec extends AnyFunSuite {
     one.foreach { case (q, n) => assert(n / 10 == q / 10, s"$q paired out-of-blob $n") }
   }
 
+  test("knnGraph equals knnLsh on a query subset; planted duplicate ranks first both ways") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val base = (0L until 150L).map(i => (i, Array.fill(16)(rnd.nextFloat() * 2 - 1)))
+    val rows = base :+ ((999L, base.head._2.clone())) // exact duplicate of vector 0
+    val df = rows.toDF("vec_id", "embedding")
+    val graph = graft.core.Caches.scoped {
+      VectorOps.knnGraph(df, "vec_id", "embedding", 5, 4, 3, 16)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    }
+    // Same candidate generation + same exact re-rank as knnLsh: restricting
+    // the graph to a query subset must reproduce knnLsh exactly.
+    val lsh = VectorOps.knnLsh(df, "vec_id", "embedding", col("vec_id") < 3, 5, 4, 3, 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(graph.filter(_._1 < 3).toSet == lsh,
+      "knnGraph restricted to the query subset must equal knnLsh")
+    // Identical vectors share every (table, bucket) cell, so the planted
+    // duplicate is always a candidate and cosine 1 tops both rankings.
+    assert(graph.find(g => g._1 == 999L && g._3 == 1L).map(_._2).contains(0L),
+      s"dup's top neighbor must be its source: ${graph.filter(_._1 == 999L).toSeq}")
+    assert(graph.find(g => g._1 == 0L && g._3 == 1L).map(_._2).contains(999L))
+    // Every vector's ranks are 1..n without gaps.
+    graph.groupBy(_._1).foreach { case (_, rs) =>
+      assert(rs.map(_._3).sorted.toSeq == (1L to rs.length).toSeq)
+    }
+  }
+
   test("knnBrute ranks by cosine with id tiebreak") {
     val spark = TestSpark.spark
     import spark.implicits._
