@@ -71,9 +71,21 @@ object DedupOps {
     if (maxBucket == Int.MaxValue) rows
     else if (maxBucket < 1)
       throw new IllegalArgumentException(s"maxBucket must be >= 1: $maxBucket")
-    else rows.join(
-      broadcast(hotBuckets(rows, keys, maxBucket).select(keys.map(col): _*)),
-      keys, "left_anti")
+    else {
+      // Window count over the join keys, NOT a groupBy + anti-join: the
+      // candidate self-join shuffles by these exact keys anyway, so the
+      // window's exchange is THE join's exchange (reused on both sides) —
+      // the guard adds zero extra shuffles of the signature rows. The
+      // window buffers one bucket per partition group: linear in the
+      // bucket (spillable), which is exactly the degenerate m-row bucket
+      // the guard exists to stop from exploding into C(m,2) join output.
+      import org.apache.spark.sql.expressions.Window
+      rows
+        .withColumn("__bsz",
+          count(lit(1)).over(Window.partitionBy(keys.map(col): _*)))
+        .filter(col("__bsz") <= maxBucket)
+        .drop("__bsz")
+    }
 
   /** Word `n`-gram shingles of `text` (duplicates retained — `array_distinct`
     * is quadratic per row, so set semantics are established downstream by an
