@@ -293,6 +293,18 @@ object DedupOps {
     * end, to label singletons. Caches are registered for
     * [[unpersistPipelines]].
     *
+    * Each round's label table is an EAGER `localCheckpoint`, not a plain
+    * persist: the iteration references `labels` three times per round, so a
+    * lineage that kept growing would nest the previous round's plan ~3×
+    * into the next — geometric plan growth that (beyond planner cost)
+    * overflows plan-string rendering within a few rounds when the input
+    * pair plan is large (e.g. semantic dedup over k-means literals).
+    * Checkpointing re-roots the plan at the materialized rows, so every
+    * round plans against a constant-size tree. The checkpoint is
+    * pair-graph-sized; on executor loss the job fails and re-runs (no
+    * lineage to replay) — the standard iterative-algorithm trade, and cheap
+    * at this table's size. The iterative loop is batch-only by contract.
+    *
     * Ids keep their native (orderable) type end-to-end — no silent cast.
     */
   def nearDupClusters(docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
@@ -304,10 +316,10 @@ object DedupOps {
       fwd.select(col("b").as("a"), col("a").as("b"))))
     // Seed with the first propagation already applied: lbl₀ = min(id,
     // neighbors) — one fewer fixpoint round than an identity start.
-    var labels = cachePersist(
-      edges.groupBy("a")
-        .agg(least(col("a"), min(col("b"))).as("lbl"))
-        .select(col("a").as("id"), col("lbl")))
+    var labels = edges.groupBy("a")
+      .agg(least(col("a"), min(col("b"))).as("lbl"))
+      .select(col("a").as("id"), col("lbl"))
+      .localCheckpoint()
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < 50) {
@@ -319,17 +331,19 @@ object DedupOps {
       // own label is one self-join away; a component-min label maps to
       // itself, which `least` ignores.
       val jump = labels.select(col("id").as("lbl"), col("lbl").as("j2"))
-      // `old` rides along so the change check needs no extra join.
-      val next = cachePersist(
+      // `old` rides along so the change check needs no extra join. The
+      // eager localCheckpoint materializes the round AND re-roots the plan
+      // (see the scaladoc) — the count below reads the stored rows.
+      val next =
         labels.join(nbrMin.select(col("a").as("id"), col("nmin")), Seq("id"), "left")
           .join(jump, Seq("lbl"), "left")
           .select(col("id"),
             least(col("lbl"),
               coalesce(col("nmin"), col("lbl")),
               coalesce(col("j2"), col("lbl"))).as("lbl"),
-            col("lbl").as("old")))
+            col("lbl").as("old"))
+          .localCheckpoint()
       changed = next.filter(col("lbl") =!= col("old")).count()
-      labels.unpersist(blocking = false)
       labels = next.select(col("id"), col("lbl"))
       iter += 1
     }

@@ -266,6 +266,17 @@ object PipelineQueries {
         embs(s, d), "vec_id", "embedding", col("vec_id") < 8, 5,
         col("vec_id").between(KmCentLo, KmCentHi), KmIters, IvfProbes, EmbDims)),
 
+    // SemDeDup-style semantic dedup: k-means cells (the trained quantizer,
+    // same seeds/iters as emb_kmeans) as blocking buckets, exact cosine
+    // >= 0.35 within cells, connected components — every vector labeled
+    // with its semantic cluster's min id. The oracle replays training,
+    // assignment, the within-cell pair join, and the component collapse.
+    "semdedup" -> ((s, d) =>
+      graft.operators.VectorOps.semDedupClusters(
+        embs(s, d), "vec_id", "embedding",
+        col("vec_id").between(KmCentLo, KmCentHi), KmIters, EmbDims, SemMinCos)
+        .select(col("doc_id").as("vec_id"), col("cluster"))),
+
     // Embedding-cosine near-dup pairs among LSH-colliding candidates
     // (the oracle replays the identical hyperplanes, so the candidate set —
     // not just the verified set — is oracle-checked).
@@ -429,6 +440,7 @@ object PipelineQueries {
   private val KmCentLo  = 8
   private val KmCentHi  = 15
   private val KmIters   = 3
+  private val SemMinCos = 0.35
 
   /** VALUES rows of the deterministic hyperplanes (table, bit, components)
     * — shared by every LSH-replaying oracle. */
@@ -919,6 +931,30 @@ object PipelineQueries {
          |SELECT qid, nid, CAST(rnk AS BIGINT) AS rnk FROM (
          |  SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rnk FROM s)
          |WHERE rnk <= 5""".stripMargin
+    },
+
+    // semdedup: the emb_kmeans training replay, then cells as blocking
+    // buckets — exact cosine within cells, recursive-CTE components (the
+    // dedup_clusters collapse shape), singletons labeled by their own id.
+    "semdedup" -> {
+      val cos = cosSql("a.v", "b.v")
+      s"""WITH RECURSIVE $kmeansCteSql,
+         |cells AS (SELECT id, cid FROM (
+         |  SELECT id, cid, ROW_NUMBER() OVER (PARTITION BY id ORDER BY d, cid) AS rn
+         |  FROM (SELECT q.id, c.cid, $kmDistSql AS d FROM q, c$KmIters c)) WHERE rn = 1),
+         |ev AS (SELECT vec_id, embedding AS v FROM embeddings),
+         |pairs AS (SELECT x.id AS id_a, y.id AS id_b
+         |  FROM cells x JOIN cells y ON x.cid = y.cid AND x.id < y.id
+         |  JOIN ev a ON a.vec_id = x.id JOIN ev b ON b.vec_id = y.id
+         |  WHERE $cos >= $SemMinCos),
+         |edges AS (SELECT id_a AS a, id_b AS b FROM pairs UNION ALL SELECT id_b, id_a FROM pairs),
+         |reach(id, r) AS (
+         |  SELECT a, a FROM edges
+         |  UNION
+         |  SELECT re.id, e.b FROM reach re JOIN edges e ON e.a = re.r),
+         |lbl AS (SELECT id, MIN(r) AS cluster FROM reach GROUP BY id)
+         |SELECT e2.vec_id, CAST(COALESCE(l.cluster, e2.vec_id) AS BIGINT) AS cluster
+         |FROM embeddings e2 LEFT JOIN lbl l ON e2.vec_id = l.id""".stripMargin
     },
 
     "dedup_jaccard" ->

@@ -199,6 +199,32 @@ class VectorOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("semDedupClusters: planted duplicates collapse in-cell; distinct vectors stay singletons") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    def noisy(c: Array[Float]) = c.map(x => x + (rnd.nextFloat() - 0.5f) * 0.6f)
+    val ax = Array(1f, 0f, 0f, 0f); val ay = Array(0f, 1f, 0f, 0f)
+    val dup1 = noisy(ax); val dup2 = noisy(ay)
+    val rows = Seq(
+      (0L, ax), (10L, ay),                      // centroid seeds, one per blob
+      (1L, dup1), (2L, dup1.clone()),           // exact duplicate pair, blob x
+      (11L, dup2), (12L, dup2.clone()),         // exact duplicate pair, blob y
+      (3L, noisy(ax)), (13L, noisy(ay)))        // distinct members
+    val df = rows.toDF("vec_id", "embedding")
+    val got = graft.core.Caches.scoped {
+      VectorOps.semDedupClusters(df, "vec_id", "embedding",
+          col("vec_id") === 0 || col("vec_id") === 10, 2, 4, 0.999)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    // Identical vectors always share a cell (identical quantization =>
+    // identical argmin), so the threshold pairs them regardless of layout.
+    assert(got(1L) == 1L && got(2L) == 1L, s"dup pair not collapsed: $got")
+    assert(got(11L) == 11L && got(12L) == 11L, s"dup pair not collapsed: $got")
+    Seq(0L, 3L, 10L, 13L).foreach(id =>
+      assert(got(id) == id, s"$id should be a singleton: $got"))
+  }
+
   test("knnBrute ranks by cosine with id tiebreak") {
     val spark = TestSpark.spark
     import spark.implicits._
