@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** AS-OF JOIN — for each left row, the payload of the LATEST right row with
+  * the same key and `right.ts <= left.ts` (inclusive; ties on ts broken by
+  * the highest `ordCol`) — the temporal-enrichment operator feature
+  * pipelines run ("state of X when Y happened") that neither an equi-join
+  * nor a range join expresses efficiently.
+  *
+  * Spark has no built-in as-of join, and the naive range join
+  * (`l.key = r.key AND r.ts <= l.ts` + a max-per-left reduction) explodes
+  * quadratically per key. This is the scale shape instead: tag both inputs,
+  * union them, and run ONE running `last(payload, ignoreNulls)` window per
+  * key ordered by (ts, side, ord) — right rows sort BEFORE the left rows of
+  * their timestamp (side 0 < 1), so an inclusive match is whatever payload
+  * was last seen. One shuffle on the key, a linear incremental window frame
+  * (never the per-key cross-product), and skew is bounded by per-key row
+  * counts — the same bound the data itself imposes.
+  *
+  * Contract: both frames carry `keyCol`, `tsCol`, `ordCol`; `payloadCols`
+  * exist on `right` and must not collide with `left`'s columns. Output =
+  * every `left` row with `payloadCols` appended (null when no right row
+  * precedes it). All payload columns come from the SAME matched right row:
+  * the `last` windows share one frame and the payloads are null on exactly
+  * the same (left) rows.
+  */
+object AsofJoin {
+
+  def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
+               tsCol: String, ordCol: String,
+               payloadCols: Seq[String]): DataFrame = {
+    require(payloadCols.nonEmpty, "asofJoin needs at least one payload column")
+    require(payloadCols.forall(right.columns.contains),
+      s"payload columns missing on right: ${payloadCols.filterNot(right.columns.contains)}")
+    require(payloadCols.forall(c => !left.columns.contains(c)),
+      s"payload columns collide with left: ${payloadCols.filter(left.columns.contains)}")
+    val rTypes = right.schema.fields.map(f => f.name -> f.dataType).toMap
+    val leftCols = left.columns.toSeq
+    // Align the union schema: left rows carry null payloads; right rows
+    // carry null left-only columns (they are dropped after the window).
+    val lAligned = left.select(
+      leftCols.map(col) ++
+        payloadCols.map(c => lit(null).cast(rTypes(c)).as(c)) :+
+        lit(1).as("__side"): _*)
+    val lTypes = left.schema.fields.map(f => f.name -> f.dataType).toMap
+    val rAligned = right.select(
+      leftCols.map(c =>
+        if (c == keyCol || c == tsCol || c == ordCol) col(c)
+        else lit(null).cast(lTypes(c)).as(c)) ++
+        payloadCols.map(col) :+
+        lit(0).as("__side"): _*)
+    val w = Window.partitionBy(keyCol)
+      .orderBy(col(tsCol), col("__side"), col(ordCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lAligned.unionAll(rAligned)
+      .select(leftCols.map(col) ++
+        payloadCols.map(c => last(col(c), ignoreNulls = true).over(w).as(c)) :+
+        col("__side"): _*)
+      .filter(col("__side") === 1)
+      .select(leftCols.map(col) ++ payloadCols.map(col): _*)
+  }
+}

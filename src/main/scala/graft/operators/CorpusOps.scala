@@ -453,6 +453,32 @@ object CorpusOps {
         col("n_docs"), col("tok_sum"))
   }
 
+  /** Deterministic FIXED-SIZE per-group sample: exactly `k` documents per
+    * stratum (fewer if the stratum is smaller), selected as the k smallest
+    * salted content hashes — the "give me 1000 docs per source,
+    * reproducibly" companion to [[stratifiedSample]]'s rate-based gate.
+    * Content-keyed like the rest of the sampling family: membership is a
+    * pure function of (salt, text) relative to the stratum, so re-runs and
+    * re-partitionings pick the identical rows. Output: (groupCol, doc id,
+    * rnk 1..k).
+    *
+    * Scale shape: `row_number <= k` over (group, hash) is exactly the
+    * pattern Spark rewrites to WindowGroupLimit — each map task keeps only
+    * its local top-k per group BEFORE the shuffle, so the exchange carries
+    * ≤ k rows per group per input partition, never the stratum. No
+    * corpus-sized sort exists.
+    */
+  def groupTopK(docs: DataFrame, idCol: String, groupCol: String, k: Int,
+                salt: String = "topk:"): DataFrame = {
+    require(k >= 1, s"groupTopK needs k >= 1: k=$k")
+    val w = Window.partitionBy(groupCol)
+      .orderBy(md5(concat(lit(salt), col("text"))), col(idCol))
+    docs
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col(groupCol), col(idCol), col("rnk").cast("long").as("rnk"))
+  }
+
   /** Salted content-hash bucket in [0, 100) — [[TextOps.hashBucketCol]]'s
     * fold over `md5(salt ‖ text)`, so sampling decisions are independent of
     * the train/val/test split buckets (an unsalted reuse would make every

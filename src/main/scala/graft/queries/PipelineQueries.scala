@@ -168,6 +168,11 @@ object PipelineQueries {
           Map("src0" -> 30, "src1" -> 0), 10)
         .select(col("doc_id"), col("source"))),
 
+    // Deterministic fixed-size per-source sample: the 7 smallest salted
+    // content hashes per stratum — membership and rank both gated.
+    "samp_topk" -> ((s, d) =>
+      graft.operators.CorpusOps.groupTopK(docs(s, d), "doc_id", "source", 7)),
+
     "dedup_exact" -> ((s, d) => TextOps.dedupExact(docs(s, d))),
 
     // MinHash+LSH near-dup pairs: word-3-gram shingles, 12 bands × 3 rows,
@@ -366,6 +371,22 @@ object PipelineQueries {
         .filter(col("rnk") <= 3)
         .select(col("event_type"), col("user_id"), col("cnt"),
           col("rnk").cast("long").as("rnk"))
+    }),
+
+    // As-of join: each purchase enriched with the latest preceding view
+    // (inclusive ts, ties to the highest event id) by the same user — the
+    // union + running-last window shape, never a per-key range product.
+    "evt_asof" -> ((s, d) => {
+      val ev = events(s, d).select(col("event_id"), col("user_id"),
+        col("event_type"), expr("ts div 1000").as("us"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("us"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("event_id"), col("user_id"), col("us"),
+          col("event_id").as("v_event_id"), col("us").as("v_us"))
+      graft.operators.AsofJoin.asofJoin(
+        purchases, views, "user_id", "us", "event_id",
+        Seq("v_event_id", "v_us"))
     }),
 
     // ---------------------------------------------------- wire format (O3/O4)
@@ -807,6 +828,32 @@ object PipelineQueries {
       """SELECT epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS w_us,
         |  event_type, CAST(COUNT(*) AS BIGINT) AS cnt
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // evt_asof: replays the union + running last_value IGNORE NULLS window
+    // with the identical (us, side, event_id) ordering, so inclusive-ts and
+    // equal-ts tie semantics are compared exactly, nulls included.
+    "evt_asof" ->
+      """WITH ev AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS us FROM events),
+        |u AS (
+        |  SELECT event_id, user_id, us, 1 AS side,
+        |    CAST(NULL AS BIGINT) AS pv, CAST(NULL AS BIGINT) AS pu FROM ev
+        |  WHERE event_type = 'purchase'
+        |  UNION ALL
+        |  SELECT event_id, user_id, us, 0 AS side, event_id AS pv, us AS pu FROM ev
+        |  WHERE event_type = 'view'),
+        |w AS (SELECT event_id, user_id, us, side,
+        |  last_value(pv IGNORE NULLS) OVER win AS v_event_id,
+        |  last_value(pu IGNORE NULLS) OVER win AS v_us
+        |  FROM u WINDOW win AS (PARTITION BY user_id ORDER BY us, side, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT event_id, user_id, us, v_event_id, v_us FROM w WHERE side = 1""".stripMargin,
+
+    "samp_topk" ->
+      """SELECT source, doc_id, CAST(rnk AS BIGINT) AS rnk FROM (
+        |  SELECT source, doc_id, row_number() OVER (
+        |    PARTITION BY source ORDER BY md5('topk:' || text), doc_id) AS rnk
+        |  FROM documents)
+        |WHERE rnk <= 7""".stripMargin,
 
     "evt_topk" ->
       """WITH c AS (SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS cnt

@@ -324,6 +324,29 @@ class CorpusOpsSpec extends AnyFunSuite with PropHelpers {
     assert(CorpusOps.stratifiedSample(df, "source", Map.empty, 100).count() == 200)
   }
 
+  test("groupTopK: exactly k per stratum (fewer if small), matches brute-force hash order") {
+    val rows = (1 to 60).map(i =>
+      (i.toLong, s"src${i % 3}", s"document body $i ${i * 13}")) ++
+      Seq((100L, "tiny", "lone doc"))
+    val df = docsDF(rows: _*)
+    val got = CorpusOps.groupTopK(df, "doc_id", "source", 5)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // Brute force: per source, the 5 smallest (md5("topk:"+text), doc_id).
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hex(s: String) = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expect = rows.groupBy(_._2).toSeq.flatMap { case (src, ds) =>
+      ds.map(d => (hex("topk:" + d._3), d._1))
+        .sorted.take(5).zipWithIndex
+        .map { case ((_, id), i) => (src, id, (i + 1).toLong) }
+    }.toSet
+    assert(got.toSet == expect, s"got ${got.toSet}\nexpect $expect")
+    assert(got.count(_._1 == "tiny") == 1) // small stratum: all of it, rank 1
+    // Partition-invariant (content-keyed, not RNG-keyed).
+    val re = CorpusOps.groupTopK(df.repartition(7), "doc_id", "source", 5)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(re == got.toSet, "sample changed under repartitioning")
+  }
+
   test("corpus ops are well-behaved on empty and null-text input") {
     val empty = docsDF()
     assert(CorpusOps.tfidfTopTerms(empty, "doc_id", "source", 5).count() == 0)
