@@ -389,6 +389,22 @@ object PipelineQueries {
         Seq("v_event_id", "v_us"))
     }),
 
+    // Range join: views by the same user in the 10 minutes strictly before
+    // each error event, counted per error — bucket-blocked equi-join on
+    // (user, time bucket), never the per-key cross-product.
+    "evt_range" -> ((s, d) => {
+      val ev = events(s, d).select(col("event_id"), col("user_id"),
+        col("event_type"), expr("ts div 1000").as("us"))
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("event_id"), col("user_id"), col("us"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("us").as("v_us"))
+      graft.operators.RangeJoin.rangeJoin(errors, views, "user_id",
+          "us", "v_us", -600000000L, -1L, Seq("v_us"))
+        .groupBy("event_id", "user_id", "us")
+        .agg(count(lit(1)).as("n_views"))
+    }),
+
     // ---------------------------------------------------- wire format (O3/O4)
     "wire_parse" -> (wireParse _),
 
@@ -847,6 +863,18 @@ object PipelineQueries {
         |  FROM u WINDOW win AS (PARTITION BY user_id ORDER BY us, side, event_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
         |SELECT event_id, user_id, us, v_event_id, v_us FROM w WHERE side = 1""".stripMargin,
+
+    // evt_range: DuckDB evaluates the range predicate directly (its own
+    // planner picks the strategy) — the bucket blocking must be invisible
+    // in the result.
+    "evt_range" ->
+      """WITH ev AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS us FROM events),
+        |e AS (SELECT event_id, user_id, us FROM ev WHERE event_type = 'error'),
+        |v AS (SELECT user_id, us AS v_us FROM ev WHERE event_type = 'view')
+        |SELECT e.event_id, e.user_id, e.us, CAST(COUNT(*) AS BIGINT) AS n_views
+        |FROM e JOIN v ON e.user_id = v.user_id
+        |  AND v.v_us BETWEEN e.us - 600000000 AND e.us - 1
+        |GROUP BY 1, 2, 3""".stripMargin,
 
     "samp_topk" ->
       """SELECT source, doc_id, CAST(rnk AS BIGINT) AS rnk FROM (
