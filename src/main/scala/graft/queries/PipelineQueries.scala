@@ -304,6 +304,26 @@ object PipelineQueries {
         .agg(count(lit(1)).as("cnt"))
     }),
 
+    // The FULL curation chain a production run executes — exact dedup →
+    // fuzzy near-dup cluster collapse (keep each cluster's min doc id) →
+    // quality gate → content-hash split — composed from the same operators
+    // the individual gates check. Both keep-lists are semi-joins (broadcast
+    // at gate scale, hash-bucketed at 100 TB); the only iterative piece is
+    // the pointer-doubled component loop on the (tiny) pair graph.
+    "curate_fuzzy" -> ((s, d) => {
+      val dd = docs(s, d)
+      val exact = TextOps.dedupExact(dd).select(col("keep_id").as("doc_id"))
+      val kept = dd.join(exact, Seq("doc_id"), "left_semi")
+      val clusters = graft.operators.DedupOps.nearDupClusters(kept, "doc_id",
+        graft.operators.DedupOps.minhashNearDups(kept, "doc_id", 3, 12, 3, 1, 2))
+      val keepFuzzy = clusters.filter(col("doc_id") === col("cluster"))
+        .select("doc_id")
+      kept.join(keepFuzzy, Seq("doc_id"), "left_semi")
+        .filter(TextOps.qualityScoreCol(col("text")) >= 3)
+        .groupBy(col("lang"), TextOps.splitCol(col("text"), 80, 10).as("split"))
+        .agg(count(lit(1)).as("cnt"))
+    }),
+
     // Per-vector int8 quantization (scale = max|x|/127, floor(+0.5)
     // rounding), gated through exact integer aggregates of the quantized
     // array plus the double scale.
@@ -762,6 +782,40 @@ object PipelineQueries {
       s"""SELECT doc_id, source FROM (
          |  SELECT doc_id, source, ${bucketSql("'sample:' || text")} AS bkt FROM documents)
          |WHERE bkt < CASE source WHEN 'src0' THEN 30 WHEN 'src1' THEN 0 ELSE 10 END""".stripMargin,
+
+    // curate_fuzzy: the dedup_exact keep-list, the dedup_clusters recursive
+    // collapse over the KEPT docs' J >= 1/2 pair graph, then the
+    // curate_counts quality/split tail — all fragments shared with the
+    // individual gates so the surfaces cannot drift.
+    "curate_fuzzy" ->
+      s"""WITH RECURSIVE k AS (SELECT MIN(doc_id) AS doc_id FROM documents
+         |  GROUP BY md5(regexp_replace(lower(trim(text)), ' +', ' ', 'g'))),
+         |kd AS (SELECT d.* FROM documents d JOIN k USING (doc_id)),
+         |toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM kd),
+         |sh AS (SELECT doc_id,
+         |  list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)]) AS s
+         |  FROM toks WHERE len(w) >= 3),
+         |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE len(list_intersect(a.s, b.s)) * 2 >= len(list_distinct(list_concat(a.s, b.s)))),
+         |edges AS (SELECT id_a AS a, id_b AS b FROM pairs UNION ALL SELECT id_b, id_a FROM pairs),
+         |reach(id, r) AS (
+         |  SELECT a, a FROM edges
+         |  UNION
+         |  SELECT re.id, e.b FROM reach re JOIN edges e ON e.a = re.r),
+         |lbl AS (SELECT id, MIN(r) AS cluster FROM reach GROUP BY id),
+         |keepf AS (SELECT kd.doc_id FROM kd LEFT JOIN lbl l ON kd.doc_id = l.id
+         |  WHERE COALESCE(l.cluster, kd.doc_id) = kd.doc_id),
+         |t AS (SELECT d.lang, string_split(d.text, ' ') AS w, len(d.text) AS nc,
+         |  ${bucketSql("d.text")} AS bkt
+         |  FROM kd d JOIN keepf USING (doc_id)),
+         |f AS (SELECT lang, bkt,
+         |  $scoreSql
+         |  AS score FROM t)
+         |SELECT lang,
+         |  CASE WHEN bkt < 80 THEN 'train' WHEN bkt < 90 THEN 'val' ELSE 'test' END AS split,
+         |  CAST(COUNT(*) AS BIGINT) AS cnt
+         |FROM f WHERE score >= 3 GROUP BY 1, 2""".stripMargin,
 
     "dedup_exact" ->
       """SELECT md5(regexp_replace(lower(trim(text)), ' +', ' ', 'g')) AS h,
