@@ -378,6 +378,41 @@ object CorpusOps {
       .groupBy("band").agg(count(lit(1)).as("cnt"))
   }
 
+  /** BIGRAM-surprisal banding — the conditional-probability upgrade of
+    * [[surprisalBands]]: a token is surprising given its PREDECESSOR, not
+    * globally, so stitched-together boilerplate (common words in uncommon
+    * order) scores high where the unigram model scores it low. Integer-exact
+    * like the unigram version: bigram surprisal = (scale · cnt1(w1)) div
+    * cnt2(w1 w2) — the reciprocal of p(w2 | w1) — doc score = mean over its
+    * bigram instances, band = score div bandDiv. Docs with < 2 tokens have
+    * no bigrams and are absent. Output: (band, cnt) histogram.
+    *
+    * Shape for scale: ONE corpus explode into a persisted (doc, bigram)
+    * count table carrying w1; bigram totals and first-word totals are two
+    * map-side-combined aggregations of it, and both join back at
+    * (doc, bigram) granularity — 1:1 enrich joins; the hot-first-word key
+    * ("the …") is skew for the join hash but never a fan-out, and AQE's
+    * skew split applies (the [[surprisalBands]] argument). Headroom: the
+    * per-doc score sum is bounded by max(nbigrams_doc) · scale · max(cnt1)
+    * — same ANSI-loud contract as the unigram operator.
+    */
+  def bigramSurprisalBands(docs: DataFrame, idCol: String,
+                           scale: Long = 1000000L,
+                           bandDiv: Long = 10000000L): DataFrame = {
+    val dt = graft.core.Caches.persistTracked(docs
+      .select(col(idCol).as("doc_id"),
+        explode(DedupOps.shingles(col("text"), 2)).as("s"))
+      .groupBy("doc_id", "s").agg(count(lit(1)).as("c"))
+      .withColumn("w1", split(col("s"), " ").getItem(0)))
+    val c2 = dt.groupBy("s").agg(sum(col("c")).as("cnt2"))
+    val c1 = dt.groupBy("w1").agg(sum(col("c")).as("cnt1"))
+    dt.join(c2, "s").join(c1, "w1")
+      .withColumn("sc", col("c") * expr(s"($scale * cnt1) DIV cnt2"))
+      .groupBy("doc_id").agg(sum(col("sc")).as("score"), sum(col("c")).as("nb"))
+      .select(expr(s"(score DIV nb) DIV $bandDiv").as("band"))
+      .groupBy("band").agg(count(lit(1)).as("cnt"))
+  }
+
   /** Concat-and-chunk sequence-packing bookkeeping — the pretraining data
     * layout: documents are laid out in a deterministic pseudo-shuffled order
     * into one concatenated token stream per shard, and each document's

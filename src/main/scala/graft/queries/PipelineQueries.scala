@@ -156,6 +156,11 @@ object PipelineQueries {
     "txt_surprisal" -> ((s, d) =>
       graft.operators.CorpusOps.surprisalBands(docs(s, d), "doc_id")),
 
+    // Bigram-surprisal band histogram — conditional-probability LM-quality
+    // signal (surprise given the predecessor token), integer-exact.
+    "txt_surprisal2" -> ((s, d) =>
+      graft.operators.CorpusOps.bigramSurprisalBands(docs(s, d), "doc_id")),
+
     // Concat-and-chunk packing bookkeeping: md5-shuffled doc order in 4
     // shards, 2048-token context windows; per (shard, bin) doc/token counts.
     "pack_bins" -> ((s, d) =>
@@ -759,6 +764,22 @@ object PipelineQueries {
         |  SUM(dt.c_dt) AS ntok
         |  FROM dt JOIN tc USING (tok), n GROUP BY dt.doc_id)
         |SELECT CAST((score // ntok) // 10000000 AS BIGINT) AS band,
+        |  CAST(COUNT(*) AS BIGINT) AS cnt
+        |FROM sc GROUP BY 1""".stripMargin,
+
+    "txt_surprisal2" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |bg AS (SELECT doc_id,
+        |  unnest([array_to_string(w[i:i+1], ' ') for i in range(1, len(w))]) AS s FROM t),
+        |dt AS (SELECT doc_id, s, string_split(s, ' ')[1] AS w1, COUNT(*) AS c
+        |  FROM bg GROUP BY 1, 2, 3),
+        |c2 AS (SELECT s, SUM(c) AS cnt2 FROM dt GROUP BY s),
+        |c1 AS (SELECT w1, SUM(c) AS cnt1 FROM dt GROUP BY w1),
+        |sc AS (SELECT dt.doc_id,
+        |  SUM(dt.c * ((1000000 * c1.cnt1) // c2.cnt2)) AS score,
+        |  SUM(dt.c) AS nb
+        |  FROM dt JOIN c2 USING (s) JOIN c1 USING (w1) GROUP BY dt.doc_id)
+        |SELECT CAST((score // nb) // 10000000 AS BIGINT) AS band,
         |  CAST(COUNT(*) AS BIGINT) AS cnt
         |FROM sc GROUP BY 1""".stripMargin,
 

@@ -233,6 +233,31 @@ class CorpusOpsSpec extends AnyFunSuite with PropHelpers {
     assert(got == expect, s"got $got expect $expect")
   }
 
+  test("bigramSurprisalBands matches brute force; common words in odd order score high") {
+    val rows = Seq(
+      (1L, "s", "the cat sat the cat sat the cat"), // repeated bigrams -> low
+      (2L, "s", "cat the sat cat the sat"),         // same words, different order
+      (3L, "s", "x"))                               // single token: no bigrams
+    val got = CorpusOps.bigramSurprisalBands(docsDF(rows: _*), "doc_id",
+        scale = 1000L, bandDiv = 100L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    graft.core.Caches.releaseAll()
+    // Brute force with the same integer arithmetic.
+    val bgs = rows.flatMap { case (id, _, t) =>
+      val w = t.split(" ")
+      if (w.length < 2) Seq.empty
+      else w.sliding(2).map(b => (id, b.mkString(" "), b(0))).toSeq
+    }
+    val cnt2 = bgs.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val cnt1 = bgs.groupBy(_._3).view.mapValues(_.size.toLong).toMap
+    val expect = bgs.groupBy(_._1).values.map { bs =>
+      val score = bs.map { case (_, s, w1) => (1000L * cnt1(w1)) / cnt2(s) }.sum
+      (score / bs.size) / 100L
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(got == expect, s"got $got expect $expect")
+    assert(!got.isEmpty && got.values.sum == 2L) // doc 3 absent (no bigrams)
+  }
+
   // ----------------------------------------------------------- packStats
 
   test("packStats matches a sequential concat-and-chunk simulation; stable under repartition") {
