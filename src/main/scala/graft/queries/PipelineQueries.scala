@@ -268,6 +268,14 @@ object PipelineQueries {
         embs(s, d), "vec_id", "embedding",
         col("vec_id").between(KmCentLo, KmCentHi), KmIters, EmbDims)),
 
+    // k-means with farthest-first (maximin) seeding — index construction
+    // with NO privileged seed rows: seed 1 = min id, each next seed the
+    // argmax of min distance to chosen seeds, then the same Lloyd loop.
+    // The oracle replays seeding AND training.
+    "emb_kmeanspp" -> ((s, d) =>
+      graft.operators.VectorOps.kmeansFarthestFirst(
+        embs(s, d), "vec_id", "embedding", KmppK, KmIters, EmbDims)),
+
     // IVF search over the k-means-TRAINED coarse quantizer — the realistic
     // ANN pipeline (train → assign → multi-probe → exact re-rank), every
     // stage of which the oracle replays.
@@ -502,6 +510,7 @@ object PipelineQueries {
   private val KmCentLo  = 8
   private val KmCentHi  = 15
   private val KmIters   = 3
+  private val KmppK     = 8
   private val SemMinCos = 0.35
 
   /** VALUES rows of the deterministic hyperplanes (table, bit, components)
@@ -581,12 +590,21 @@ object PipelineQueries {
     * keep their centroid). Yields CTEs `q` (quantized corpus) and
     * `c$KmIters` (trained centroids) — shared by the emb_kmeans and
     * knn_ivf_kmeans oracles. */
-  private val kmeansCteSql: String = {
+  /** The quantization CTEs (`e`, `sc`, `q`) shared by every k-means oracle. */
+  private val kmQuantCtes: String =
+    s"""e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS ev FROM embeddings),
+       |sc AS (SELECT vec_id, ev, list_max([abs(x) for x in ev]) / 127.0 AS scale FROM e),
+       |q AS (SELECT vec_id AS id,
+       |  CASE WHEN scale > 0 THEN [CAST(FLOOR(x / scale + 0.5) AS BIGINT) for x in ev]
+       |       ELSE [CAST(0 AS BIGINT) for x in ev] END AS v FROM sc)""".stripMargin
+
+  /** The Lloyd iteration CTE chain a1..c$KmIters (expects `q` and `c0`). */
+  private val kmIterCtes: String = {
     val sumCols = (1 to EmbDims).map(i => s"SUM(v[$i]) AS s$i").mkString(", ")
     val centList = (1 to EmbDims).map(i =>
       s"CAST(CASE WHEN s$i < 0 THEN -((2*(-s$i) + n) // (2*n)) ELSE (2*s$i + n) // (2*n) END AS BIGINT)")
       .mkString("[", ", ", "]")
-    val iterCtes = (1 to KmIters).map { t =>
+    (1 to KmIters).map { t =>
       s"""a$t AS (SELECT id, v, cid FROM (
          |  SELECT id, v, cid, ROW_NUMBER() OVER (PARTITION BY id ORDER BY d, cid) AS rn
          |  FROM (SELECT q.id, q.v, c.cid, $kmDistSql AS d FROM q, c${t - 1} c)) WHERE rn = 1),
@@ -594,13 +612,28 @@ object PipelineQueries {
          |c$t AS (SELECT c.cid, CASE WHEN g.cid IS NULL THEN c.cv ELSE $centList END AS cv
          |  FROM c${t - 1} c LEFT JOIN g$t g ON c.cid = g.cid)""".stripMargin
     }.mkString(",\n")
-    s"""e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS ev FROM embeddings),
-       |sc AS (SELECT vec_id, ev, list_max([abs(x) for x in ev]) / 127.0 AS scale FROM e),
-       |q AS (SELECT vec_id AS id,
-       |  CASE WHEN scale > 0 THEN [CAST(FLOOR(x / scale + 0.5) AS BIGINT) for x in ev]
-       |       ELSE [CAST(0 AS BIGINT) for x in ev] END AS v FROM sc),
+  }
+
+  private val kmeansCteSql: String =
+    s"""$kmQuantCtes,
        |c0 AS (SELECT id AS cid, v AS cv FROM q WHERE id BETWEEN $KmCentLo AND $KmCentHi),
-       |$iterCtes""".stripMargin
+       |$kmIterCtes""".stripMargin
+
+  /** Farthest-first seeding chain s1..s$KmppK (expects `q`): s1 = the min
+    * id; each s_{j} adds the vector maximizing its min distance to s_{j-1}
+    * (ties to the lowest id) — replaying
+    * [[graft.operators.VectorOps.kmeansFarthestFirst]]'s seeding. */
+  private val kmppCteSql: String = {
+    val steps = (2 to KmppK).map { j =>
+      s"""d$j AS (SELECT q.id, MIN($kmDistSql) AS md FROM q, s${j - 1} c GROUP BY q.id),
+         |n$j AS (SELECT q.id, q.v FROM q JOIN (SELECT id FROM d$j ORDER BY md DESC, id LIMIT 1) t USING (id)),
+         |s$j AS (SELECT * FROM s${j - 1} UNION ALL SELECT id AS cid, v AS cv FROM n$j)""".stripMargin
+    }.mkString(",\n")
+    s"""$kmQuantCtes,
+       |s1 AS (SELECT id AS cid, v AS cv FROM q WHERE id = (SELECT MIN(id) FROM q)),
+       |$steps,
+       |c0 AS (SELECT cid, cv FROM s$KmppK),
+       |$kmIterCtes""".stripMargin
   }
 
   val oracles: Map[String, String] = Map(
@@ -1055,6 +1088,12 @@ object PipelineQueries {
 
     "emb_kmeans" ->
       s"""WITH $kmeansCteSql
+         |SELECT id AS vec_id, cid, CAST(d AS BIGINT) AS dist FROM (
+         |  SELECT id, cid, d, ROW_NUMBER() OVER (PARTITION BY id ORDER BY d, cid) AS rn
+         |  FROM (SELECT q.id, c.cid, $kmDistSql AS d FROM q, c$KmIters c)) WHERE rn = 1""".stripMargin,
+
+    "emb_kmeanspp" ->
+      s"""WITH $kmppCteSql
          |SELECT id AS vec_id, cid, CAST(d AS BIGINT) AS dist FROM (
          |  SELECT id, cid, d, ROW_NUMBER() OVER (PARTITION BY id ORDER BY d, cid) AS rn
          |  FROM (SELECT q.id, c.cid, $kmDistSql AS d FROM q, c$KmIters c)) WHERE rn = 1""".stripMargin,

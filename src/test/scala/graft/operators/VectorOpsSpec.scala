@@ -138,6 +138,62 @@ class VectorOpsSpec extends AnyFunSuite {
     got.foreach { case (id, cid, _) => assert(cid == (id / 10) * 10, s"$id -> $cid") }
   }
 
+  test("kmeansFarthestFirst matches an in-memory maximin + Lloyd reference") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    def blob(center: Array[Float], n: Int, from: Long) =
+      (0 until n).map(i => (from + i,
+        center.map(c => c + (rnd.nextFloat() - 0.5f) * 0.1f)))
+    val rows = blob(Array(1f, 0f, 0f, 0f), 6, 0L) ++
+      blob(Array(0f, 1f, 0f, 0f), 6, 10L) ++
+      blob(Array(0f, 0f, 1f, 0f), 6, 20L)
+    val df = rows.toDF("vec_id", "embedding")
+    val got = graft.core.Caches.scoped {
+      VectorOps.kmeansFarthestFirst(df, "vec_id", "embedding", 3, 3, 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    }
+    // In-memory reference: identical quantization, maximin seeding, Lloyd.
+    val quant = rows.map { case (id, v) =>
+      val scale = v.map(x => math.abs(x.toDouble)).max / 127.0
+      id -> (if (scale > 0) v.map(x => math.floor(x / scale + 0.5).toLong)
+             else v.map(_ => 0L))
+    }.toMap
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    var seeds = Seq(0L)
+    while (seeds.length < 3) {
+      val next = quant.toSeq
+        .map { case (id, v) => (seeds.map(s => d2(v, quant(s))).min, id) }
+        .sortBy { case (md, id) => (-md, id) }.head._2
+      seeds = seeds :+ next
+    }
+    var cents: Seq[(Long, Array[Long])] = seeds.map(s => s -> quant(s))
+    def assign(): Map[Long, (Long, Long)] = quant.map { case (id, v) =>
+      val (dist, cid) = cents.map { case (cid, cv) => (d2(v, cv), cid) }.min
+      id -> ((cid, dist))
+    }
+    for (_ <- 1 to 3) {
+      val byCell = assign().toSeq.groupBy(_._2._1)
+      cents = cents.map { case (cid, cv) =>
+        byCell.get(cid) match {
+          case Some(members) =>
+            val vs = members.map(m => quant(m._1)); val n = vs.size.toLong
+            cid -> Array.tabulate(4) { i =>
+              val s = vs.map(_(i)).sum
+              val a = (2L * math.abs(s) + n) / (2L * n)
+              if (s < 0) -a else a
+            }
+          case None => cid -> cv
+        }
+      }
+    }
+    val expected = assign().map { case (id, (cid, dist)) => (id, cid, dist) }.toSet
+    assert(got == expected, s"got $got\nexpected $expected")
+    // Maximin from id 0 (blob x) must have seeded one vector per blob.
+    assert(seeds.map(_ / 10).toSet == Set(0L, 1L, 2L), s"seeds $seeds")
+  }
+
   test("knnIvfKmeans: probing all trained cells equals brute force; one probe stays in-cluster") {
     val spark = TestSpark.spark
     import spark.implicits._
