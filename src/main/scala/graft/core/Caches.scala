@@ -21,6 +21,8 @@ import org.apache.spark.storage.StorageLevel
 object Caches {
 
   private val live = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]
+  private val liveRdds =
+    new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.rdd.RDD[_]]
 
   /** Persist (MEMORY_AND_DISK) and register for [[releaseAll]]. */
   def persistTracked(df: DataFrame): DataFrame = {
@@ -29,11 +31,20 @@ object Caches {
     p
   }
 
+  /** Register a persisted RDD (e.g. a `localCheckpoint`'s backing storage,
+    * which lives below the CacheManager) for [[releaseAll]]. */
+  def trackRdd(rdd: org.apache.spark.rdd.RDD[_]): Unit = liveRdds.add(rdd)
+
   /** Unpersist every registered intermediate. Plans built from the released
-    * DataFrames stay correct (they recompute). */
+    * DataFrames stay correct (they recompute); a released CHECKPOINT cannot
+    * recompute (its lineage is gone), so tracked checkpoint RDDs must only
+    * be released after their consumer has materialized — the same
+    * consume-then-release contract the DataFrame caches already have. */
   def releaseAll(): Unit = {
     var df = live.poll()
     while (df != null) { df.unpersist(blocking = false); df = live.poll() }
+    var rdd = liveRdds.poll()
+    while (rdd != null) { rdd.unpersist(blocking = false); rdd = liveRdds.poll() }
   }
 
   /** Scoped lifecycle: `body` must consume its result eagerly; all

@@ -22,10 +22,12 @@ import org.apache.spark.sql.functions._
   *
   * Contract: both frames carry `keyCol`, `tsCol`, `ordCol`; `payloadCols`
   * exist on `right` and must not collide with `left`'s columns. Output =
-  * every `left` row with `payloadCols` appended (null when no right row
-  * precedes it). All payload columns come from the SAME matched right row:
-  * the `last` windows share one frame and the payloads are null on exactly
-  * the same (left) rows.
+  * every `left` row with `payloadCols` appended (all null when no right row
+  * precedes it). All payload columns come from the SAME matched right row
+  * BY CONSTRUCTION: the running `last` tracks ONE struct of the full
+  * payload, tagged non-null exactly on right rows — so a right row whose
+  * payload fields are legitimately null enriches as those nulls, never as
+  * a mix of older rows' values.
   */
 object AsofJoin {
 
@@ -55,11 +57,15 @@ object AsofJoin {
     val w = Window.partitionBy(keyCol)
       .orderBy(col(tsCol), col("__side"), col(ordCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // ONE struct per right row (null on left rows — `when` without
+    // `otherwise`), so the ignore-nulls last picks a whole right row
+    // atomically even when individual payload fields are null.
     lAligned.unionAll(rAligned)
-      .select(leftCols.map(col) ++
-        payloadCols.map(c => last(col(c), ignoreNulls = true).over(w).as(c)) :+
-        col("__side"): _*)
+      .withColumn("__p", last(
+        when(col("__side") === 0, struct(payloadCols.map(col): _*)),
+        ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
-      .select(leftCols.map(col) ++ payloadCols.map(col): _*)
+      .select(leftCols.map(col) ++
+        payloadCols.map(c => col("__p").getField(c).as(c)): _*)
   }
 }

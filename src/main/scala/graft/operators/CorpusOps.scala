@@ -433,10 +433,14 @@ object CorpusOps {
     * bucket base offsets over an nShards×256-row aggregate (driver-small,
     * broadcast back), and the running-sum window then runs WITHIN
     * (shard, bucket) only — per-task sort bounded by shard/256, ~100 MB at
-    * the 100 TB worst case. Output is identical to the one-window
-    * formulation (asserted in CorpusOpsSpec). Parallelism = nShards×256;
-    * determinism is per-shard, which is what data-parallel training
-    * consumes anyway.
+    * the 100 TB worst case. The shard hash reads the LAST four hex chars
+    * precisely so it shares no characters with the bucket prefix: md5
+    * chars are independent, so every shard sees all 256 buckets at any
+    * nShards (a shard derived from the leading chars would pin the bucket
+    * chars for power-of-two nShards > 256 and collapse the 256-way split
+    * to 16). Output is identical to the one-window formulation (asserted
+    * in CorpusOpsSpec). Parallelism = nShards×256; determinism is
+    * per-shard, which is what data-parallel training consumes anyway.
     */
   /** Value of one lowercase hex char of `h` at 1-based position `j` —
     * engine-neutral (DuckDB replays it with the same ascii arithmetic). */
@@ -457,11 +461,12 @@ object CorpusOps {
       .select(col(idCol).as("doc_id"),
         coalesce(size(TextOps.tokens(col("text"))), lit(0)).as("ntok"),
         ordHex.as("ord"))
-      // Shard from 16 true hash bits (4 hex chars as a base-16 polynomial)
-      // — near-uniform for any nShards well below 2^16; a 2-char ascii fold
-      // would skew or even miss shards past a few dozen.
+      // Shard from 16 true hash bits (the LAST 4 hex chars as a base-16
+      // polynomial — disjoint from the bucket's leading-prefix chars, see
+      // the scaladoc) — near-uniform for any nShards well below 2^16; a
+      // 2-char ascii fold would skew or even miss shards past a few dozen.
       .withColumn("shard",
-        (1 to 4).map(j => hexVal(col("ord"), j) * (1 << (4 * (4 - j))))
+        (1 to 4).map(j => hexVal(col("ord"), 28 + j) * (1 << (4 * (4 - j))))
           .reduce(_ + _) % nShards)
       // Range bucket: the first two hex chars of the order key — a PREFIX
       // of the (ord, doc_id) sort key, so buckets are contiguous ranges of

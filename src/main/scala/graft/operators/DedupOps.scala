@@ -48,7 +48,13 @@ object DedupOps {
     * [[graft.operators.TextOps.dedupExact]] first (as the curation pipeline
     * does) and the cap is a no-op, because the co-identical documents that
     * populate degenerate buckets are already collapsed. Inspect what a cap
-    * would drop with [[hotBuckets]] before lowering it. */
+    * would drop with [[hotBuckets]] before lowering it.
+    *
+    * NOTE for the oracle gates: the DuckDB oracles replay UNCAPPED
+    * candidate sets; the fixtures stay orders of magnitude below this cap
+    * by construction (≤ 5000 rows total at bench scale), so the gates
+    * compare the guard as a no-op. A fixture scale-up past the cap must
+    * either replay the cap oracle-side or raise it. */
   val DefaultMaxBucket: Int = 10000
 
   /** The candidate-join keys shared by more than `maxBucket` rows, with
@@ -60,12 +66,10 @@ object DedupOps {
       .filter(col("bsz") > maxBucket)
 
   /** Remove rows whose candidate-join key is shared by more than `maxBucket`
-    * rows. The over-cap key set is tiny by construction (each surviving key
-    * bounds its own size), so it broadcasts into a left-anti join — the
-    * guard costs one map-side-combined aggregation over the (already
-    * persisted) signature rows, never a corpus-scale shuffle. Capped
-    * detection trades recall ON THE DROPPED CLUSTERS ONLY for a linear
-    * bound; every pair outside an over-cap bucket is unaffected. */
+    * rows, via a count window over the join keys (see the inline comment
+    * for why that beats a groupBy + anti-join here). Capped detection
+    * trades recall ON THE DROPPED CLUSTERS ONLY for a linear bound; every
+    * pair outside an over-cap bucket is unaffected. */
   private[operators] def dropHotBuckets(rows: DataFrame, keys: Seq[String],
                                         maxBucket: Int): DataFrame =
     if (maxBucket == Int.MaxValue) rows
@@ -303,7 +307,10 @@ object DedupOps {
     * round plans against a constant-size tree. The checkpoint is
     * pair-graph-sized; on executor loss the job fails and re-runs (no
     * lineage to replay) — the standard iterative-algorithm trade, and cheap
-    * at this table's size. The iterative loop is batch-only by contract.
+    * at this table's size. Checkpoint storage sits below the CacheManager,
+    * so rounds are freed explicitly: each superseded round in-loop, the
+    * final one via [[graft.core.Caches]] on [[unpersistPipelines]]. The
+    * iterative loop is batch-only by contract.
     *
     * Ids keep their native (orderable) type end-to-end — no silent cast.
     */
@@ -314,12 +321,21 @@ object DedupOps {
     val fwd = cachePersist(pairs.select(col("id_a").as("a"), col("id_b").as("b")))
     val edges = cachePersist(fwd.unionAll(
       fwd.select(col("b").as("a"), col("a").as("b"))))
+    // The checkpoint's backing storage lives below the CacheManager, so it
+    // must be freed explicitly: superseded rounds in-loop (their data has
+    // already fed the next round's materialization), the final round via
+    // the Caches registry after the caller consumes the result.
+    def ckptRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+      df.queryExecution.analyzed.collectFirst {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+      }
     // Seed with the first propagation already applied: lbl₀ = min(id,
     // neighbors) — one fewer fixpoint round than an identity start.
     var labels = edges.groupBy("a")
       .agg(least(col("a"), min(col("b"))).as("lbl"))
       .select(col("a").as("id"), col("lbl"))
       .localCheckpoint()
+    var labelsRdd = ckptRdd(labels)
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < 50) {
@@ -344,9 +360,14 @@ object DedupOps {
             col("lbl").as("old"))
           .localCheckpoint()
       changed = next.filter(col("lbl") =!= col("old")).count()
+      labelsRdd.foreach(_.unpersist(blocking = false)) // superseded round
       labels = next.select(col("id"), col("lbl"))
+      labelsRdd = ckptRdd(next)
       iter += 1
     }
+    // The returned plan reads the LAST checkpoint — release it only after
+    // the caller consumes the result (unpersistPipelines / withDedupCaches).
+    labelsRdd.foreach(graft.core.Caches.trackRdd)
     // A silent non-converged result would mislabel clusters; 50 rounds
     // covers any pathological dup-graph diameter under pointer doubling
     // (2^50 hops), so running out means the input is broken — fail loudly,

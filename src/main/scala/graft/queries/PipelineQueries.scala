@@ -817,8 +817,10 @@ object PipelineQueries {
         |FROM sc GROUP BY 1""".stripMargin,
 
     "pack_bins" -> {
+      // Shard from the LAST four hex chars (29-32) — disjoint from the
+      // two-level bucketing's leading-prefix chars (packStats scaladoc).
       val shardPoly = (1 to 4).map(j =>
-        s"${hexvalSql(s"substr(ord,$j,1)")} * ${1 << (4 * (4 - j))}").mkString(" + ")
+        s"${hexvalSql(s"substr(ord,${28 + j},1)")} * ${1 << (4 * (4 - j))}").mkString(" + ")
       s"""WITH t AS (SELECT doc_id,
          |  COALESCE(len(string_split(text, ' ')), 0) AS ntok,
          |  md5('pack:' || CAST(doc_id AS VARCHAR)) AS ord FROM documents),

@@ -27,6 +27,22 @@ class AsofJoinSpec extends AnyFunSuite {
       s"got $got")
   }
 
+  test("asofJoin: null payload fields come through atomically, not mixed with older rows") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // Latest right row has pA = null: the left row must see (null, 9),
+    // never pA backfilled from the older row.
+    val left = Seq((1L, 1L, 25L)).toDF("event_id", "user_id", "us")
+    val right = Seq(
+      (100L, 1L, 10L, Option(5L), Option(7L)),
+      (101L, 1L, 20L, Option.empty[Long], Option(9L)))
+      .toDF("event_id", "user_id", "us", "pa", "pb")
+    val r = AsofJoin.asofJoin(left, right, "user_id", "us", "event_id",
+      Seq("pa", "pb")).collect()(0)
+    assert(r.isNullAt(3), s"stale pa leaked across right rows: $r")
+    assert(r.getLong(4) == 9L)
+  }
+
   test("asofJoin rejects payload collisions and missing payload columns") {
     val spark = TestSpark.spark
     import spark.implicits._

@@ -277,7 +277,7 @@ class CorpusOpsSpec extends AnyFunSuite with PropHelpers {
     val expect = rows.map { case (id, _, text) =>
       val o = hex(s"pack:$id")
       (id, text.split(" ").length.toLong, o,
-        (hv(o(0)) * 4096 + hv(o(1)) * 256 + hv(o(2)) * 16 + hv(o(3))) % 3)
+        (hv(o(28)) * 4096 + hv(o(29)) * 256 + hv(o(30)) * 16 + hv(o(31))) % 3)
     }.groupBy(_._4).toSeq.flatMap { case (shard, ds) =>
       var off = 0L
       ds.sortBy(d => (d._3, d._1)).map { d =>
@@ -308,7 +308,7 @@ class CorpusOpsSpec extends AnyFunSuite with PropHelpers {
         coalesce(size(TextOps.tokens(col("text"))), lit(0)).as("ntok"),
         ord.as("ord"))
       .withColumn("shard",
-        (1 to 4).map(j => hexVal(col("ord"), j) * (1 << (4 * (4 - j))))
+        (1 to 4).map(j => hexVal(col("ord"), 28 + j) * (1 << (4 * (4 - j))))
           .reduce(_ + _) % nShards)
     val w = Window.partitionBy("shard").orderBy("ord", "doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)

@@ -185,15 +185,22 @@ class DedupOpsSpec extends AnyFunSuite with PropHelpers {
     }
   }
 
-  test("dedup caches: withDedupCaches leaves no cached partitions behind") {
+  test("dedup caches: withDedupCaches leaves no cached partitions or checkpoint RDDs behind") {
     val spark = TestSpark.spark
+    val before = spark.sparkContext.getPersistentRDDs.size
     val df = docsDF((1L, "a b c d e f"), (2L, "a b c d e g"), (3L, "p q r s t u"))
     DedupOps.withDedupCaches {
       DedupOps.minhashNearDups(df, "doc_id", 3, 12, 3, 1, 2).count()
       DedupOps.jaccardNearDups(df, "doc_id", 3, 1, 2).count()
+      // The component loop checkpoints per round — storage below the
+      // CacheManager that must ALSO be released on the way out.
+      DedupOps.nearDupClusters(df, "doc_id",
+        DedupOps.minhashNearDups(df, "doc_id", 3, 12, 3, 1, 2)).count()
     }
     assert(spark.sharedState.cacheManager.isEmpty,
       "dedup intermediates still cached after withDedupCaches")
+    assert(spark.sparkContext.getPersistentRDDs.size <= before,
+      s"checkpoint RDD storage leaked: ${spark.sparkContext.getPersistentRDDs.size} > $before")
   }
 
   test("simhashNearDups pairs near-identical docs, not dissimilar ones; self-pairs absent") {
