@@ -378,6 +378,39 @@ object CorpusOps {
       .groupBy("band").agg(count(lit(1)).as("cnt"))
   }
 
+  /** Source-drift banding — the "did my corpus shift" monitor a mixture
+    * designer reads when a source is re-crawled or swapped: for every token
+    * seen in either of two groups, the ratio of its smoothed per-million
+    * frequencies, folded into a decile histogram. Output: (band, n_tokens)
+    * where band = ((fa+1)·100 div (fb+1)) div 10, f = (cnt·10⁶) div total —
+    * band 10 ≈ unchanged, low bands = token collapsed in A, high bands =
+    * token surged in A. Integer-exact end to end, and scale-safe by
+    * construction: frequencies normalize BEFORE the ratio, so the largest
+    * intermediate is cnt·10⁶ (a per-token count times a million — fine
+    * until a single token exceeds ~9·10¹² occurrences), never a
+    * count × corpus-total product.
+    *
+    * Shape: one token explode over the two groups, one map-side-combined
+    * (token → per-group counts) aggregation at vocabulary granularity, a
+    * broadcast single-row total, then pure per-row arithmetic — no join
+    * keyed on a skewed column anywhere.
+    */
+  def corpDrift(docs: DataFrame, groupCol: String, srcA: String,
+                srcB: String): DataFrame = {
+    val cnts = docs.filter(col(groupCol).isin(srcA, srcB))
+      .select(col(groupCol).as("g"), explode(TextOps.tokens(col("text"))).as("tok"))
+      .groupBy("tok")
+      .agg(sum(when(col("g") === srcA, 1L).otherwise(0L)).as("ca"),
+        sum(when(col("g") === srcB, 1L).otherwise(0L)).as("cb"))
+    val tracked = graft.core.Caches.persistTracked(cnts)
+    val tot = tracked.agg(sum(col("ca")).as("ta"), sum(col("cb")).as("tb"))
+    tracked.crossJoin(broadcast(tot))
+      .withColumn("fa", expr("(ca * 1000000) DIV ta"))
+      .withColumn("fb", expr("(cb * 1000000) DIV tb"))
+      .select(expr("(((fa + 1) * 100) DIV (fb + 1)) DIV 10").as("band"))
+      .groupBy("band").agg(count(lit(1)).as("n_tokens"))
+  }
+
   /** BIGRAM-surprisal banding — the conditional-probability upgrade of
     * [[surprisalBands]]: a token is surprising given its PREDECESSOR, not
     * globally, so stitched-together boilerplate (common words in uncommon

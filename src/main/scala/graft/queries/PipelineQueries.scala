@@ -156,6 +156,11 @@ object PipelineQueries {
     "txt_surprisal" -> ((s, d) =>
       graft.operators.CorpusOps.surprisalBands(docs(s, d), "doc_id")),
 
+    // Source-drift decile histogram between src0 and src1 — smoothed
+    // per-million token-frequency ratios, the re-crawl shift monitor.
+    "corp_drift" -> ((s, d) =>
+      graft.operators.CorpusOps.corpDrift(docs(s, d), "source", "src0", "src1")),
+
     // Bigram-surprisal band histogram — conditional-probability LM-quality
     // signal (surprise given the predecessor token), integer-exact.
     "txt_surprisal2" -> ((s, d) =>
@@ -799,6 +804,17 @@ object PipelineQueries {
         |SELECT CAST((score // ntok) // 10000000 AS BIGINT) AS band,
         |  CAST(COUNT(*) AS BIGINT) AS cnt
         |FROM sc GROUP BY 1""".stripMargin,
+
+    "corp_drift" ->
+      """WITH t AS (SELECT source AS g, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents WHERE source IN ('src0', 'src1')),
+        |c AS (SELECT tok, SUM(CASE WHEN g = 'src0' THEN 1 ELSE 0 END) AS ca,
+        |             SUM(CASE WHEN g = 'src1' THEN 1 ELSE 0 END) AS cb FROM t GROUP BY tok),
+        |tt AS (SELECT SUM(ca) AS ta, SUM(cb) AS tb FROM c),
+        |f AS (SELECT tok, (ca * 1000000) // ta AS fa, (cb * 1000000) // tb AS fb FROM c, tt)
+        |SELECT CAST((((fa + 1) * 100) // (fb + 1)) // 10 AS BIGINT) AS band,
+        |  CAST(COUNT(*) AS BIGINT) AS n_tokens
+        |FROM f GROUP BY 1""".stripMargin,
 
     "txt_surprisal2" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

@@ -233,6 +233,28 @@ class CorpusOpsSpec extends AnyFunSuite with PropHelpers {
     assert(got == expect, s"got $got expect $expect")
   }
 
+  test("corpDrift matches brute-force smoothed frequency-ratio deciles") {
+    val rows = Seq(
+      (1L, "a", "x x x x y z"),
+      (2L, "a", "x x y w w w"),
+      (3L, "b", "x y y y z z"),
+      (4L, "b", "q q q y z w"),
+      (5L, "c", "ignored entirely"))
+    val got = CorpusOps.corpDrift(docsDF(rows: _*), "source", "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    graft.core.Caches.releaseAll()
+    val toks = rows.filter(r => r._2 == "a" || r._2 == "b")
+      .flatMap { case (_, g, t) => t.split(" ").map(g -> _) }
+    val (as, bs) = (toks.filter(_._1 == "a").map(_._2), toks.filter(_._1 == "b").map(_._2))
+    val vocab = (as ++ bs).distinct
+    val expect = vocab.map { tok =>
+      val fa = as.count(_ == tok).toLong * 1000000L / as.size
+      val fb = bs.count(_ == tok).toLong * 1000000L / bs.size
+      (((fa + 1) * 100) / (fb + 1)) / 10
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(got == expect, s"got $got expect $expect")
+  }
+
   test("bigramSurprisalBands matches brute force; common words in odd order score high") {
     val rows = Seq(
       (1L, "s", "the cat sat the cat sat the cat"), // repeated bigrams -> low
