@@ -46,6 +46,43 @@ object SkylineOps {
     df.select(dims.map(col): _*)
       .join(frontier(df, dims), dims, "left_semi")
 
+  /** TOP-K DOMINATING skyline points (the frontier restriction of the
+    * top-k dominating query, Yiu & Mamoulis, VLDB'07 — "which Pareto
+    * options matter MOST"): each DISTINCT skyline point scored by the
+    * number of input rows it strictly dominates, ranked by (score desc,
+    * dims asc). Output: dims..., dom_cnt, rnk ≤ k.
+    *
+    * Scale shape: the frontier is small by nature (it shrinks as dominance
+    * gets easier), so it broadcasts, and scoring is ONE corpus scan through
+    * a broadcast nested-loop join — O(n·|frontier|) comparisons with
+    * nothing corpus-sized shuffled; the final rank windows over frontier-
+    * sized data only. If a (high-dimensional) frontier ever outgrows
+    * broadcast, pre-filter with [[gridPrefilter]] before scoring.
+    */
+  def topDominatingSkyline(df: DataFrame, dims: Seq[String], k: Int): DataFrame = {
+    require(k >= 1, s"topDominatingSkyline needs k >= 1: k=$k")
+    val sky = skylineRows(df, dims).distinct()
+    val le = dims.map(c => col(s"s.$c") <= col(s"r.$c")).reduce(_ && _)
+    val lt = dims.map(c => col(s"s.$c") < col(s"r.$c")).reduce(_ || _)
+    // Inner scoring join with the FRONTIER broadcast (the corpus streams
+    // through it once); skyline points dominating nothing re-enter with a
+    // zero count via a frontier-sized left join afterwards — a left-outer
+    // scoring join would have to preserve the broadcast side, which Spark
+    // (rightly) refuses to plan as a broadcast.
+    val scored = df.select(dims.map(col): _*).as("r")
+      .join(broadcast(sky.as("s")), le && lt)
+      .groupBy(dims.map(c => col(s"s.$c").as(c)): _*)
+      .agg(count(lit(1)).as("dom_cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("dom_cnt").desc +: dims.map(col): _*)
+    sky.join(scored, dims, "left")
+      .select(dims.map(col) :+ coalesce(col("dom_cnt"), lit(0L)).as("dom_cnt"): _*)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(dims.map(col) :+ col("dom_cnt") :+
+        col("rnk").cast("long").as("rnk"): _*)
+  }
+
   /** Grouped skyline: non-dominated rows within each group. One shuffle on
     * the group keys for the frontier (partial-aggregated map-side), then a
     * broadcast semi-join on (groupCols ++ dims).

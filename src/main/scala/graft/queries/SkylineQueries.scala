@@ -69,6 +69,13 @@ object SkylineQueries {
 
     "sky2d_dup" -> ((s, d) => skylineRows(li(s, d), Seq("l_quantity", "l_discount"))),
 
+    // Top-10 dominating skyline points over the duplicate-bearing dims:
+    // each distinct frontier point scored by the rows it strictly
+    // dominates — "which Pareto options matter most".
+    "sky_topdom" -> ((s, d) =>
+      SkylineOps.topDominatingSkyline(li(s, d),
+        Seq("l_quantity", "l_discount"), 10)),
+
     "sky3d" -> ((s, d) =>
       skylineRows(li(s, d).filter(col("l_orderkey") % 20 === 0),
         Seq("l_quantity", "l_extendedprice", "l_discount"))),
@@ -293,6 +300,24 @@ object SkylineQueries {
     "sky2d" -> sky2dSql("l_extendedprice", "l_discount", "lineitem"),
 
     "sky2d_dup" -> sky2dSql("l_quantity", "l_discount", "lineitem"),
+
+    // sky_topdom: distinct 2D frontier points (the O(n log n) min-y /
+    // prefix-min formulation yields them directly) scored by strict-
+    // dominance counts over the whole table, ranked (count desc, dims asc).
+    "sky_topdom" ->
+      """WITH pts AS (SELECT l_quantity AS x, l_discount AS y FROM lineitem),
+        |d AS (SELECT x, MIN(y) AS my FROM pts GROUP BY x),
+        |w AS (SELECT x, my, MIN(my) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm FROM d),
+        |sky AS (SELECT x, my AS y FROM w WHERE pm IS NULL OR pm > my),
+        |c AS (SELECT s.x, s.y, COUNT(p.x) AS dom_cnt
+        |  FROM sky s LEFT JOIN pts p
+        |    ON s.x <= p.x AND s.y <= p.y AND (s.x < p.x OR s.y < p.y)
+        |  GROUP BY s.x, s.y),
+        |r AS (SELECT x, y, dom_cnt,
+        |  ROW_NUMBER() OVER (ORDER BY dom_cnt DESC, x, y) AS rnk FROM c)
+        |SELECT x AS l_quantity, y AS l_discount, CAST(dom_cnt AS BIGINT) AS dom_cnt,
+        |  CAST(rnk AS BIGINT) AS rnk
+        |FROM r WHERE rnk <= 10""".stripMargin,
 
     "sky3d" ->
       s"""WITH t AS (SELECT l_quantity, l_extendedprice, l_discount FROM lineitem WHERE l_orderkey % 20 = 0)

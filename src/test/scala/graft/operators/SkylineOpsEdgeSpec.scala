@@ -12,6 +12,29 @@ import graft.TestSpark
   * must agree on malformed payloads. */
 class SkylineOpsEdgeSpec extends AnyFunSuite {
 
+  test("topDominatingSkyline: strict counts, desc rank with dim tiebreak, zero-count points kept") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // Frontier = {(1,5), (2,4), (3,3), (0,7)} (+ a duplicate of (1,5), which
+    // distinct() collapses and strictness excludes from its own count).
+    // Dominated: (4,4) by (2,4)/(3,3); (5,5) by all of a,b,c; (2,6) by
+    // (1,5) and (2,4). (0,7) dominates nothing -> count 0, still ranked.
+    val df = Seq(
+      (1.0, 5.0), (1.0, 5.0), (2.0, 4.0), (3.0, 3.0), (0.0, 7.0),
+      (4.0, 4.0), (5.0, 5.0), (2.0, 6.0)).toDF("x", "y")
+    val got = SkylineOps.topDominatingSkyline(df, Seq("x", "y"), 10)
+      .collect().map(r => (r.getDouble(0), r.getDouble(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == Set(
+      (2.0, 4.0, 3L, 1L),   // dominates (4,4), (5,5), (2,6)
+      (1.0, 5.0, 2L, 2L),   // dominates (5,5), (2,6); tie broken by dims
+      (3.0, 3.0, 2L, 3L),   // dominates (4,4), (5,5)
+      (0.0, 7.0, 0L, 4L)),  // dominates nothing
+      s"got $got")
+    // k truncates the ranking.
+    assert(SkylineOps.topDominatingSkyline(df, Seq("x", "y"), 2).count() == 2)
+  }
+
   test("metricsJson on empty input emits a zeroed record, not null") {
     val spark = TestSpark.spark
     import spark.implicits._
