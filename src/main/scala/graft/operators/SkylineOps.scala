@@ -61,7 +61,14 @@ object SkylineOps {
     */
   def topDominatingSkyline(df: DataFrame, dims: Seq[String], k: Int): DataFrame = {
     require(k >= 1, s"topDominatingSkyline needs k >= 1: k=$k")
-    val sky = skylineRows(df, dims).distinct()
+    // frontier() IS the distinct point set in one scan — going through
+    // skylineRows().distinct() would add a second corpus scan + semi-join
+    // only to dedup back to it. Its dims come back double-cast (the
+    // aggregate's vector type), so cast back to the input column types.
+    val dtypes = df.select(dims.map(col): _*).schema
+      .fields.map(f => f.name -> f.dataType).toMap
+    val sky = frontier(df, dims)
+      .select(dims.map(c => col(c).cast(dtypes(c)).as(c)): _*)
     val le = dims.map(c => col(s"s.$c") <= col(s"r.$c")).reduce(_ && _)
     val lt = dims.map(c => col(s"s.$c") < col(s"r.$c")).reduce(_ || _)
     // Inner scoring join with the FRONTIER broadcast (the corpus streams

@@ -69,12 +69,14 @@ object SkylineQueries {
 
     "sky2d_dup" -> ((s, d) => skylineRows(li(s, d), Seq("l_quantity", "l_discount"))),
 
-    // Top-10 dominating skyline points over the duplicate-bearing dims:
-    // each distinct frontier point scored by the rows it strictly
-    // dominates — "which Pareto options matter most".
+    // Top-10 dominating skyline points: each distinct frontier point
+    // scored by the rows it strictly dominates — "which Pareto options
+    // matter most". Dims chosen for a MULTI-point frontier at fixture
+    // scale (3 points with distinct counts at sf0.01), so rank order,
+    // tiebreaks, and counts are genuinely compared cross-engine.
     "sky_topdom" -> ((s, d) =>
       SkylineOps.topDominatingSkyline(li(s, d),
-        Seq("l_quantity", "l_discount"), 10)),
+        Seq("l_quantity", "l_extendedprice"), 10)),
 
     "sky3d" -> ((s, d) =>
       skylineRows(li(s, d).filter(col("l_orderkey") % 20 === 0),
@@ -305,7 +307,7 @@ object SkylineQueries {
     // prefix-min formulation yields them directly) scored by strict-
     // dominance counts over the whole table, ranked (count desc, dims asc).
     "sky_topdom" ->
-      """WITH pts AS (SELECT l_quantity AS x, l_discount AS y FROM lineitem),
+      """WITH pts AS (SELECT l_quantity AS x, l_extendedprice AS y FROM lineitem),
         |d AS (SELECT x, MIN(y) AS my FROM pts GROUP BY x),
         |w AS (SELECT x, my, MIN(my) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm FROM d),
         |sky AS (SELECT x, my AS y FROM w WHERE pm IS NULL OR pm > my),
@@ -315,7 +317,7 @@ object SkylineQueries {
         |  GROUP BY s.x, s.y),
         |r AS (SELECT x, y, dom_cnt,
         |  ROW_NUMBER() OVER (ORDER BY dom_cnt DESC, x, y) AS rnk FROM c)
-        |SELECT x AS l_quantity, y AS l_discount, CAST(dom_cnt AS BIGINT) AS dom_cnt,
+        |SELECT x AS l_quantity, y AS l_extendedprice, CAST(dom_cnt AS BIGINT) AS dom_cnt,
         |  CAST(rnk AS BIGINT) AS rnk
         |FROM r WHERE rnk <= 10""".stripMargin,
 
