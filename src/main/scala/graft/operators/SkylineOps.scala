@@ -90,6 +90,38 @@ object SkylineOps {
         col("rnk").cast("long").as("rnk"): _*)
   }
 
+  /** SKYLINE LAYERS (onion peeling): layer 1 is the frontier, layer i the
+    * frontier of what the first i−1 layers left behind — the ranked
+    * fallback structure a recommender walks when the Pareto set is too
+    * small ("next-best options"). Output: dims..., layer ∈ 1..layers, with
+    * duplicate rows of a layer point all tagged with that layer
+    * (SURVEY §1.2 duplicate semantics per layer).
+    *
+    * Scale shape: each layer is one [[frontier]] aggregation scan (local
+    * skylines partial-combine map-side, O(frontier) bytes shuffle) plus a
+    * semi/anti join against the frontier point set — AQE broadcasts it
+    * when small, exactly like [[skylineRows]]. `layers` is a small
+    * constant by use case (the onion is walked a few levels deep, never
+    * peeled to exhaustion), which also bounds the anti-join lineage chain.
+    */
+  def skylineLayerRows(df: DataFrame, dims: Seq[String], layers: Int): DataFrame = {
+    require(layers >= 1 && layers <= 8,
+      s"layers must be in 1..8 (peel-to-exhaustion is not the use case): $layers")
+    val dtypes = df.select(dims.map(col): _*).schema
+      .fields.map(f => f.name -> f.dataType).toMap
+    var rest = df.select(dims.map(col): _*)
+    var out: Option[DataFrame] = None
+    for (l <- 1 to layers) {
+      val sky = frontier(rest, dims)
+        .select(dims.map(c => col(c).cast(dtypes(c)).as(c)): _*)
+      val rows = rest.join(sky, dims, "left_semi")
+        .withColumn("layer", lit(l.toLong))
+      out = Some(out.fold(rows)(_.unionAll(rows)))
+      if (l < layers) rest = rest.join(sky, dims, "left_anti")
+    }
+    out.get
+  }
+
   /** Grouped skyline: non-dominated rows within each group. One shuffle on
     * the group keys for the frontier (partial-aggregated map-side), then a
     * broadcast semi-join on (groupCols ++ dims).

@@ -78,6 +78,12 @@ object SkylineQueries {
       SkylineOps.topDominatingSkyline(li(s, d),
         Seq("l_quantity", "l_extendedprice"), 10)),
 
+    // First two skyline layers (onion peeling) — layer 1 = the frontier,
+    // layer 2 = the frontier of the rest; duplicate rows keep their layer.
+    "sky_layers" -> ((s, d) =>
+      SkylineOps.skylineLayerRows(li(s, d),
+        Seq("l_quantity", "l_extendedprice"), 2)),
+
     "sky3d" -> ((s, d) =>
       skylineRows(li(s, d).filter(col("l_orderkey") % 20 === 0),
         Seq("l_quantity", "l_extendedprice", "l_discount"))),
@@ -302,6 +308,24 @@ object SkylineQueries {
     "sky2d" -> sky2dSql("l_extendedprice", "l_discount", "lineitem"),
 
     "sky2d_dup" -> sky2dSql("l_quantity", "l_discount", "lineitem"),
+
+    // sky_layers: the min-y/prefix-min 2D skyline applied twice — layer 2
+    // runs on the rows whose (x, y) is NOT a layer-1 point (anti join), and
+    // each layer re-joins pts to restore duplicate rows.
+    "sky_layers" ->
+      """WITH pts AS (SELECT l_quantity AS x, l_extendedprice AS y FROM lineitem),
+        |d1 AS (SELECT x, MIN(y) AS my FROM pts GROUP BY x),
+        |w1 AS (SELECT x, my, MIN(my) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm FROM d1),
+        |s1 AS (SELECT x, my AS y FROM w1 WHERE pm IS NULL OR pm > my),
+        |rest AS (SELECT p.x, p.y FROM pts p ANTI JOIN s1 ON p.x = s1.x AND p.y = s1.y),
+        |d2 AS (SELECT x, MIN(y) AS my FROM rest GROUP BY x),
+        |w2 AS (SELECT x, my, MIN(my) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm FROM d2),
+        |s2 AS (SELECT x, my AS y FROM w2 WHERE pm IS NULL OR pm > my)
+        |SELECT p.x AS l_quantity, p.y AS l_extendedprice, CAST(1 AS BIGINT) AS layer
+        |  FROM pts p JOIN s1 ON p.x = s1.x AND p.y = s1.y
+        |UNION ALL
+        |SELECT r.x AS l_quantity, r.y AS l_extendedprice, CAST(2 AS BIGINT) AS layer
+        |  FROM rest r JOIN s2 ON r.x = s2.x AND r.y = s2.y""".stripMargin,
 
     // sky_topdom: distinct 2D frontier points (the O(n log n) min-y /
     // prefix-min formulation yields them directly) scored by strict-

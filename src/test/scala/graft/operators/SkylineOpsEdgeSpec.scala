@@ -12,6 +12,31 @@ import graft.TestSpark
   * must agree on malformed payloads. */
 class SkylineOpsEdgeSpec extends AnyFunSuite {
 
+  test("skylineLayerRows matches brute-force onion peeling, duplicates keep their layer") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val pts = Seq(
+      (1.0, 5.0), (1.0, 5.0), (3.0, 3.0), (5.0, 1.0),  // layer 1 (dup on (1,5))
+      (2.0, 5.0), (4.0, 3.0), (5.0, 2.0),              // layer 2
+      (5.0, 5.0))                                      // layer 3 (beyond request)
+    val df = pts.toDF("x", "y")
+    val got = SkylineOps.skylineLayerRows(df, Seq("x", "y"), 2)
+      .collect().map(r => (r.getDouble(0), r.getDouble(1), r.getLong(2)))
+      .groupBy(identity).view.mapValues(_.size).toMap
+    // Brute-force peel with the same dominance rules.
+    def dom(a: (Double, Double), b: (Double, Double)) =
+      a._1 <= b._1 && a._2 <= b._2 && (a._1 < b._1 || a._2 < b._2)
+    var rest = pts
+    val expect = (1 to 2).flatMap { l =>
+      val sky = rest.filter(p => !rest.exists(q => dom(q, p)))
+      val layerRows = sky.map(p => (p._1, p._2, l.toLong))
+      rest = rest.filterNot(p => sky.contains(p))
+      layerRows
+    }.groupBy(identity).view.mapValues(_.size).toMap
+    assert(got == expect, s"got $got\nexpect $expect")
+    assert(!got.keys.exists(_._3 > 2), "layer beyond the requested depth leaked")
+  }
+
   test("topDominatingSkyline: strict counts, desc rank with dim tiebreak, zero-count points kept") {
     val spark = TestSpark.spark
     import spark.implicits._
