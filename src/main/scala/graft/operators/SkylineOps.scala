@@ -122,6 +122,54 @@ object SkylineOps {
     out.get
   }
 
+  /** k-SKYBAND: all rows dominated by FEWER than `k` distinct points — the
+    * relaxation of the skyline (= the 1-skyband) that answers "every option
+    * that could enter some user's top-k under a monotone preference"
+    * (Papadias et al., TODS'05 §6). Output: dims..., dom_cnt (< k), with
+    * duplicate rows of a skyband point all kept (SURVEY §1.2 semantics).
+    *
+    * Scale shape — never an all-pairs dominator count: dominance strictly
+    * decreases the onion layer, so (a) the k-skyband is contained in the
+    * first k skyline layers, and (b) every dominator of a first-k-layers
+    * point lies in those same layers. So the corpus is touched only by k
+    * [[frontier]] aggregation scans (O(frontier) shuffle bytes each) plus
+    * the final duplicate-recovering semi-join; the quadratic dominator
+    * count runs on the candidate POINT set only (frontier-scale × k,
+    * broadcast both sides), never on the corpus.
+    */
+  def skybandRows(df: DataFrame, dims: Seq[String], k: Int): DataFrame = {
+    require(k >= 1 && k <= 8, s"k must be in 1..8 (the top-k use case): $k")
+    val dtypes = df.select(dims.map(col): _*).schema
+      .fields.map(f => f.name -> f.dataType).toMap
+    // Peel k layers of DISTINCT points (disjoint by construction — their
+    // union needs no dedup).
+    var rest = df.select(dims.map(col): _*)
+    var cand: Option[DataFrame] = None
+    for (l <- 1 to k) {
+      val sky = frontier(rest, dims)
+        .select(dims.map(c => col(c).cast(dtypes(c)).as(c)): _*)
+      cand = Some(cand.fold(sky)(_.unionAll(sky)))
+      if (l < k) rest = rest.join(sky, dims, "left_anti")
+    }
+    val pts = cand.get
+    val le = dims.map(c => col(s"b.$c") <= col(s"a.$c")).reduce(_ && _)
+    val lt = dims.map(c => col(s"b.$c") < col(s"a.$c")).reduce(_ || _)
+    // Distinct-dominator count over the candidate point set (dominators of
+    // a candidate are themselves candidates — see scaladoc). Left join so
+    // dominated-by-nobody frontier points keep count 0.
+    val counted = pts.as("a")
+      .join(broadcast(pts.as("b")), le && lt, "left")
+      .groupBy(dims.map(c => col(s"a.$c").as(c)): _*)
+      .agg(count(col(s"b.${dims.head}")).as("dom_cnt"))
+      .filter(col("dom_cnt") < k)
+    // Duplicate recovery: equi-join back to the corpus — AQE broadcasts the
+    // candidate side when small (the common case; no forced hint for the
+    // same high-dim blow-up reason as [[skylineRows]]).
+    df.select(dims.map(col): _*)
+      .join(counted, dims)
+      .select(dims.map(col) :+ col("dom_cnt"): _*)
+  }
+
   /** Grouped skyline: non-dominated rows within each group. One shuffle on
     * the group keys for the frontier (partial-aggregated map-side), then a
     * broadcast semi-join on (groupCols ++ dims).

@@ -84,6 +84,13 @@ object SkylineQueries {
       SkylineOps.skylineLayerRows(li(s, d),
         Seq("l_quantity", "l_extendedprice"), 2)),
 
+    // 3-skyband on the sky3d sample: every row dominated by < 3 distinct
+    // points, tagged with its dominator count — the top-k-safe relaxation
+    // of the frontier (skyline = 1-skyband).
+    "sky_skyband" -> ((s, d) =>
+      SkylineOps.skybandRows(li(s, d).filter(col("l_orderkey") % 20 === 0),
+        Seq("l_quantity", "l_extendedprice", "l_discount"), 3)),
+
     "sky3d" -> ((s, d) =>
       skylineRows(li(s, d).filter(col("l_orderkey") % 20 === 0),
         Seq("l_quantity", "l_extendedprice", "l_discount"))),
@@ -344,6 +351,20 @@ object SkylineQueries {
         |SELECT x AS l_quantity, y AS l_extendedprice, CAST(dom_cnt AS BIGINT) AS dom_cnt,
         |  CAST(rnk AS BIGINT) AS rnk
         |FROM r WHERE rnk <= 10""".stripMargin,
+
+    // sky_skyband: textbook distinct-dominator count (quadratic — cheap on
+    // the deterministic key sample), rows dominated by < 3 distinct points.
+    "sky_skyband" ->
+      s"""WITH t AS (SELECT l_quantity, l_extendedprice, l_discount FROM lineitem WHERE l_orderkey % 20 = 0),
+         |d AS (SELECT DISTINCT l_quantity, l_extendedprice, l_discount FROM t),
+         |c AS (SELECT a.l_quantity, a.l_extendedprice, a.l_discount,
+         |  (SELECT COUNT(*) FROM d b
+         |   WHERE ${domSql(Seq("l_quantity", "l_extendedprice", "l_discount"))}) AS dom_cnt
+         |  FROM d a)
+         |SELECT t.l_quantity, t.l_extendedprice, t.l_discount,
+         |  CAST(c.dom_cnt AS BIGINT) AS dom_cnt
+         |FROM t JOIN c USING (l_quantity, l_extendedprice, l_discount)
+         |WHERE c.dom_cnt < 3""".stripMargin,
 
     "sky3d" ->
       s"""WITH t AS (SELECT l_quantity, l_extendedprice, l_discount FROM lineitem WHERE l_orderkey % 20 = 0)

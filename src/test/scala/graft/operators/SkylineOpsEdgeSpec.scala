@@ -60,6 +60,38 @@ class SkylineOpsEdgeSpec extends AnyFunSuite {
     assert(SkylineOps.topDominatingSkyline(df, Seq("x", "y"), 2).count() == 2)
   }
 
+  test("skybandRows matches the brute-force distinct-dominator count; 1-skyband = skyline") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // (1,1) dominates everything, so deeper layers carry points with
+    // dominator counts ABOVE their layer index ((3,3) is in layer 3 with
+    // 2 dominators; (5,5) deeper with 7) — the filter, not the peeling,
+    // must decide membership. Duplicate rows of (1,5) both survive.
+    val pts = Seq(
+      (1.0, 5.0), (1.0, 5.0), (3.0, 3.0), (5.0, 1.0), (1.0, 1.0),
+      (2.0, 5.0), (4.0, 3.0), (5.0, 2.0), (5.0, 5.0), (2.0, 2.0))
+    val df = pts.toDF("x", "y")
+    def dom(a: (Double, Double), b: (Double, Double)) =
+      a._1 <= b._1 && a._2 <= b._2 && (a._1 < b._1 || a._2 < b._2)
+    val distinct = pts.distinct
+    for (k <- 1 to 3) {
+      val expect = pts.flatMap { p =>
+        val cnt = distinct.count(q => dom(q, p))
+        if (cnt < k) Some((p._1, p._2, cnt.toLong)) else None
+      }.groupBy(identity).view.mapValues(_.size).toMap
+      val got = SkylineOps.skybandRows(df, Seq("x", "y"), k)
+        .collect().map(r => (r.getDouble(0), r.getDouble(1), r.getLong(2)))
+        .groupBy(identity).view.mapValues(_.size).toMap
+      assert(got == expect, s"k=$k: got $got\nexpect $expect")
+    }
+    // 1-skyband rows = skyline rows (with count 0).
+    val sky = SkylineOps.skylineRows(df, Seq("x", "y"))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1))).sorted
+    val band1 = SkylineOps.skybandRows(df, Seq("x", "y"), 1)
+      .collect().map(r => (r.getDouble(0), r.getDouble(1))).sorted
+    assert(band1.sameElements(sky))
+  }
+
   test("metricsJson on empty input emits a zeroed record, not null") {
     val spark = TestSpark.spark
     import spark.implicits._
