@@ -411,6 +411,49 @@ object CorpusOps {
       .groupBy("band").agg(count(lit(1)).as("n_tokens"))
   }
 
+  /** Exact two-sample Kolmogorov–Smirnov distance between the
+    * distributions of an integer metric (document length, token count,
+    * quality score) in two corpus slices — the distribution-level drift
+    * monitor that complements [[corpDrift]]'s vocabulary-level view (a new
+    * crawl snapshot can keep its token mix while its length profile
+    * collapses; this catches that). Null metric values are excluded.
+    *
+    * Integer-exact cross-multiplied form: D = max_v |F_a(v) − F_b(v)| is
+    * reported as its numerator `ks_gap` = max_v |cumA(v)·nB − cumB(v)·nA|
+    * over the common denominator nA·nB, with `at_v` the smallest value
+    * attaining it — no float division crosses engines. Headroom:
+    * ks_gap ≤ nA·nB, so BIGINT holds to ~3·10⁹ rows per side (loud ANSI
+    * overflow past it).
+    *
+    * Scale shape: one map-side-combined histogram groupBy on the metric
+    * value, then cumulative sums over VALUE-DOMAIN-sized data (the
+    * [[discQuantiles]] contract — bucket first for continuous metrics; the
+    * single-partition window is bounded by |distinct values|, never the
+    * corpus), a broadcast of the 1-row totals, and a 1-row max. Output:
+    * (ks_gap, at_v, n_a, n_b).
+    */
+  def ksDrift(docs: DataFrame, groupCol: String, valCol: String,
+              srcA: String, srcB: String): DataFrame = {
+    val hist = docs
+      .filter(col(groupCol).isin(srcA, srcB) && col(valCol).isNotNull)
+      .groupBy(col(valCol).cast("long").as("v"))
+      .agg(sum(when(col(groupCol) === srcA, 1L).otherwise(0L)).as("ca"),
+        sum(when(col(groupCol) === srcB, 1L).otherwise(0L)).as("cb"))
+    val cum = hist
+      .withColumn("cum_a", sum("ca").over(Window.orderBy("v")))
+      .withColumn("cum_b", sum("cb").over(Window.orderBy("v")))
+    val tot = hist.agg(sum("ca").as("na"), sum("cb").as("nb"))
+    cum.crossJoin(broadcast(tot))
+      .select(col("v"),
+        abs(col("cum_a") * col("nb") - col("cum_b") * col("na")).as("gap"),
+        col("na"), col("nb"))
+      .agg(max(struct(col("gap"), (-col("v")).as("nv"))).as("m"),
+        max("na").as("n_a"), max("nb").as("n_b"))
+      .select(col("m.gap").as("ks_gap"), (-col("m.nv")).as("at_v"),
+        col("n_a"), col("n_b"))
+      .filter(col("ks_gap").isNotNull) // empty slice pair -> 0 rows, not nulls
+  }
+
   /** BIGRAM-surprisal banding — the conditional-probability upgrade of
     * [[surprisalBands]]: a token is surprising given its PREDECESSOR, not
     * globally, so stitched-together boilerplate (common words in uncommon

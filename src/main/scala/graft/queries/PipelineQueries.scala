@@ -161,6 +161,13 @@ object PipelineQueries {
     "corp_drift" -> ((s, d) =>
       graft.operators.CorpusOps.corpDrift(docs(s, d), "source", "src0", "src1")),
 
+    // Exact two-sample KS distance between src0's and src1's document-
+    // length distributions (integer cross-multiplied numerator over the
+    // common nA*nB denominator) — the distribution-level drift monitor.
+    "corp_ks" -> ((s, d) =>
+      graft.operators.CorpusOps.ksDrift(docs(s, d), "source", "n_chars",
+        "src0", "src1")),
+
     // Bigram-surprisal band histogram — conditional-probability LM-quality
     // signal (surprise given the predecessor token), integer-exact.
     "txt_surprisal2" -> ((s, d) =>
@@ -815,6 +822,20 @@ object PipelineQueries {
         |SELECT CAST((((fa + 1) * 100) // (fb + 1)) // 10 AS BIGINT) AS band,
         |  CAST(COUNT(*) AS BIGINT) AS n_tokens
         |FROM f GROUP BY 1""".stripMargin,
+
+    "corp_ks" ->
+      """WITH h AS (SELECT CAST(n_chars AS BIGINT) AS v,
+        |  SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS ca,
+        |  SUM(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS cb
+        |  FROM documents WHERE source IN ('src0', 'src1') AND n_chars IS NOT NULL
+        |  GROUP BY 1),
+        |c AS (SELECT v, SUM(ca) OVER (ORDER BY v) AS cum_a,
+        |             SUM(cb) OVER (ORDER BY v) AS cum_b FROM h),
+        |t AS (SELECT SUM(ca) AS na, SUM(cb) AS nb FROM h),
+        |g AS (SELECT v, ABS(cum_a * nb - cum_b * na) AS gap, na, nb FROM c, t)
+        |SELECT CAST(gap AS BIGINT) AS ks_gap, CAST(v AS BIGINT) AS at_v,
+        |  CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b
+        |FROM g ORDER BY gap DESC, v LIMIT 1""".stripMargin,
 
     "txt_surprisal2" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

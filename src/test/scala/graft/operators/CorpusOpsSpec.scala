@@ -255,6 +255,36 @@ class CorpusOpsSpec extends AnyFunSuite with PropHelpers {
     assert(got == expect, s"got $got expect $expect")
   }
 
+  test("ksDrift matches the brute-force KS numerator; ties go to the smallest value") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // Lengths with duplicates and interleaved ranges; group c and the null
+    // metric row must be ignored.
+    val rows: Seq[(String, java.lang.Long)] = Seq(
+      "a" -> 10L, "a" -> 10L, "a" -> 20L, "a" -> 35L, "a" -> 50L,
+      "b" -> 10L, "b" -> 25L, "b" -> 25L, "b" -> 60L,
+      "c" -> 10L, "a" -> null)
+    val df = rows.toDF("source", "len")
+    val got = CorpusOps.ksDrift(df, "source", "len", "a", "b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val as = rows.filter(r => r._1 == "a" && r._2 != null).map(_._2.toLong)
+    val bs = rows.filter(r => r._1 == "b" && r._2 != null).map(_._2.toLong)
+    val gaps = (as ++ bs).distinct.sorted.map { v =>
+      val gap = math.abs(as.count(_ <= v).toLong * bs.size - bs.count(_ <= v).toLong * as.size)
+      (gap, v)
+    }
+    val best = gaps.maxBy { case (g, v) => (g, -v) }
+    assert(got.toSeq == Seq((best._1, best._2, as.size.toLong, bs.size.toLong)),
+      s"got ${got.toSeq} expect $best over $gaps")
+    // Identical distributions -> gap 0, reported at the smallest value.
+    val zero = CorpusOps.ksDrift(
+      Seq(("a", 5L), ("b", 5L), ("a", 9L), ("b", 9L)).toDF("source", "len"),
+      "source", "len", "a", "b").collect().head
+    assert((zero.getLong(0), zero.getLong(1)) == (0L, 5L))
+    // Empty slice pair -> zero rows, not a null row.
+    assert(CorpusOps.ksDrift(df, "source", "len", "nope", "nada").collect().isEmpty)
+  }
+
   test("bigramSurprisalBands matches brute force; common words in odd order score high") {
     val rows = Seq(
       (1L, "s", "the cat sat the cat sat the cat"), // repeated bigrams -> low
