@@ -296,6 +296,15 @@ object PipelineQueries {
         embs(s, d), "vec_id", "embedding", col("vec_id") < 8, 5,
         col("vec_id").between(KmCentLo, KmCentHi), KmIters, IvfProbes, EmbDims)),
 
+    // Product-quantization ANN: 4 independent 16-dim sub-codebooks (8
+    // codes each, seeds vec_id 8..15, 2 Lloyd iterations), the corpus
+    // encoded to 4 codes/vector, queries answered by summed ADC table
+    // lookups. The oracle replays training, encoding, and every ADC sum.
+    "knn_pq" -> ((s, d) =>
+      graft.operators.VectorOps.knnPq(
+        embs(s, d), "vec_id", "embedding", col("vec_id") < 8, 5,
+        col("vec_id").between(KmCentLo, KmCentHi), PqIters, PqM, EmbDims)),
+
     // SemDeDup-style semantic dedup: k-means cells (the trained quantizer,
     // same seeds/iters as emb_kmeans) as blocking buckets, exact cosine
     // >= 0.35 within cells, connected components — every vector labeled
@@ -523,6 +532,8 @@ object PipelineQueries {
   private val KmCentHi  = 15
   private val KmIters   = 3
   private val KmppK     = 8
+  private val PqM       = 4
+  private val PqIters   = 2
   private val SemMinCos = 0.35
 
   /** VALUES rows of the deterministic hyperplanes (table, bit, components)
@@ -646,6 +657,39 @@ object PipelineQueries {
        |$steps,
        |c0 AS (SELECT cid, cv FROM s$KmppK),
        |$kmIterCtes""".stripMargin
+  }
+
+  /** PQ oracle CTEs: per subspace `sp`, the subvector slice `q<sp>`, a Lloyd
+    * chain `c0_<sp>..c<PqIters>_<sp>` (the kmIterCtes shape parameterized to
+    * the slice width), corpus codes `code<sp>` (argmin cid, ties low), and
+    * the query ADC table `qd<sp>` (distance to EVERY sub-centroid). */
+  private val pqCteSql: String = {
+    val sub = EmbDims / PqM
+    val dist = s"list_sum([(q.v[i]-c.cv[i])*(q.v[i]-c.cv[i]) for i in range(1, ${sub + 1})])"
+    val sumCols = (1 to sub).map(i => s"SUM(v[$i]) AS s$i").mkString(", ")
+    val centList = (1 to sub).map(i =>
+      s"CAST(CASE WHEN s$i < 0 THEN -((2*(-s$i) + n) // (2*n)) ELSE (2*s$i + n) // (2*n) END AS BIGINT)")
+      .mkString("[", ", ", "]")
+    val chains = (0 until PqM).map { sp =>
+      val off = sp * sub
+      val iterCtes = (1 to PqIters).map { t =>
+        s"""a${t}_$sp AS (SELECT id, v, cid FROM (
+           |  SELECT id, v, cid, ROW_NUMBER() OVER (PARTITION BY id ORDER BY d, cid) AS rn
+           |  FROM (SELECT q.id, q.v, c.cid, $dist AS d FROM q$sp q, c${t - 1}_$sp c)) WHERE rn = 1),
+           |g${t}_$sp AS (SELECT cid, COUNT(*) AS n, $sumCols FROM a${t}_$sp GROUP BY cid),
+           |c${t}_$sp AS (SELECT c.cid, CASE WHEN g.cid IS NULL THEN c.cv ELSE $centList END AS cv
+           |  FROM c${t - 1}_$sp c LEFT JOIN g${t}_$sp g ON c.cid = g.cid)""".stripMargin
+      }.mkString(",\n")
+      s"""q$sp AS (SELECT id, v[${off + 1}:${off + sub}] AS v FROM q),
+         |c0_$sp AS (SELECT id AS cid, v AS cv FROM q$sp WHERE id BETWEEN $KmCentLo AND $KmCentHi),
+         |$iterCtes,
+         |code$sp AS (SELECT id, cid FROM (
+         |  SELECT id, cid, ROW_NUMBER() OVER (PARTITION BY id ORDER BY d, cid) AS rn
+         |  FROM (SELECT q.id, c.cid, $dist AS d FROM q$sp q, c${PqIters}_$sp c)) WHERE rn = 1),
+         |qd$sp AS (SELECT q.id AS qid, c.cid, $dist AS dist
+         |  FROM q$sp q, c${PqIters}_$sp c WHERE q.id < 8)""".stripMargin
+    }.mkString(",\n")
+    s"$kmQuantCtes,\n$chains"
   }
 
   val oracles: Map[String, String] = Map(
@@ -1136,6 +1180,24 @@ object PipelineQueries {
          |SELECT id AS vec_id, cid, CAST(d AS BIGINT) AS dist FROM (
          |  SELECT id, cid, d, ROW_NUMBER() OVER (PARTITION BY id ORDER BY d, cid) AS rn
          |  FROM (SELECT q.id, c.cid, $kmDistSql AS d FROM q, c$KmIters c)) WHERE rn = 1""".stripMargin,
+
+    // knn_pq: per-subspace training replay, corpus codes, query ADC
+    // tables, then approximate distance = sum of per-subspace lookups
+    // (one UNION ALL branch per subspace), ranked (adc asc, nid asc).
+    "knn_pq" -> {
+      val parts = (0 until PqM).map(sp =>
+        s"SELECT cd.id AS nid, d.qid, d.dist FROM code$sp cd JOIN qd$sp d USING (cid)")
+        .mkString("\n  UNION ALL\n  ")
+      s"""WITH $pqCteSql,
+         |parts AS (
+         |  $parts),
+         |adc AS (SELECT qid, nid, SUM(dist) AS adc FROM parts GROUP BY 1, 2),
+         |r AS (SELECT qid, nid, adc,
+         |  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc, nid) AS rnk
+         |  FROM adc WHERE nid != qid)
+         |SELECT qid, nid, CAST(adc AS BIGINT) AS adc, CAST(rnk AS BIGINT) AS rnk
+         |FROM r WHERE rnk <= 5""".stripMargin
+    },
 
     "knn_ivf_kmeans" -> {
       // Same training CTE chain as emb_kmeans, then: argmin cell per

@@ -281,6 +281,49 @@ class VectorOpsSpec extends AnyFunSuite {
       assert(got(id) == id, s"$id should be a singleton: $got"))
   }
 
+  test("knnPq: ADC ranking matches the in-memory code/table reference") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val rows = (0L until 20L).map(id =>
+      (id, Array.fill(4)((rnd.nextFloat() - 0.5f) * 2f)))
+    val df = rows.toDF("vec_id", "embedding")
+    // iters=0 keeps the seed subvectors as codebooks — the reference below
+    // needs no Lloyd replay (the trained path shares lloyd() with
+    // kmeansAssign, which has its own reference test).
+    val got = graft.core.Caches.scoped {
+      VectorOps.knnPq(df, "vec_id", "embedding", col("vec_id") < 3, 4,
+        col("vec_id").between(10, 13), 0, 2, 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    }
+    val quant = rows.map { case (id, v) =>
+      val scale = v.map(x => math.abs(x.toDouble)).max / 127.0
+      id -> (if (scale > 0) v.map(x => math.floor(x / scale + 0.5).toLong)
+             else v.map(_ => 0L))
+    }.toMap
+    val sub = 2
+    def slice(v: Array[Long], s: Int) = v.slice(s * sub, (s + 1) * sub).toSeq
+    def d2(a: Seq[Long], b: Seq[Long]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val seeds = Seq(10L, 11L, 12L, 13L)
+    def code(id: Long, s: Int): Long =
+      seeds.map(cid => (d2(slice(quant(id), s), slice(quant(cid), s)), cid)).min._2
+    val expect = (0L until 3L).flatMap { qid =>
+      (0L until 20L).filter(_ != qid).map { nid =>
+        val adc = (0 until 2).map(s =>
+          d2(slice(quant(qid), s), slice(quant(code(nid, s)), s))).sum
+        (nid, adc)
+      }.sortBy { case (nid, adc) => (adc, nid) }.take(4)
+        .zipWithIndex.map { case ((nid, adc), i) => (qid, nid, adc, (i + 1).toLong) }
+    }.toSet
+    assert(got.toSet == expect, s"got ${got.toSet}\nexpect $expect")
+    // Guardrails: m must divide dims.
+    intercept[IllegalArgumentException] {
+      VectorOps.knnPq(df, "vec_id", "embedding", col("vec_id") < 3, 4,
+        col("vec_id").between(10, 13), 0, 3, 4)
+    }
+  }
+
   test("knnBrute ranks by cosine with id tiebreak") {
     val spark = TestSpark.spark
     import spark.implicits._
