@@ -161,6 +161,13 @@ object PipelineQueries {
     "corp_drift" -> ((s, d) =>
       graft.operators.CorpusOps.corpDrift(docs(s, d), "source", "src0", "src1")),
 
+    // BPE merge-table training: 8 merges learned from the corpus'
+    // whitespace tokens, from characters up — overlap-inclusive pair
+    // counts, (cnt desc, pair asc) winner, greedy non-overlapping
+    // application via window parity. The oracle replays every round.
+    "bpe_merges" -> ((s, d) =>
+      graft.operators.BpeOps.bpeMerges(docs(s, d), BpeSteps)),
+
     // Exact two-sample KS distance between src0's and src1's document-
     // length distributions (integer cross-multiplied numerator over the
     // common nA*nB denominator) — the distribution-level drift monitor.
@@ -534,6 +541,7 @@ object PipelineQueries {
   private val KmppK     = 8
   private val PqM       = 4
   private val PqIters   = 2
+  private val BpeSteps  = 8
   private val SemMinCos = 0.35
 
   /** VALUES rows of the deterministic hyperplanes (table, bit, components)
@@ -690,6 +698,46 @@ object PipelineQueries {
          |  FROM q$sp q, c${PqIters}_$sp c WHERE q.id < 8)""".stripMargin
     }.mkString(",\n")
     s"$kmQuantCtes,\n$chains"
+  }
+
+  /** BPE oracle: `BpeSteps` unrolled training rounds. Per round r: pair
+    * explode `p<r>` (positions 1..len−1), overlap-inclusive counts `cnt<r>`,
+    * winner `top<r>` (c desc, pair asc), greedy-kept occurrence starts
+    * `k<r>` (runs of consecutive positions keep odd ranks — the window
+    * parity that replaces the sequential fold), and the rebuilt word table
+    * `w<r>` (kept starts take the merged symbol, their successors drop). */
+  private val bpeCteSql: String = {
+    // MATERIALIZED everywhere a CTE is referenced more than once: DuckDB
+    // inlines CTEs by default, so the round chain would otherwise re-expand
+    // ~2× per round — 2^BpeSteps scans of `documents` exhausts the fd limit
+    // (the SQL-side twin of the Spark loop's localCheckpoint re-rooting).
+    val rounds = (1 to BpeSteps).map { r =>
+      s"""p$r AS MATERIALIZED (SELECT w, freq, syms, unnest(range(1, len(syms))) AS pos FROM w${r - 1}),
+         |cnt$r AS (SELECT syms[pos] AS lhs, syms[pos+1] AS rhs, SUM(freq) AS c FROM p$r GROUP BY 1, 2),
+         |top$r AS MATERIALIZED (SELECT lhs, rhs, c FROM cnt$r ORDER BY c DESC, lhs, rhs LIMIT 1),
+         |occ$r AS (SELECT w, pos, ROW_NUMBER() OVER (PARTITION BY w, pos - rn ORDER BY pos) AS rn2
+         |  FROM (SELECT p.w, p.pos, ROW_NUMBER() OVER (PARTITION BY p.w ORDER BY p.pos) AS rn
+         |        FROM p$r p, top$r t WHERE p.syms[p.pos] = t.lhs AND p.syms[p.pos+1] = t.rhs)),
+         |k$r AS MATERIALIZED (SELECT w, pos FROM occ$r WHERE rn2 % 2 = 1),
+         |sy$r AS (SELECT w, freq, syms, unnest(range(1, len(syms) + 1)) AS pos FROM w${r - 1}),
+         |w$r AS MATERIALIZED (SELECT s.w, s.freq, list(
+         |    CASE WHEN k.pos IS NOT NULL THEN t.lhs || t.rhs ELSE s.syms[s.pos] END ORDER BY s.pos) AS syms
+         |  FROM sy$r s
+         |  LEFT JOIN k$r k ON s.w = k.w AND s.pos = k.pos
+         |  LEFT JOIN k$r kd ON s.w = kd.w AND s.pos = kd.pos + 1
+         |  LEFT JOIN top$r t ON TRUE
+         |  WHERE kd.pos IS NULL
+         |  GROUP BY s.w, s.freq)""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to BpeSteps).map(r =>
+      s"SELECT $r AS step, lhs, rhs, c FROM top$r").mkString("\n  UNION ALL\n  ")
+    s"""w0 AS MATERIALIZED (SELECT w, freq, [w[i] for i in range(1, len(w) + 1)] AS syms
+       |  FROM (SELECT tok AS w, COUNT(*) AS freq
+       |        FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+       |        WHERE len(tok) > 0 GROUP BY tok)),
+       |$rounds,
+       |merges AS (
+       |  $out)""".stripMargin
   }
 
   val oracles: Map[String, String] = Map(
@@ -866,6 +914,11 @@ object PipelineQueries {
         |SELECT CAST((((fa + 1) * 100) // (fb + 1)) // 10 AS BIGINT) AS band,
         |  CAST(COUNT(*) AS BIGINT) AS n_tokens
         |FROM f GROUP BY 1""".stripMargin,
+
+    "bpe_merges" ->
+      s"""WITH $bpeCteSql
+         |SELECT CAST(step AS BIGINT) AS step, lhs, rhs, CAST(c AS BIGINT) AS cnt
+         |FROM merges""".stripMargin,
 
     "corp_ks" ->
       """WITH h AS (SELECT CAST(n_chars AS BIGINT) AS v,

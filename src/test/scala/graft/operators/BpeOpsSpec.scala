@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class BpeOpsSpec extends AnyFunSuite {
+
+  /** Reference BPE: overlap-inclusive pair counts, (cnt desc, pair asc)
+    * winner, greedy left-to-right non-overlapping application. */
+  private def referenceMerges(texts: Seq[String], merges: Int): Seq[(Long, String, String, Long)] = {
+    var words: Map[Vector[String], Long] = texts
+      .flatMap(_.split(" ")).filter(_.nonEmpty)
+      .groupBy(identity).map { case (w, ws) =>
+        w.toVector.map(_.toString) -> ws.size.toLong }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    for (step <- 1 to merges) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      words.foreach { case (syms, f) =>
+        syms.sliding(2).filter(_.size == 2).foreach { p =>
+          counts((p(0), p(1))) = counts.getOrElse((p(0), p(1)), 0L) + f }
+      }
+      if (counts.nonEmpty) {
+        val ((a, b), c) = counts.toSeq.minBy { case ((a, b), c) => (-c, a, b) }
+        out += ((step.toLong, a, b, c))
+        words = words.toSeq.map { case (syms, f) =>
+          val merged = scala.collection.mutable.ArrayBuffer.empty[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+              merged += (a + b); i += 2
+            } else { merged += syms(i); i += 1 }
+          }
+          merged.toVector -> f
+        }.groupBy(_._1).map { case (s, g) => s -> g.map(_._2).sum }
+      }
+    }
+    out.toSeq
+  }
+
+  test("bpeMerges matches the reference, incl. same-symbol overlap runs") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // "aaaa" exercises the greedy-overlap parity ((a,a) counted 3× per
+    // word but merged to (aa)(aa)); "banana" the classic multi-merge;
+    // double space yields an empty token that must be ignored.
+    val texts = Seq(
+      "low low low lower lowest aaaa aaaa",
+      "banana banana  banana bandana",
+      "aaa ab ab ab ab")
+    val got = graft.core.Caches.scoped {
+      BpeOps.bpeMerges(texts.toDF("text"), 6)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    }
+    val expect = referenceMerges(texts, 6)
+    assert(got == expect, s"got $got\nexpect $expect")
+    // The same-symbol run really got exercised: some step merged (a, a) or
+    // a derived aa-symbol.
+    assert(expect.exists(m => m._2 == m._3), s"fixture lost its overlap case: $expect")
+  }
+
+  test("bpeMerges stops early when no pairs remain") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val got = graft.core.Caches.scoped {
+      BpeOps.bpeMerges(Seq("ab ab cd").toDF("text"), 10).collect()
+    }
+    // "ab"/"cd" exhaust after at most 3 merges (ab, cd, then nothing).
+    assert(got.length <= 3 && got.nonEmpty)
+    assert(got.map(_.getLong(0)).toSeq == (1L to got.length).toSeq)
+  }
+}
