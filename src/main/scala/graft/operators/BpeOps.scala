@@ -83,12 +83,13 @@ object BpeOps {
         x => x.getField("sym")).as("syms"))
   }
 
-  /** Train `merges` BPE merges over the whitespace tokens of `textCol` and
-    * return the merge table: (step, left, right, cnt). */
-  def bpeMerges(docs: DataFrame, merges: Int): DataFrame = {
+  /** The shared training loop: learned merge list + the final word table
+    * (an eager localCheckpoint) + its backing RDD (caller releases — or
+    * registers with [[graft.core.Caches]] if the returned plan consumes it). */
+  private def train(docs: DataFrame, merges: Int)
+      : (Seq[(Long, String, String, Long)], DataFrame, Option[org.apache.spark.rdd.RDD[_]]) = {
     require(merges >= 1 && merges <= 64,
       s"merges must be in 1..64 (each round is a distributed job): $merges")
-    val spark = docs.sparkSession
     // Each round's word table is an EAGER localCheckpoint: [[applyMerge]]
     // self-joins its input, so Spark's self-join de-duplication clones the
     // upstream subtree ~3× per round — a plain persist leaves the LOGICAL
@@ -126,8 +127,31 @@ object BpeOps {
         wordsRdd = ckptRdd(next)
       }
     }
-    wordsRdd.foreach(_.unpersist(blocking = false))
+    (learned.toSeq, words, wordsRdd)
+  }
+
+  /** Train `merges` BPE merges over the whitespace tokens of `text` and
+    * return the merge table: (step, lhs, rhs, cnt). */
+  def bpeMerges(docs: DataFrame, merges: Int): DataFrame = {
+    val spark = docs.sparkSession
+    val (learned, _, wordsRdd) = train(docs, merges)
+    wordsRdd.foreach(_.unpersist(blocking = false)) // result is driver-local
     import spark.implicits._
-    learned.toSeq.toDF("step", "lhs", "rhs", "cnt")
+    learned.toDF("step", "lhs", "rhs", "cnt")
+  }
+
+  /** The tokenizer's VOCABULARY after `merges` trained merges: every
+    * subword symbol the segmented corpus uses, with its total occurrence
+    * count (word frequency × occurrences in the word) — the inference-side
+    * surface of [[bpeMerges]] (symbol table sizing, coverage checks).
+    * Output: (subword, cnt). The returned plan reads the final training
+    * checkpoint, registered with [[graft.core.Caches]] — consume, then
+    * release. */
+  def bpeVocab(docs: DataFrame, merges: Int): DataFrame = {
+    val (_, words, wordsRdd) = train(docs, merges)
+    wordsRdd.foreach(graft.core.Caches.trackRdd)
+    exploded(words)
+      .groupBy(col("sym").as("subword"))
+      .agg(sum("freq").as("cnt"))
   }
 }

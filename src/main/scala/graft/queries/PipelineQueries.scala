@@ -168,6 +168,11 @@ object PipelineQueries {
     "bpe_merges" -> ((s, d) =>
       graft.operators.BpeOps.bpeMerges(docs(s, d), BpeSteps)),
 
+    // The tokenizer's subword vocabulary after those 8 merges — every
+    // symbol the segmented corpus uses with its total occurrence count.
+    "bpe_vocab" -> ((s, d) =>
+      graft.operators.BpeOps.bpeVocab(docs(s, d), BpeSteps)),
+
     // Exact two-sample KS distance between src0's and src1's document-
     // length distributions (integer cross-multiplied numerator over the
     // common nA*nB denominator) — the distribution-level drift monitor.
@@ -919,6 +924,11 @@ object PipelineQueries {
       s"""WITH $bpeCteSql
          |SELECT CAST(step AS BIGINT) AS step, lhs, rhs, CAST(c AS BIGINT) AS cnt
          |FROM merges""".stripMargin,
+
+    "bpe_vocab" ->
+      s"""WITH $bpeCteSql
+         |SELECT s AS subword, CAST(SUM(freq) AS BIGINT) AS cnt
+         |FROM (SELECT unnest(syms) AS s, freq FROM w$BpeSteps) GROUP BY 1""".stripMargin,
 
     "corp_ks" ->
       """WITH h AS (SELECT CAST(n_chars AS BIGINT) AS v,

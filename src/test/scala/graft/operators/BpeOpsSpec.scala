@@ -59,6 +59,39 @@ class BpeOpsSpec extends AnyFunSuite {
     assert(expect.exists(m => m._2 == m._3), s"fixture lost its overlap case: $expect")
   }
 
+  test("bpeVocab counts the reference segmentation's symbols") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val texts = Seq("low low lower aaaa", "banana band aaaa aa")
+    val merges = 4
+    val got = graft.core.Caches.scoped {
+      BpeOps.bpeVocab(texts.toDF("text"), merges)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
+    // Reference: replay the merges on the word table, count symbols.
+    val table = referenceMerges(texts, merges).map(m => (m._2, m._3))
+    var words: Map[Vector[String], Long] = texts
+      .flatMap(_.split(" ")).filter(_.nonEmpty)
+      .groupBy(identity).map { case (w, ws) =>
+        w.toVector.map(_.toString) -> ws.size.toLong }
+    table.foreach { case (a, b) =>
+      words = words.toSeq.map { case (syms, f) =>
+        val merged = scala.collection.mutable.ArrayBuffer.empty[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+            merged += (a + b); i += 2
+          } else { merged += syms(i); i += 1 }
+        }
+        merged.toVector -> f
+      }.groupBy(_._1).map { case (s, g) => s -> g.map(_._2).sum }
+    }
+    val expect = words.toSeq
+      .flatMap { case (syms, f) => syms.map(_ -> f) }
+      .groupBy(_._1).map { case (s, g) => s -> g.map(_._2).sum }
+    assert(got == expect, s"got $got\nexpect $expect")
+  }
+
   test("bpeMerges stops early when no pairs remain") {
     val spark = TestSpark.spark
     import spark.implicits._
