@@ -21,6 +21,11 @@ object SkylineQueries {
   private def li(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/lineitem.parquet")
 
+  /** orders reads natively (o_orderdate is micros TIMESTAMP, unlike the
+    * nanos events table). */
+  private def ords(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/orders.parquet")
+
   /** `b` dominates `a` (minimization) over columns named `cs` — SQL fragment. */
   private def domSql(cs: Seq[String]): String = {
     val le = cs.map(c => s"b.$c <= a.$c").mkString(" AND ")
@@ -116,6 +121,21 @@ object SkylineQueries {
     "sky_grouped" -> ((s, d) =>
       groupedSkylineRows(li(s, d).filter(col("l_orderkey") % 20 === 0),
         Seq("l_returnflag"), Seq("l_extendedprice", "l_discount"))),
+
+    // Time-windowed skyline AFTER an equi-join: per order month (a tumbling
+    // calendar window), the price/discount frontier — the reference's
+    // QoS-over-time shape as a batch gate, and the only gate where the
+    // skyline consumes a big-big join (lineitem ⋈ orders on orderkey:
+    // shuffle join, AQE free to pick the strategy).
+    "sky_monthly" -> ((s, d) => {
+      val mon = col("o_orderdate")
+      val j = li(s, d).select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+        .join(ords(s, d).select(col("o_orderkey"),
+          (year(mon) * 100 + month(mon)).cast("long").as("mon")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("mon"), col("l_extendedprice"), col("l_discount"))
+      groupedSkylineRows(j, Seq("mon"), Seq("l_extendedprice", "l_discount"))
+    }),
 
     // Grouped skyline on a side table (FIXTURES §3: part/orders are the
     // grouped-skyline fixtures) — cheapest-smallest part per brand.
@@ -380,6 +400,19 @@ object SkylineQueries {
       s"""WITH t AS (SELECT l_returnflag, l_extendedprice, l_discount FROM lineitem WHERE l_orderkey % 20 = 0)
          |SELECT * FROM t a WHERE NOT EXISTS (SELECT 1 FROM t b
          |WHERE b.l_returnflag = a.l_returnflag AND ${domSql(Seq("l_extendedprice", "l_discount"))})""".stripMargin,
+
+    // sky_monthly: the O(n log n) per-group 2D formulation (min-y per x +
+    // prefix-min over x, partitioned by month) after the orderkey join.
+    "sky_monthly" ->
+      """WITH j AS (SELECT year(o.o_orderdate) * 100 + month(o.o_orderdate) AS mon,
+        |  l.l_extendedprice AS x, l.l_discount AS y
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |d AS (SELECT mon, x, MIN(y) AS my FROM j GROUP BY mon, x),
+        |r AS (SELECT mon, x, my, MIN(my) OVER (PARTITION BY mon ORDER BY x
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm FROM d)
+        |SELECT CAST(p.mon AS BIGINT) AS mon, p.x AS l_extendedprice, p.y AS l_discount
+        |FROM j p JOIN r ON p.mon = r.mon AND p.x = r.x
+        |WHERE p.y = r.my AND (r.pm IS NULL OR r.pm > p.y)""".stripMargin,
 
     "sky_grouped_part" ->
       s"""WITH t AS (SELECT p_brand, p_retailprice, p_size FROM part)
