@@ -308,6 +308,18 @@ object PipelineQueries {
         embs(s, d), "vec_id", "embedding", col("vec_id") < 8, 5,
         col("vec_id").between(KmCentLo, KmCentHi), KmIters, IvfProbes, EmbDims)),
 
+    // Integer JL random projection: 64-dim quantized embeddings to 8
+    // deterministic integer directions — dimensionality reduction as a
+    // pure per-row map, replayed exactly by the oracle's literal weights.
+    // (flattened to one BIGINT column per projected dimension — the
+    // driver's compare is scalar-columned.)
+    "emb_project" -> ((s, d) =>
+      graft.operators.VectorOps.projectInt(
+          embs(s, d), "vec_id", "embedding", ProjDims, EmbDims)
+        .select(col("id").as("vec_id") +:
+          (0 until ProjDims).map(j =>
+            element_at(col("proj"), j + 1).as(s"p$j")): _*)),
+
     // Product-quantization ANN: 4 independent 16-dim sub-codebooks (8
     // codes each, seeds vec_id 8..15, 2 Lloyd iterations), the corpus
     // encoded to 4 codes/vector, queries answered by summed ADC table
@@ -547,6 +559,7 @@ object PipelineQueries {
   private val PqM       = 4
   private val PqIters   = 2
   private val BpeSteps  = 8
+  private val ProjDims  = 8
   private val SemMinCos = 0.35
 
   /** VALUES rows of the deterministic hyperplanes (table, bit, components)
@@ -1243,6 +1256,21 @@ object PipelineQueries {
          |SELECT id AS vec_id, cid, CAST(d AS BIGINT) AS dist FROM (
          |  SELECT id, cid, d, ROW_NUMBER() OVER (PARTITION BY id ORDER BY d, cid) AS rn
          |  FROM (SELECT q.id, c.cid, $kmDistSql AS d FROM q, c$KmIters c)) WHERE rn = 1""".stripMargin,
+
+    // emb_project: the quantization CTEs + literal integer weight arrays,
+    // one output column per projected dimension.
+    "emb_project" -> {
+      val cols = (0 until ProjDims).map { j =>
+        val w = (0 until EmbDims)
+          .map(i => graft.operators.VectorOps.projWeight(j * EmbDims + i))
+          .mkString("[", ", ", "]")
+        s"CAST(list_sum([v[i] * ($w)[i] for i in range(1, ${EmbDims + 1})]) AS BIGINT) AS p$j"
+      }.mkString(",\n  ")
+      s"""WITH $kmQuantCtes
+         |SELECT id AS vec_id,
+         |  $cols
+         |FROM q""".stripMargin
+    },
 
     // knn_pq: per-subspace training replay, corpus codes, query ADC
     // tables, then approximate distance = sum of per-subspace lookups

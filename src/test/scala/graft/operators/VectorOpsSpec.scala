@@ -281,6 +281,25 @@ class VectorOpsSpec extends AnyFunSuite {
       assert(got(id) == id, s"$id should be a singleton: $got"))
   }
 
+  test("projectInt matches the in-memory integer projection") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    val rows = (0L until 12L).map(id =>
+      (id, Array.fill(4)((rnd.nextFloat() - 0.5f) * 3f)))
+    val got = VectorOps.projectInt(rows.toDF("vec_id", "embedding"),
+        "vec_id", "embedding", 3, 4)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+    val expect = rows.map { case (id, v) =>
+      val scale = v.map(x => math.abs(x.toDouble)).max / 127.0
+      val q = if (scale > 0) v.map(x => math.floor(x / scale + 0.5).toLong)
+              else v.map(_ => 0L)
+      id -> (0 until 3).map(j =>
+        (0 until 4).map(i => q(i) * VectorOps.projWeight(j * 4 + i)).sum).toSeq
+    }.toMap
+    assert(got == expect)
+  }
+
   test("knnPq: ADC ranking matches the in-memory code/table reference") {
     val spark = TestSpark.spark
     import spark.implicits._
