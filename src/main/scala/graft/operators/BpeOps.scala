@@ -154,4 +154,22 @@ object BpeOps {
       .groupBy(col("sym").as("subword"))
       .agg(sum("freq").as("cnt"))
   }
+
+  /** Per-document TOKEN COUNT under the trained tokenizer — the budget
+    * number a context-packing / cost-estimation step actually needs (a
+    * whitespace count undercounts rare words, which BPE splits): train
+    * `merges` merges, then each document's count is the sum of its words'
+    * segmented lengths. One corpus re-scan joined to the vocabulary-sized
+    * word table (AQE broadcasts it), one map-side-combined sum. Output:
+    * (doc_id, n_subtokens). Reads the training checkpoint — consume, then
+    * release [[graft.core.Caches]]. */
+  def bpeDocTokens(docs: DataFrame, idCol: String, merges: Int): DataFrame = {
+    val (_, words, wordsRdd) = train(docs, merges)
+    wordsRdd.foreach(graft.core.Caches.trackRdd)
+    docs.select(col(idCol).as("doc_id"),
+        explode(TextOps.tokens(col("text"))).as("w"))
+      .filter(length(col("w")) > 0)
+      .join(words.select(col("w"), size(col("syms")).cast("long").as("n")), "w")
+      .groupBy("doc_id").agg(sum("n").as("n_subtokens"))
+  }
 }

@@ -173,6 +173,22 @@ object PipelineQueries {
     "bpe_vocab" -> ((s, d) =>
       graft.operators.BpeOps.bpeVocab(docs(s, d), BpeSteps)),
 
+    // Per-document token counts under the TRAINED tokenizer (sum of each
+    // word's segmented length) — the packing/cost budget number.
+    "bpe_doc_tokens" -> ((s, d) =>
+      graft.operators.BpeOps.bpeDocTokens(docs(s, d), "doc_id", BpeSteps)),
+
+    // Semi-structured extraction: the events props column is JSON; group
+    // stats over its integer field k per event type (missing/malformed
+    // payloads -> NULL, excluded by COUNT(k)/SUM like the oracle).
+    "evt_props" -> ((s, d) =>
+      events(s, d)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("event_type")
+        .agg(count(col("k")).as("n_k"), sum("k").as("k_sum"),
+          min("k").as("k_min"), max("k").as("k_max"))),
+
     // Exact two-sample KS distance between src0's and src1's document-
     // length distributions (integer cross-multiplied numerator over the
     // common nA*nB denominator) — the distribution-level drift monitor.
@@ -942,6 +958,20 @@ object PipelineQueries {
       s"""WITH $bpeCteSql
          |SELECT s AS subword, CAST(SUM(freq) AS BIGINT) AS cnt
          |FROM (SELECT unnest(syms) AS s, freq FROM w$BpeSteps) GROUP BY 1""".stripMargin,
+
+    "bpe_doc_tokens" ->
+      s"""WITH $bpeCteSql,
+         |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+         |SELECT t.doc_id, CAST(SUM(len(f.syms)) AS BIGINT) AS n_subtokens
+         |FROM toks t JOIN w$BpeSteps f ON t.w = f.w GROUP BY 1""".stripMargin,
+
+    "evt_props" ->
+      """SELECT event_type, CAST(COUNT(k) AS BIGINT) AS n_k,
+        |  CAST(SUM(k) AS BIGINT) AS k_sum, CAST(MIN(k) AS BIGINT) AS k_min,
+        |  CAST(MAX(k) AS BIGINT) AS k_max
+        |FROM (SELECT event_type,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
+        |GROUP BY 1""".stripMargin,
 
     "corp_ks" ->
       """WITH h AS (SELECT CAST(n_chars AS BIGINT) AS v,

@@ -92,6 +92,38 @@ class BpeOpsSpec extends AnyFunSuite {
     assert(got == expect, s"got $got\nexpect $expect")
   }
 
+  /** Greedy left-to-right application of a merge table to one word. */
+  private def segment(w: String, table: Seq[(String, String)]): Vector[String] = {
+    var syms = w.toVector.map(_.toString)
+    table.foreach { case (a, b) =>
+      val merged = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+          merged += (a + b); i += 2
+        } else { merged += syms(i); i += 1 }
+      }
+      syms = merged.toVector
+    }
+    syms
+  }
+
+  test("bpeDocTokens sums segmented word lengths per document") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val rows = Seq((1L, "low lower banana"), (2L, "aaaa aa low"), (3L, "banana band"))
+    val merges = 5
+    val got = graft.core.Caches.scoped {
+      BpeOps.bpeDocTokens(rows.toDF("doc_id", "text"), "doc_id", merges)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    val table = referenceMerges(rows.map(_._2), merges).map(m => (m._2, m._3))
+    val expect = rows.map { case (id, t) =>
+      id -> t.split(" ").filter(_.nonEmpty).map(w => segment(w, table).length.toLong).sum
+    }.toMap
+    assert(got == expect, s"got $got expect $expect")
+  }
+
   test("bpeMerges stops early when no pairs remain") {
     val spark = TestSpark.spark
     import spark.implicits._
