@@ -1,16 +1,42 @@
 package graft.operators
 
 import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
 
 import org.apache.spark.sql.functions._
 
 import graft.TestSpark
+import graft.core.PropHelpers
 
 /** Degenerate-input behavior of the metrics surface: an empty prefix must
   * yield a well-formed zeroed record (not a null-poisoned json string), an
   * empty barrier list must fail loudly, and the two trigger-parse paths
   * must agree on malformed payloads. */
-class SkylineOpsEdgeSpec extends AnyFunSuite {
+class SkylineOpsEdgeSpec extends AnyFunSuite with PropHelpers {
+
+  test("skybandRows property: random duplicate-heavy 3D point sets match brute force") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // Domain 0..3 per dim forces ties, duplicates, and deep layers.
+    val ptsGen = Gen.listOfN(18,
+      Gen.zip(Gen.choose(0, 3), Gen.choose(0, 3), Gen.choose(0, 3))
+        .map { case (a, b, c) => (a.toDouble, b.toDouble, c.toDouble) })
+    def dom(a: (Double, Double, Double), b: (Double, Double, Double)) =
+      a._1 <= b._1 && a._2 <= b._2 && a._3 <= b._3 &&
+        (a._1 < b._1 || a._2 < b._2 || a._3 < b._3)
+    forAll2(ptsGen, Gen.choose(1, 4), n = 8) { (pts, k) =>
+      val distinct = pts.distinct
+      val expect = pts.flatMap { p =>
+        val cnt = distinct.count(q => dom(q, p))
+        if (cnt < k) Some((p._1, p._2, p._3, cnt.toLong)) else None
+      }.groupBy(identity).view.mapValues(_.size).toMap
+      val got = SkylineOps.skybandRows(pts.toDF("x", "y", "z"), Seq("x", "y", "z"), k)
+        .collect()
+        .map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getLong(3)))
+        .groupBy(identity).view.mapValues(_.size).toMap
+      assert(got == expect, s"k=$k pts=$pts")
+    }
+  }
 
   test("skylineLayerRows matches brute-force onion peeling, duplicates keep their layer") {
     val spark = TestSpark.spark
