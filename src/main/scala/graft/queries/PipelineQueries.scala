@@ -161,6 +161,18 @@ object PipelineQueries {
     "corp_drift" -> ((s, d) =>
       graft.operators.CorpusOps.corpDrift(docs(s, d), "source", "src0", "src1")),
 
+    // Hierarchical corpus accounting in ONE pass: per-(source, lang),
+    // per-source subtotals, and the grand total via Spark's native rollup
+    // (partial-aggregated like any groupBy — no per-level re-scans).
+    "txt_rollup" -> ((s, d) =>
+      docs(s, d)
+        .rollup("source", "lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text"))).as("char_sum"))
+        .select(coalesce(col("source"), lit("ALL")).as("source"),
+          coalesce(col("lang"), lit("ALL")).as("lang"),
+          col("n_docs"), col("char_sum"))),
+
     // BPE merge-table training: 8 merges learned from the corpus'
     // whitespace tokens, from characters up — overlap-inclusive pair
     // counts, (cnt desc, pair asc) winner, greedy non-overlapping
@@ -948,6 +960,11 @@ object PipelineQueries {
         |SELECT CAST((((fa + 1) * 100) // (fb + 1)) // 10 AS BIGINT) AS band,
         |  CAST(COUNT(*) AS BIGINT) AS n_tokens
         |FROM f GROUP BY 1""".stripMargin,
+
+    "txt_rollup" ->
+      """SELECT COALESCE(source, 'ALL') AS source, COALESCE(lang, 'ALL') AS lang,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(len(text)) AS BIGINT) AS char_sum
+        |FROM documents GROUP BY ROLLUP(source, lang)""".stripMargin,
 
     "bpe_merges" ->
       s"""WITH $bpeCteSql
