@@ -261,6 +261,18 @@ object PipelineQueries {
         graft.operators.DedupOps.minhashNearDups(dd, "doc_id", 3, 12, 3, 1, 2))
     }),
 
+    // Cluster-SIZE histogram from the same collapse — the number a curation
+    // decision actually reads ("how much mass sits in dup clusters").
+    "dedup_cluster_sizes" -> ((s, d) => {
+      val dd = docs(s, d)
+      graft.operators.DedupOps.nearDupClusters(dd, "doc_id",
+          graft.operators.DedupOps.minhashNearDups(dd, "doc_id", 3, 12, 3, 1, 2))
+        .groupBy("cluster").agg(count(lit(1)).as("sz"))
+        .groupBy("sz").agg(count(lit(1)).as("n_clusters"))
+        .select(col("sz"), col("n_clusters"),
+          (col("sz") * col("n_clusters")).as("n_docs"))
+    }),
+
     // 64-bit SimHash signatures over the md5-derived token hash — the
     // engine-neutral hash makes the signature DuckDB-replayable, so this
     // gate is hash-green (xxhash64 remains the production default hash;
@@ -785,6 +797,27 @@ object PipelineQueries {
        |merges AS (
        |  $out)""".stripMargin
   }
+
+  /** Shared recursive-CTE replay of the minhash pair graph + component
+    * collapse: yields `lblfull(doc_id, cluster)` — every doc labeled with
+    * its cluster's min id (singletons by their own id). Consumed by the
+    * dedup_clusters and dedup_cluster_sizes oracles. */
+  private val nearDupClusterCtes: String =
+    """WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |sh AS (SELECT doc_id,
+      |  list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)]) AS s
+      |  FROM toks WHERE len(w) >= 3),
+      |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |  WHERE len(list_intersect(a.s, b.s)) * 2 >= len(list_distinct(list_concat(a.s, b.s)))),
+      |edges AS (SELECT id_a AS a, id_b AS b FROM pairs UNION ALL SELECT id_b, id_a FROM pairs),
+      |reach(id, r) AS (
+      |  SELECT a, a FROM edges
+      |  UNION
+      |  SELECT re.id, e.b FROM reach re JOIN edges e ON e.a = re.r),
+      |lbl AS (SELECT id, MIN(r) AS cluster FROM reach GROUP BY id),
+      |lblfull AS (SELECT d.doc_id, CAST(COALESCE(l.cluster, d.doc_id) AS BIGINT) AS cluster
+      |  FROM documents d LEFT JOIN lbl l ON d.doc_id = l.id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "txt_stats" ->
@@ -1397,21 +1430,18 @@ object PipelineQueries {
         |WHERE len(list_intersect(a.s, b.s)) * 2 >= len(list_distinct(list_concat(a.s, b.s)))""".stripMargin,
 
     "dedup_clusters" ->
-      """WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-        |sh AS (SELECT doc_id,
-        |  list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)]) AS s
-        |  FROM toks WHERE len(w) >= 3),
-        |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        |  WHERE len(list_intersect(a.s, b.s)) * 2 >= len(list_distinct(list_concat(a.s, b.s)))),
-        |edges AS (SELECT id_a AS a, id_b AS b FROM pairs UNION ALL SELECT id_b, id_a FROM pairs),
-        |reach(id, r) AS (
-        |  SELECT a, a FROM edges
-        |  UNION
-        |  SELECT re.id, e.b FROM reach re JOIN edges e ON e.a = re.r),
-        |lbl AS (SELECT id, MIN(r) AS cluster FROM reach GROUP BY id)
-        |SELECT d.doc_id, CAST(COALESCE(l.cluster, d.doc_id) AS BIGINT) AS cluster
-        |FROM documents d LEFT JOIN lbl l ON d.doc_id = l.id""".stripMargin,
+      s"""$nearDupClusterCtes
+         |SELECT doc_id, cluster FROM lblfull""".stripMargin,
+
+    // dedup_cluster_sizes: the same cluster labeling reduced to its
+    // decision surface — how many clusters of each size, covering how
+    // many documents.
+    "dedup_cluster_sizes" ->
+      s"""$nearDupClusterCtes,
+         |cs AS (SELECT cluster, COUNT(*) AS sz FROM lblfull GROUP BY 1)
+         |SELECT CAST(sz AS BIGINT) AS sz, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+         |  CAST(sz * COUNT(*) AS BIGINT) AS n_docs
+         |FROM cs GROUP BY sz""".stripMargin,
 
     "dedup_simhash" ->
       s"""WITH $simhashSigSql
