@@ -48,6 +48,25 @@ object MultimodalOps {
       meta("channels").as("channels"))
   }
 
+  /** FEATURE EXTRACTION (real, not a stub — no codec needed): the 8-bin
+    * byte-value histogram of the payload, the standard modality-agnostic
+    * cheap feature for corrupt-payload / wrong-modality detection (text
+    * concentrates in bins 1–3, compressed media is near-uniform). Bin =
+    * byte >> 5, i.e. the HIGH hex nibble halved — so the histogram reads
+    * off `hex(bin)`'s odd positions without any per-byte decode. Pure
+    * column expressions, zero shuffle. Returns array<long> of 8 counts. */
+  def byteProfile(bin: Column): Column = {
+    val hx = hex(bin)
+    // High nibble of byte i sits at 1-based hex position 2i−1.
+    val highs = transform(sequence(lit(1), length(bin)),
+      i => hx.substr(i * 2 - 1, lit(1)))
+    val digits = "0123456789ABCDEF"
+    array((0 until 8).map { b =>
+      val (d1, d2) = (digits(2 * b).toString, digits(2 * b + 1).toString)
+      size(filter(highs, c => c === d1 || c === d2)).cast("long")
+    }: _*)
+  }
+
   /** Frame sampling: cut the payload into frames of `frameLen` bytes every
     * `stride` bytes (video/audio windowing shape). Returns array<binary>;
     * payloads shorter than one frame yield an empty array. */

@@ -553,6 +553,20 @@ object PipelineQueries {
         .agg(sum(col("nf")).as("total_frames"),
           sum(col("frame_bytes")).as("total_frame_bytes"),
           sum(when(col("nf") > 0, 1).otherwise(0)).as("docs_with_frames"))
+    }),
+
+    // Feature extraction over the blob column (REAL, codec-free): per-source
+    // byte-value histogram sums — the corrupt-payload / wrong-modality
+    // signal. One scan, zero shuffle before the group sums.
+    "mm_profile" -> ((s, d) => {
+      import graft.operators.MultimodalOps._
+      val prof = byteProfile(asBlob(col("text")))
+      val aggs = (0 until 8).map(b => sum(s"f$b").as(s"f$b"))
+      docs(s, d)
+        .select(col("source") +:
+          (0 until 8).map(b => element_at(prof, b + 1).as(s"f$b")): _*)
+        .groupBy("source")
+        .agg(aggs.head, aggs.tail: _*)
     })
   )
 
@@ -1136,6 +1150,21 @@ object PipelineQueries {
         |  CAST(SUM(COALESCE(list_sum([LEAST(64, bl - 48*i) for i in range(0, nf)]), 0)) AS BIGINT) AS total_frame_bytes,
         |  CAST(SUM(CASE WHEN nf > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_frames
         |FROM f GROUP BY lang""".stripMargin,
+
+    // mm_profile: high hex nibble of byte i at position 2i−1; bin b covers
+    // nibble digits {2b, 2b+1}.
+    "mm_profile" -> {
+      val digits = "0123456789ABCDEF"
+      val cols = (0 until 8).map { b =>
+        val (d1, d2) = (digits(2 * b), digits(2 * b + 1))
+        s"CAST(SUM(COALESCE(list_sum([CASE WHEN substr(hx, 2*i-1, 1) IN ('$d1', '$d2') THEN 1 ELSE 0 END for i in range(1, n + 1)]), 0)) AS BIGINT) AS f$b"
+      }.mkString(",\n  ")
+      s"""WITH b AS (SELECT source, hex(encode(text)) AS hx,
+         |  octet_length(encode(text)) AS n FROM documents)
+         |SELECT source,
+         |  $cols
+         |FROM b GROUP BY source""".stripMargin
+    },
 
     "wire_parse" ->
       """WITH raw AS (
