@@ -369,6 +369,15 @@ object PipelineQueries {
         embs(s, d), "vec_id", "embedding", col("vec_id") < 8, 5,
         col("vec_id").between(KmCentLo, KmCentHi), PqIters, PqM, EmbDims)),
 
+    // IVF+PQ composition — coarse cells restrict candidates, ADC ranks
+    // them on codes only (the FAISS IVFPQ shape, non-residual). Both
+    // models and every ADC sum replay in the oracle.
+    "knn_ivfpq" -> ((s, d) =>
+      graft.operators.VectorOps.knnIvfPq(
+        embs(s, d), "vec_id", "embedding", col("vec_id") < 8, 5,
+        col("vec_id").between(KmCentLo, KmCentHi), KmIters, IvfProbes,
+        PqIters, PqM, EmbDims)),
+
     // SemDeDup-style semantic dedup: k-means cells (the trained quantizer,
     // same seeds/iters as emb_kmeans) as blocking buckets, exact cosine
     // >= 0.35 within cells, connected components — every vector labeled
@@ -743,7 +752,12 @@ object PipelineQueries {
     * chain `c0_<sp>..c<PqIters>_<sp>` (the kmIterCtes shape parameterized to
     * the slice width), corpus codes `code<sp>` (argmin cid, ties low), and
     * the query ADC table `qd<sp>` (distance to EVERY sub-centroid). */
-  private val pqCteSql: String = {
+  private val pqCteSql: String = s"$kmQuantCtes,\n$pqChainsCte"
+
+  /** The per-subspace chains alone (expects `q`) — composable after any
+    * other chain that also consumes `q` (the knn_ivfpq oracle runs them
+    * beside the coarse kmeans chain). */
+  private lazy val pqChainsCte: String = {
     val sub = EmbDims / PqM
     val dist = s"list_sum([(q.v[i]-c.cv[i])*(q.v[i]-c.cv[i]) for i in range(1, ${sub + 1})])"
     val sumCols = (1 to sub).map(i => s"SUM(v[$i]) AS s$i").mkString(", ")
@@ -769,7 +783,7 @@ object PipelineQueries {
          |qd$sp AS (SELECT q.id AS qid, c.cid, $dist AS dist
          |  FROM q$sp q, c${PqIters}_$sp c WHERE q.id < 8)""".stripMargin
     }.mkString(",\n")
-    s"$kmQuantCtes,\n$chains"
+    chains
   }
 
   /** BPE oracle: `BpeSteps` unrolled training rounds. Per round r: pair
@@ -1420,6 +1434,34 @@ object PipelineQueries {
          |  FROM cand c JOIN ev a ON a.vec_id = c.qid JOIN ev b ON b.vec_id = c.nid)
          |SELECT qid, nid, CAST(rnk AS BIGINT) AS rnk FROM (
          |  SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rnk FROM s)
+         |WHERE rnk <= 5""".stripMargin
+    },
+
+    // knn_ivfpq: the coarse kmeans chain AND the PQ subspace chains side by
+    // side (both consume `q`), then candidates restricted to probed cells
+    // and ranked by summed ADC lookups on the candidates' codes.
+    "knn_ivfpq" -> {
+      val parts = (0 until PqM).map(sp =>
+        s"""SELECT c.qid, c.nid, d.dist FROM cand c
+           |    JOIN code$sp cd ON cd.id = c.nid
+           |    JOIN qd$sp d ON d.cid = cd.cid AND d.qid = c.qid""".stripMargin)
+        .mkString("\n  UNION ALL\n  ")
+      s"""WITH $kmeansCteSql,
+         |$pqChainsCte,
+         |dists AS (SELECT q.id, c.cid, $kmDistSql AS d FROM q, c$KmIters c),
+         |cells AS (SELECT id, cid FROM (
+         |  SELECT id, cid, ROW_NUMBER() OVER (PARTITION BY id ORDER BY d, cid) AS rn
+         |  FROM dists) WHERE rn = 1),
+         |prob AS (SELECT id AS qid, cid FROM (
+         |  SELECT id, cid, ROW_NUMBER() OVER (PARTITION BY id ORDER BY d, cid) AS rn
+         |  FROM dists WHERE id < 8) WHERE rn <= $IvfProbes),
+         |cand AS (SELECT p.qid, cl.id AS nid FROM prob p JOIN cells cl USING (cid)
+         |  WHERE cl.id != p.qid),
+         |parts AS (
+         |  $parts),
+         |adc AS (SELECT qid, nid, SUM(dist) AS adc FROM parts GROUP BY 1, 2)
+         |SELECT qid, nid, CAST(adc AS BIGINT) AS adc, CAST(rnk AS BIGINT) AS rnk FROM (
+         |  SELECT qid, nid, adc, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc, nid) AS rnk FROM adc)
          |WHERE rnk <= 5""".stripMargin
     },
 

@@ -343,6 +343,37 @@ class VectorOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("knnIvfPq: probing all cells equals full-scan PQ") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val rnd = new scala.util.Random(19)
+    val rows = (0L until 24L).map(id =>
+      (id, Array.fill(4)((rnd.nextFloat() - 0.5f) * 2f)))
+    val df = rows.toDF("vec_id", "embedding")
+    // 4 coarse cells (seeds 10..13); probing all 4 makes every vector a
+    // candidate, so the ADC ranking must equal knnPq's full scan (the
+    // codebooks are trained identically from the same seeds/iters).
+    val ivfpq = graft.core.Caches.scoped {
+      VectorOps.knnIvfPq(df, "vec_id", "embedding", col("vec_id") < 3, 4,
+        col("vec_id").between(10, 13), 2, 4, 1, 2, 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    }
+    val pq = graft.core.Caches.scoped {
+      VectorOps.knnPq(df, "vec_id", "embedding", col("vec_id") < 3, 4,
+        col("vec_id").between(10, 13), 1, 2, 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    }
+    assert(ivfpq == pq, s"ivfpq $ivfpq\npq $pq")
+    // Restricting probes can only shrink each query's candidate set.
+    val one = graft.core.Caches.scoped {
+      VectorOps.knnIvfPq(df, "vec_id", "embedding", col("vec_id") < 3, 4,
+        col("vec_id").between(10, 13), 2, 1, 1, 2, 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    val full = pq.map(t => (t._1, t._2))
+    assert(one.size <= full.size)
+  }
+
   test("knnBrute ranks by cosine with id tiebreak") {
     val spark = TestSpark.spark
     import spark.implicits._
