@@ -439,11 +439,14 @@ object CorpusOps {
       .groupBy(col(valCol).cast("long").as("v"))
       .agg(sum(when(col(groupCol) === srcA, 1L).otherwise(0L)).as("ca"),
         sum(when(col(groupCol) === srcB, 1L).otherwise(0L)).as("cb"))
-    val cum = hist
-      .withColumn("cum_a", sum("ca").over(Window.orderBy("v")))
-      .withColumn("cum_b", sum("cb").over(Window.orderBy("v")))
-    val tot = hist.agg(sum("ca").as("na"), sum("cb").as("nb"))
-    cum.crossJoin(broadcast(tot))
+    // Totals as unbounded sums over the SAME window the cumsums use (the
+    // discQuantiles shape) — one histogram scan, no second aggregation.
+    val w = Window.orderBy("v")
+    val wAll = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    hist
+      .select(col("v"),
+        sum("ca").over(w).as("cum_a"), sum("cb").over(w).as("cum_b"),
+        sum("ca").over(wAll).as("na"), sum("cb").over(wAll).as("nb"))
       .select(col("v"),
         abs(col("cum_a") * col("nb") - col("cum_b") * col("na")).as("gap"),
         col("na"), col("nb"))

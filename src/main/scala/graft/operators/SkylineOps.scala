@@ -151,7 +151,11 @@ object SkylineOps {
       cand = Some(cand.fold(sky)(_.unionAll(sky)))
       if (l < k) rest = rest.join(sky, dims, "left_anti")
     }
-    val pts = cand.get
+    // Persisted: the candidate set feeds both sides of the dominator join
+    // AND the duplicate-recovery join — without the cache each consumer
+    // re-executes the whole k-scan peel chain. Registered with
+    // [[graft.core.Caches]]; release after consuming the result.
+    val pts = graft.core.Caches.persistTracked(cand.get)
     val le = dims.map(c => col(s"b.$c") <= col(s"a.$c")).reduce(_ && _)
     val lt = dims.map(c => col(s"b.$c") < col(s"a.$c")).reduce(_ || _)
     // Distinct-dominator count over the candidate point set (dominators of
