@@ -52,4 +52,25 @@ object EventWindows {
       .groupBy(col(keyCol), session_window(col(tsCol), gap).as("sw"))
       .agg(count(lit(1)).as("n_events"))
       .select(col(keyCol), col("sw.start").as("w_start"), col("n_events"))
+
+  /** Pareto FRONTIER per tumbling event-time window — the centerpiece
+    * skyline aggregate ([[graft.functions.SkylineAgg]]) as a watermarked
+    * streaming aggregation: per micro-batch the partial local skylines
+    * combine in the state store, so per-window state is O(frontier), never
+    * the window's row count, and a window's final frontier emits once the
+    * watermark closes it (append mode). Over a batch DataFrame the same
+    * plan is the plain windowed skyline — the [[windowedKeyCounts]]
+    * batch/stream duality applied to the reference's core operator
+    * (continuous QoS frontier per time window). Output: (w_start, dims...).
+    */
+  def windowedFrontier(events: DataFrame, tsCol: String, dims: Seq[String],
+                       windowLen: String, lateness: String): DataFrame =
+    events
+      .withWatermark(tsCol, lateness)
+      .groupBy(window(col(tsCol), windowLen).as("w"))
+      .agg(graft.functions.SkylineAgg.skyline_agg(
+        array(dims.map(d => col(d).cast("double")): _*)).as("sky"))
+      .select(col("w.start").as("w_start"), explode(col("sky")).as("p"))
+      .select(col("w_start") +:
+        dims.zipWithIndex.map { case (d, i) => col("p")(i).as(d) }: _*)
 }

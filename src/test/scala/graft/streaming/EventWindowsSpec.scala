@@ -65,4 +65,41 @@ class EventWindowsSpec extends AnyFunSuite {
       assert(!rows.exists(_._2 == 660L), "still-open session must not emit in append mode")
     } finally q.stop()
   }
+
+  test("windowed frontier: cross-batch skyline state, final frontier on window close, batch parity") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[(java.sql.Timestamp, Double, Double)]
+    val frontier = EventWindows.windowedFrontier(
+      stream.toDF.toDF("ts", "x", "y"), "ts", Seq("x", "y"),
+      "10 minutes", "5 minutes")
+    val q = frontier.writeStream.format("memory").queryName("evt_sky")
+      .outputMode("append").start()
+    try {
+      // Window [600, 610): batch 1 has a provisional frontier {(1,5),(3,3)};
+      // batch 2's (2,2) then dominates (3,3) IN STATE — the final frontier
+      // must be {(1,5),(2,2),(5,1)}.
+      stream.addData((ts(600), 1.0, 5.0), (ts(601), 3.0, 3.0))
+      q.processAllAvailable()
+      stream.addData((ts(602), 2.0, 2.0), (ts(603), 5.0, 1.0))
+      q.processAllAvailable()
+      stream.addData((ts(630), 9.0, 9.0)) // watermark -> 625, closes [600,610)
+      q.processAllAvailable()
+      stream.addData((ts(660), 8.0, 8.0)) // extra batch flushes finalization
+      q.processAllAvailable()
+      val rows = spark.table("evt_sky").collect()
+        .map(r => (r.getTimestamp(0).getTime / 60000L, r.getDouble(1), r.getDouble(2)))
+      assert(rows.filter(_._1 == 600L).map(t => (t._2, t._3)).toSet ==
+        Set((1.0, 5.0), (2.0, 2.0), (5.0, 1.0)), s"got ${rows.toSeq}")
+      assert(!rows.exists(_._1 == 660L), "still-open window must not emit in append mode")
+      // Batch parity: the same function over a plain DataFrame.
+      val batch = EventWindows.windowedFrontier(
+        Seq((ts(600), 1.0, 5.0), (ts(601), 3.0, 3.0), (ts(602), 2.0, 2.0),
+          (ts(603), 5.0, 1.0)).toDF("ts", "x", "y"),
+        "ts", Seq("x", "y"), "10 minutes", "5 minutes")
+        .collect().map(r => (r.getTimestamp(0).getTime / 60000L, r.getDouble(1), r.getDouble(2)))
+      assert(batch.toSet == Set((600L, 1.0, 5.0), (600L, 2.0, 2.0), (600L, 5.0, 1.0)))
+    } finally q.stop()
+  }
 }
