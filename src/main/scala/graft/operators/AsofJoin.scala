@@ -33,7 +33,24 @@ object AsofJoin {
 
   def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
                tsCol: String, ordCol: String,
-               payloadCols: Seq[String]): DataFrame = {
+               payloadCols: Seq[String]): DataFrame =
+    asofImpl(left, right, keyCol, tsCol, ordCol, payloadCols, forward = false)
+
+  /** FORWARD as-of join — the mirror: for each left row, the payload of the
+    * EARLIEST right row with the same key and `right.ts >= left.ts`
+    * (inclusive; ties on ts broken by the LOWEST `ordCol`) — "the next
+    * reading after the event" (label attribution, outcome lookups). Same
+    * single-shuffle running-window shape, with the per-key order reversed
+    * (ts desc, then ord desc), so the running `last` holds the nearest
+    * FOLLOWING right row. */
+  def asofJoinForward(left: DataFrame, right: DataFrame, keyCol: String,
+                      tsCol: String, ordCol: String,
+                      payloadCols: Seq[String]): DataFrame =
+    asofImpl(left, right, keyCol, tsCol, ordCol, payloadCols, forward = true)
+
+  private def asofImpl(left: DataFrame, right: DataFrame, keyCol: String,
+                       tsCol: String, ordCol: String,
+                       payloadCols: Seq[String], forward: Boolean): DataFrame = {
     require(payloadCols.nonEmpty, "asofJoin needs at least one payload column")
     require(payloadCols.forall(right.columns.contains),
       s"payload columns missing on right: ${payloadCols.filterNot(right.columns.contains)}")
@@ -54,8 +71,14 @@ object AsofJoin {
         else lit(null).cast(lTypes(c)).as(c)) ++
         payloadCols.map(col) :+
         lit(0).as("__side"): _*)
+    // Forward mode reverses the per-key scan (ts desc, ord desc); __side
+    // stays ascending either way so an equal-ts right row is seen BEFORE
+    // the left rows of that timestamp — inclusivity in both directions.
     val w = Window.partitionBy(keyCol)
-      .orderBy(col(tsCol), col("__side"), col(ordCol))
+      .orderBy(
+        if (forward) col(tsCol).desc else col(tsCol),
+        col("__side"),
+        if (forward) col(ordCol).desc else col(ordCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // ONE struct per right row (null on left rows — `when` without
     // `otherwise`), so the ignore-nulls last picks a whole right row

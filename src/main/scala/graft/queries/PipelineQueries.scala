@@ -516,6 +516,21 @@ object PipelineQueries {
         Seq("v_event_id", "v_us"))
     }),
 
+    // Forward as-of: each purchase enriched with the user's NEXT view at or
+    // after it (ties -> lowest event_id) — label/outcome attribution.
+    "evt_asof_fwd" -> ((s, d) => {
+      val ev = events(s, d).select(col("event_id"), col("user_id"),
+        col("event_type"), expr("ts div 1000").as("us"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("us"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("event_id"), col("user_id"), col("us"),
+          col("event_id").as("v_event_id"), col("us").as("v_us"))
+      graft.operators.AsofJoin.asofJoinForward(
+        purchases, views, "user_id", "us", "event_id",
+        Seq("v_event_id", "v_us"))
+    }),
+
     // Range join: views by the same user in the 10 minutes strictly before
     // each error event, counted per error — bucket-blocked equi-join on
     // (user, time bucket), never the per-key cross-product.
@@ -1251,6 +1266,25 @@ object PipelineQueries {
         |  last_value(pv IGNORE NULLS) OVER win AS v_event_id,
         |  last_value(pu IGNORE NULLS) OVER win AS v_us
         |  FROM u WINDOW win AS (PARTITION BY user_id ORDER BY us, side, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT event_id, user_id, us, v_event_id, v_us FROM w WHERE side = 1""".stripMargin,
+
+    // evt_asof_fwd: the evt_asof replay with the per-user scan reversed
+    // (us DESC, ord DESC) — the running last then holds the nearest
+    // FOLLOWING view, ties to the lowest event_id.
+    "evt_asof_fwd" ->
+      """WITH ev AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS us FROM events),
+        |u AS (
+        |  SELECT event_id, user_id, us, 1 AS side,
+        |    CAST(NULL AS BIGINT) AS pv, CAST(NULL AS BIGINT) AS pu FROM ev
+        |  WHERE event_type = 'purchase'
+        |  UNION ALL
+        |  SELECT event_id, user_id, us, 0 AS side, event_id AS pv, us AS pu FROM ev
+        |  WHERE event_type = 'view'),
+        |w AS (SELECT event_id, user_id, us, side,
+        |  last_value(pv IGNORE NULLS) OVER win AS v_event_id,
+        |  last_value(pu IGNORE NULLS) OVER win AS v_us
+        |  FROM u WINDOW win AS (PARTITION BY user_id ORDER BY us DESC, side, event_id DESC
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
         |SELECT event_id, user_id, us, v_event_id, v_us FROM w WHERE side = 1""".stripMargin,
 

@@ -75,6 +75,35 @@ class AsofJoinSpec extends AnyFunSuite with PropHelpers {
     }
   }
 
+  test("property: asofJoinForward equals the brute-force earliest-following rule") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val evGen = Gen.listOfN(25, Gen.zip(Gen.choose(0L, 2L), Gen.choose(0L, 15L)))
+    forAll(Gen.zip(evGen, evGen), n = 10) { case (ls, rs) =>
+      val left = ls.zipWithIndex.map { case ((k, ts), i) => (i.toLong, k, ts) }
+      val right = rs.zipWithIndex.map { case ((k, ts), i) => (1000L + i, k, ts) }
+      // Brute force: the right row with min (ts, event_id) among same-key
+      // rows with ts >= left.ts.
+      val expected = left.map { case (id, k, ts) =>
+        val cand = right.filter(r => r._2 == k && r._3 >= ts)
+        id -> (if (cand.isEmpty) None
+               else Some(cand.minBy(r => (r._3, r._1))._1))
+      }.toMap
+      val got = AsofJoin.asofJoinForward(
+          left.toDF("event_id", "user_id", "us"),
+          right.toDF("event_id", "user_id", "us")
+            .select(org.apache.spark.sql.functions.col("event_id"),
+              org.apache.spark.sql.functions.col("user_id"),
+              org.apache.spark.sql.functions.col("us"),
+              org.apache.spark.sql.functions.col("event_id").as("v_id")),
+          "user_id", "us", "event_id", Seq("v_id"))
+        .collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(3)) None else Some(r.getLong(3))))
+        .toMap
+      assert(got == expected, s"left=$left\nright=$right\ngot $got\nexpected $expected")
+    }
+  }
+
   test("asofJoin rejects payload collisions and missing payload columns") {
     val spark = TestSpark.spark
     import spark.implicits._
