@@ -474,6 +474,20 @@ object PipelineQueries {
           "ts", "event_type", "1 hour", "10 minutes")
         .select(unix_micros(col("w_start")).as("w_us"), col("event_type"), col("cnt"))),
 
+    // SLIDING event-time windows (1 h length, 30 min slide — each event in
+    // exactly 2 windows): the overlap variant of evt_windows, same
+    // batch/stream code path.
+    "evt_sliding" -> ((s, d) =>
+      events(s, d)
+        .select(col("event_type"),
+          timestamp_micros(expr("ts div 1000")).as("ts"))
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"),
+          col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(unix_micros(col("w.start")).as("w_us"), col("event_type"),
+          col("cnt"))),
+
     // Gap-based sessions via the built-in merging session_window — the SAME
     // code the streaming path runs (watermark a no-op in batch), per-session
     // rows keyed by session-start epoch-micros. Complements evt_sessions'
@@ -1249,6 +1263,14 @@ object PipelineQueries {
       """SELECT epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS w_us,
         |  event_type, CAST(COUNT(*) AS BIGINT) AS cnt
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // evt_sliding: each event lands in the 30-min-aligned window starting
+    // at its bucket and the one 30 min earlier (1 h length = 2 slides).
+    "evt_sliding" ->
+      """SELECT epoch_us(time_bucket(INTERVAL '30 minutes', ts)) - 1800000000 * k AS w_us,
+        |  event_type, CAST(COUNT(*) AS BIGINT) AS cnt
+        |FROM events, (VALUES (0), (1)) t(k)
+        |GROUP BY 1, 2""".stripMargin,
 
     // evt_asof: replays the union + running last_value IGNORE NULLS window
     // with the identical (us, side, event_id) ordering, so inclusive-ts and
