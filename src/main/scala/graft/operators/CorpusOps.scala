@@ -429,8 +429,8 @@ object CorpusOps {
     * value, then cumulative sums over VALUE-DOMAIN-sized data (the
     * [[discQuantiles]] contract — bucket first for continuous metrics; the
     * single-partition window is bounded by |distinct values|, never the
-    * corpus), a broadcast of the 1-row totals, and a 1-row max. Output:
-    * (ks_gap, at_v, n_a, n_b).
+    * corpus), totals as unbounded sums over that SAME window (no second
+    * histogram scan), and a 1-row max. Output: (ks_gap, at_v, n_a, n_b).
     */
   def ksDrift(docs: DataFrame, groupCol: String, valCol: String,
               srcA: String, srcB: String): DataFrame = {
