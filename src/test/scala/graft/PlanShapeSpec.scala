@@ -1,0 +1,58 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.functions._
+
+/** Scan-level plan guards: filters must reach the parquet reader as
+  * PushedFilters and projections must prune ReadSchema — the two
+  * properties that decide whether a 100 TB scan reads 100 TB or a
+  * fraction of it. A regression here (e.g. a filter rewritten into a
+  * non-pushable expression, or a select widened to *) is invisible to
+  * the correctness gates, so it is pinned as a plan assertion. */
+class PlanShapeSpec extends AnyFunSuite {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  // sparkPlan, not executedPlan: AQE wraps multi-exchange plans in an
+  // adaptive root whose leaves are not yet the file scans.
+  private def scanMeta(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.sparkPlan.collectLeaves().collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f.metadata
+    }.map(m => s"PushedFilters=${m.getOrElse("PushedFilters", "")} " +
+      s"ReadSchema=${m.getOrElse("ReadSchema", "")}").mkString("\n")
+
+  test("equality filter + narrow select push down and prune the events scan") {
+    val spark = TestSpark.spark
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$sf/events.parquet")
+      .filter(col("event_type") === "view")
+      .select(col("event_id"), col("user_id"))
+    val meta = scanMeta(df)
+    assert(meta.contains("EqualTo(event_type,view)"), s"filter not pushed: $meta")
+    assert(meta.contains("event_id") && meta.contains("user_id") &&
+      !meta.contains("props"), s"columns not pruned: $meta")
+  }
+
+  test("range filter pushes down on the lineitem scan") {
+    val spark = TestSpark.spark
+    val df = spark.read.parquet(s"$sf/lineitem.parquet")
+      .filter(col("l_quantity") < 10.0)
+      .select(col("l_quantity"), col("l_discount"))
+    val meta = scanMeta(df)
+    assert(meta.contains("LessThan(l_quantity,10.0)"), s"filter not pushed: $meta")
+    assert(!meta.contains("l_comment"), s"columns not pruned: $meta")
+  }
+
+  test("the skyline query's scan reads only its dimensions") {
+    val spark = TestSpark.spark
+    val df = graft.queries.SkylineQueries.queries("sky2d")(spark, sf)
+    val meta = scanMeta(df)
+    // Both scans (frontier aggregate + duplicate-recovery semi-join side)
+    // must read the two dimension columns and nothing else.
+    assert(meta.contains("l_extendedprice") && meta.contains("l_discount"),
+      s"dims missing from scan: $meta")
+    assert(!meta.contains("l_orderkey") && !meta.contains("l_comment"),
+      s"sky2d scan reads beyond its dims: $meta")
+  }
+}
