@@ -305,6 +305,24 @@ object PipelineQueries {
         embs(s, d), "vec_id", "embedding", col("vec_id") < 8, 5,
         LshTables, LshBits, EmbDims)),
 
+    // ANN quality evaluation: per-query recall@5 of the LSH path against
+    // the exact baseline — the metric an ANN deployment monitors when
+    // tuning tables × bits. Integer counts, engine-exact.
+    "ann_recall" -> ((s, d) => {
+      val e = embs(s, d)
+      val brute = graft.operators.VectorOps.knnBrute(
+        e, "vec_id", "embedding", col("vec_id") < 8, 5)
+      val lsh = graft.operators.VectorOps.knnLsh(
+        e, "vec_id", "embedding", col("vec_id") < 8, 5,
+        LshTables, LshBits, EmbDims)
+      brute.select(col("qid"), col("nid"))
+        .join(lsh.select(col("qid"), col("nid"), lit(1L).as("hit")),
+          Seq("qid", "nid"), "left")
+        .groupBy("qid")
+        .agg(count(lit(1)).as("n_true"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+    }),
+
     // k-NN GRAPH: top-3 neighbors for EVERY corpus vector via the LSH
     // buckets — the corpus-vs-corpus similarity shape a SemDeDup-style
     // curation step consumes (knn_lsh ranks for a small query set only).
@@ -1364,6 +1382,37 @@ object PipelineQueries {
          |SELECT qid, nid, CAST(rnk AS BIGINT) AS rnk FROM (
          |  SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rnk FROM s)
          |WHERE rnk <= 5""".stripMargin
+    },
+
+    // ann_recall: the knn_brute and knn_lsh replays side by side (shared
+    // planes/e CTEs), truncated to the same k, left-joined per (qid, nid).
+    "ann_recall" -> {
+      val pdot = s"list_sum([CAST(e.v[i] AS DOUBLE) * pl.p[i] for i in range(1, ${EmbDims + 1})])"
+      val bcos = cosSql("q.v", "x.v")
+      val lcos = cosSql("a.v", "b.v")
+      s"""WITH planes(t, b, p) AS (VALUES
+         |$planesValuesSql),
+         |e AS (SELECT vec_id, embedding AS v FROM embeddings),
+         |bs AS (SELECT q.vec_id AS qid, x.vec_id AS nid, $bcos AS sim
+         |  FROM e q, e x WHERE q.vec_id < 8 AND x.vec_id != q.vec_id),
+         |bt AS (SELECT qid, nid FROM (
+         |  SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rnk FROM bs)
+         |  WHERE rnk <= 5),
+         |buck AS (SELECT e.vec_id AS id, pl.t,
+         |  CAST(SUM(CASE WHEN $pdot >= 0 THEN (1 << pl.b) ELSE 0 END) AS INTEGER) AS bucket
+         |  FROM e, planes pl GROUP BY 1, 2),
+         |cand AS (SELECT q.id AS qid, x.id AS nid
+         |  FROM buck q JOIN buck x ON q.t = x.t AND q.bucket = x.bucket AND x.id != q.id
+         |  WHERE q.id < 8 GROUP BY 1, 2),
+         |ls AS (SELECT c.qid, c.nid, $lcos AS sim
+         |  FROM cand c JOIN e a ON a.vec_id = c.qid JOIN e b ON b.vec_id = c.nid),
+         |lt AS (SELECT qid, nid FROM (
+         |  SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rnk FROM ls)
+         |  WHERE rnk <= 5)
+         |SELECT bt.qid, CAST(COUNT(*) AS BIGINT) AS n_true,
+         |  CAST(SUM(CASE WHEN lt.nid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+         |FROM bt LEFT JOIN lt ON bt.qid = lt.qid AND bt.nid = lt.nid
+         |GROUP BY 1""".stripMargin
     },
 
     // knn_graph: the knn_lsh replay with NO query predicate — candidates
