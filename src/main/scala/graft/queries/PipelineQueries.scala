@@ -310,17 +310,47 @@ object PipelineQueries {
     // tuning tables × bits. Integer counts, engine-exact.
     "ann_recall" -> ((s, d) => {
       val e = embs(s, d)
-      val brute = graft.operators.VectorOps.knnBrute(
-        e, "vec_id", "embedding", col("vec_id") < 8, 5)
-      val lsh = graft.operators.VectorOps.knnLsh(
-        e, "vec_id", "embedding", col("vec_id") < 8, 5,
-        LshTables, LshBits, EmbDims)
-      brute.select(col("qid"), col("nid"))
-        .join(lsh.select(col("qid"), col("nid"), lit(1L).as("hit")),
-          Seq("qid", "nid"), "left")
-        .groupBy("qid")
-        .agg(count(lit(1)).as("n_true"),
-          sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      annRecall(
+        graft.operators.VectorOps.knnLsh(
+          e, "vec_id", "embedding", col("vec_id") < 8, 5,
+          LshTables, LshBits, EmbDims),
+        e)
+    }),
+
+    // Recall@5 of the TRAINED-quantizer IVF path — the number that gauges
+    // the probes-per-query trade (IvfProbes of KmCentHi-KmCentLo+1 cells).
+    "ann_recall_ivf" -> ((s, d) => {
+      val e = embs(s, d)
+      annRecall(
+        graft.operators.VectorOps.knnIvfKmeans(
+          e, "vec_id", "embedding", col("vec_id") < 8, 5,
+          col("vec_id").between(KmCentLo, KmCentHi), KmIters, IvfProbes, EmbDims),
+        e)
+    }),
+
+    // Recall@5 of the PQ/ADC path — gauges the m-subspace × codebook-size
+    // compression trade (quantization error is the only loss source: PQ
+    // scans ALL codes, so recall < 1 means ADC misranked, not missed).
+    "ann_recall_pq" -> ((s, d) => {
+      val e = embs(s, d)
+      annRecall(
+        graft.operators.VectorOps.knnPq(
+          e, "vec_id", "embedding", col("vec_id") < 8, 5,
+          col("vec_id").between(KmCentLo, KmCentHi), PqIters, PqM, EmbDims),
+        e)
+    }),
+
+    // Recall@5 of the composed IVF+PQ path — both loss sources at once
+    // (unprobed cells + ADC misranking), the number a FAISS-shaped
+    // deployment actually tunes against.
+    "ann_recall_ivfpq" -> ((s, d) => {
+      val e = embs(s, d)
+      annRecall(
+        graft.operators.VectorOps.knnIvfPq(
+          e, "vec_id", "embedding", col("vec_id") < 8, 5,
+          col("vec_id").between(KmCentLo, KmCentHi), KmIters, IvfProbes,
+          PqIters, PqM, EmbDims),
+        e)
     }),
 
     // k-NN GRAPH: top-3 neighbors for EVERY corpus vector via the LSH
@@ -672,6 +702,22 @@ object PipelineQueries {
   private val ProjDims  = 8
   private val SemMinCos = 0.35
 
+  /** Per-query recall@5 of an ANN `method` result (qid, nid, …) against
+    * the exact-cosine baseline over the same query set: n_true = baseline
+    * neighbors, n_hit = those the method also returned. Integer counts,
+    * engine-exact — shared by all four `ann_recall*` gates. Both sides are
+    * query-set-sized (8 × 5 rows), so the join is trivially broadcast. */
+  private def annRecall(method: DataFrame, e: DataFrame): DataFrame = {
+    val brute = graft.operators.VectorOps.knnBrute(
+      e, "vec_id", "embedding", col("vec_id") < 8, 5)
+    brute.select(col("qid"), col("nid"))
+      .join(method.select(col("qid"), col("nid"), lit(1L).as("hit")),
+        Seq("qid", "nid"), "left")
+      .groupBy("qid")
+      .agg(count(lit(1)).as("n_true"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+  }
+
   /** VALUES rows of the deterministic hyperplanes (table, bit, components)
     * — shared by every LSH-replaying oracle. */
   private def planesValuesSql: String =
@@ -832,6 +878,86 @@ object PipelineQueries {
     }.mkString(",\n")
     chains
   }
+
+  /** The knn_ivf_kmeans replay chain ending in the ranked CTE `r`
+    * (qid, nid, rnk by sim desc) — shared by the gate and ann_recall_ivf. */
+  private lazy val ivfKmeansRankedCtes: String = {
+    val cos = cosSql("a.v", "b.v")
+    s"""$kmeansCteSql,
+       |dists AS (SELECT q.id, c.cid, $kmDistSql AS d FROM q, c$KmIters c),
+       |cells AS (SELECT id, cid FROM (
+       |  SELECT id, cid, ROW_NUMBER() OVER (PARTITION BY id ORDER BY d, cid) AS rn
+       |  FROM dists) WHERE rn = 1),
+       |prob AS (SELECT id AS qid, cid FROM (
+       |  SELECT id, cid, ROW_NUMBER() OVER (PARTITION BY id ORDER BY d, cid) AS rn
+       |  FROM dists WHERE id < 8) WHERE rn <= $IvfProbes),
+       |ev AS (SELECT vec_id, embedding AS v FROM embeddings),
+       |cand AS (SELECT p.qid, cl.id AS nid FROM prob p JOIN cells cl USING (cid)
+       |  WHERE cl.id != p.qid),
+       |s AS (SELECT c.qid, c.nid, $cos AS sim
+       |  FROM cand c JOIN ev a ON a.vec_id = c.qid JOIN ev b ON b.vec_id = c.nid),
+       |r AS (SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rnk FROM s)""".stripMargin
+  }
+
+  /** The knn_pq replay chain ending in ranked CTE `r` (qid, nid, adc, rnk)
+    * — shared by the gate and ann_recall_pq. */
+  private lazy val pqRankedCtes: String = {
+    val parts = (0 until PqM).map(sp =>
+      s"SELECT cd.id AS nid, d.qid, d.dist FROM code$sp cd JOIN qd$sp d USING (cid)")
+      .mkString("\n  UNION ALL\n  ")
+    s"""$pqCteSql,
+       |parts AS (
+       |  $parts),
+       |adc AS (SELECT qid, nid, SUM(dist) AS adc FROM parts GROUP BY 1, 2),
+       |r AS (SELECT qid, nid, adc,
+       |  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc, nid) AS rnk
+       |  FROM adc WHERE nid != qid)""".stripMargin
+  }
+
+  /** The knn_ivfpq replay chain ending in ranked CTE `r` (qid, nid, adc,
+    * rnk) — shared by the gate and ann_recall_ivfpq. */
+  private lazy val ivfPqRankedCtes: String = {
+    val parts = (0 until PqM).map(sp =>
+      s"""SELECT c.qid, c.nid, d.dist FROM cand c
+         |    JOIN code$sp cd ON cd.id = c.nid
+         |    JOIN qd$sp d ON d.cid = cd.cid AND d.qid = c.qid""".stripMargin)
+      .mkString("\n  UNION ALL\n  ")
+    s"""$kmeansCteSql,
+       |$pqChainsCte,
+       |dists AS (SELECT q.id, c.cid, $kmDistSql AS d FROM q, c$KmIters c),
+       |cells AS (SELECT id, cid FROM (
+       |  SELECT id, cid, ROW_NUMBER() OVER (PARTITION BY id ORDER BY d, cid) AS rn
+       |  FROM dists) WHERE rn = 1),
+       |prob AS (SELECT id AS qid, cid FROM (
+       |  SELECT id, cid, ROW_NUMBER() OVER (PARTITION BY id ORDER BY d, cid) AS rn
+       |  FROM dists WHERE id < 8) WHERE rn <= $IvfProbes),
+       |cand AS (SELECT p.qid, cl.id AS nid FROM prob p JOIN cells cl USING (cid)
+       |  WHERE cl.id != p.qid),
+       |parts AS (
+       |  $parts),
+       |adc AS (SELECT qid, nid, SUM(dist) AS adc FROM parts GROUP BY 1, 2),
+       |r AS (SELECT qid, nid, adc, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc, nid) AS rnk FROM adc)""".stripMargin
+  }
+
+  /** Exact-cosine top-5 baseline CTEs (`bev`, `bs`, `bt`) — the knn_brute
+    * replay at k=5, namespaced to compose beside any method chain. Shared
+    * by the ann_recall_{ivf,pq,ivfpq} oracles. */
+  private lazy val bruteTopCtes: String = {
+    val cos = cosSql("q.v", "x.v")
+    s"""bev AS (SELECT vec_id, embedding AS v FROM embeddings),
+       |bs AS (SELECT q.vec_id AS qid, x.vec_id AS nid, $cos AS sim
+       |  FROM bev q, bev x WHERE q.vec_id < 8 AND x.vec_id != q.vec_id),
+       |bt AS (SELECT qid, nid FROM (
+       |  SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rnk FROM bs)
+       |  WHERE rnk <= 5)""".stripMargin
+  }
+
+  /** The recall aggregation over `bt` (baseline) and `mt` (method top-5). */
+  private val recallSelectSql: String =
+    """SELECT bt.qid, CAST(COUNT(*) AS BIGINT) AS n_true,
+      |  CAST(SUM(CASE WHEN mt.nid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+      |FROM bt LEFT JOIN mt ON bt.qid = mt.qid AND bt.nid = mt.nid
+      |GROUP BY 1""".stripMargin
 
   /** BPE oracle: `BpeSteps` unrolled training rounds. Per round r: pair
     * explode `p<r>` (positions 1..len−1), overlap-inclusive counts `cnt<r>`,
@@ -1503,72 +1629,46 @@ object PipelineQueries {
     // knn_pq: per-subspace training replay, corpus codes, query ADC
     // tables, then approximate distance = sum of per-subspace lookups
     // (one UNION ALL branch per subspace), ranked (adc asc, nid asc).
-    "knn_pq" -> {
-      val parts = (0 until PqM).map(sp =>
-        s"SELECT cd.id AS nid, d.qid, d.dist FROM code$sp cd JOIN qd$sp d USING (cid)")
-        .mkString("\n  UNION ALL\n  ")
-      s"""WITH $pqCteSql,
-         |parts AS (
-         |  $parts),
-         |adc AS (SELECT qid, nid, SUM(dist) AS adc FROM parts GROUP BY 1, 2),
-         |r AS (SELECT qid, nid, adc,
-         |  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc, nid) AS rnk
-         |  FROM adc WHERE nid != qid)
+    "knn_pq" ->
+      s"""WITH $pqRankedCtes
          |SELECT qid, nid, CAST(adc AS BIGINT) AS adc, CAST(rnk AS BIGINT) AS rnk
-         |FROM r WHERE rnk <= 5""".stripMargin
-    },
+         |FROM r WHERE rnk <= 5""".stripMargin,
 
-    "knn_ivf_kmeans" -> {
-      // Same training CTE chain as emb_kmeans, then: argmin cell per
-      // vector, top-`probes` cells per query (same integer distance, ties
-      // to lowest cid), candidates from probed cells, exact-cosine re-rank
-      // on the original float vectors.
-      val cos = cosSql("a.v", "b.v")
-      s"""WITH $kmeansCteSql,
-         |dists AS (SELECT q.id, c.cid, $kmDistSql AS d FROM q, c$KmIters c),
-         |cells AS (SELECT id, cid FROM (
-         |  SELECT id, cid, ROW_NUMBER() OVER (PARTITION BY id ORDER BY d, cid) AS rn
-         |  FROM dists) WHERE rn = 1),
-         |prob AS (SELECT id AS qid, cid FROM (
-         |  SELECT id, cid, ROW_NUMBER() OVER (PARTITION BY id ORDER BY d, cid) AS rn
-         |  FROM dists WHERE id < 8) WHERE rn <= $IvfProbes),
-         |ev AS (SELECT vec_id, embedding AS v FROM embeddings),
-         |cand AS (SELECT p.qid, cl.id AS nid FROM prob p JOIN cells cl USING (cid)
-         |  WHERE cl.id != p.qid),
-         |s AS (SELECT c.qid, c.nid, $cos AS sim
-         |  FROM cand c JOIN ev a ON a.vec_id = c.qid JOIN ev b ON b.vec_id = c.nid)
-         |SELECT qid, nid, CAST(rnk AS BIGINT) AS rnk FROM (
-         |  SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rnk FROM s)
-         |WHERE rnk <= 5""".stripMargin
-    },
+    // knn_ivf_kmeans: the emb_kmeans training chain, then argmin cell per
+    // vector, top-`probes` cells per query (same integer distance, ties to
+    // lowest cid), candidates from probed cells, exact-cosine re-rank.
+    "knn_ivf_kmeans" ->
+      s"""WITH $ivfKmeansRankedCtes
+         |SELECT qid, nid, CAST(rnk AS BIGINT) AS rnk FROM r WHERE rnk <= 5""".stripMargin,
 
     // knn_ivfpq: the coarse kmeans chain AND the PQ subspace chains side by
     // side (both consume `q`), then candidates restricted to probed cells
     // and ranked by summed ADC lookups on the candidates' codes.
-    "knn_ivfpq" -> {
-      val parts = (0 until PqM).map(sp =>
-        s"""SELECT c.qid, c.nid, d.dist FROM cand c
-           |    JOIN code$sp cd ON cd.id = c.nid
-           |    JOIN qd$sp d ON d.cid = cd.cid AND d.qid = c.qid""".stripMargin)
-        .mkString("\n  UNION ALL\n  ")
-      s"""WITH $kmeansCteSql,
-         |$pqChainsCte,
-         |dists AS (SELECT q.id, c.cid, $kmDistSql AS d FROM q, c$KmIters c),
-         |cells AS (SELECT id, cid FROM (
-         |  SELECT id, cid, ROW_NUMBER() OVER (PARTITION BY id ORDER BY d, cid) AS rn
-         |  FROM dists) WHERE rn = 1),
-         |prob AS (SELECT id AS qid, cid FROM (
-         |  SELECT id, cid, ROW_NUMBER() OVER (PARTITION BY id ORDER BY d, cid) AS rn
-         |  FROM dists WHERE id < 8) WHERE rn <= $IvfProbes),
-         |cand AS (SELECT p.qid, cl.id AS nid FROM prob p JOIN cells cl USING (cid)
-         |  WHERE cl.id != p.qid),
-         |parts AS (
-         |  $parts),
-         |adc AS (SELECT qid, nid, SUM(dist) AS adc FROM parts GROUP BY 1, 2)
-         |SELECT qid, nid, CAST(adc AS BIGINT) AS adc, CAST(rnk AS BIGINT) AS rnk FROM (
-         |  SELECT qid, nid, adc, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc, nid) AS rnk FROM adc)
-         |WHERE rnk <= 5""".stripMargin
-    },
+    "knn_ivfpq" ->
+      s"""WITH $ivfPqRankedCtes
+         |SELECT qid, nid, CAST(adc AS BIGINT) AS adc, CAST(rnk AS BIGINT) AS rnk
+         |FROM r WHERE rnk <= 5""".stripMargin,
+
+    // ann_recall_{ivf,pq,ivfpq}: each method's ranked replay beside the
+    // knn_brute@5 replay (namespaced bev/bs/bt CTEs), left-joined per
+    // (qid, nid) — the same shape as ann_recall's LSH comparison.
+    "ann_recall_ivf" ->
+      s"""WITH $ivfKmeansRankedCtes,
+         |mt AS (SELECT qid, nid FROM r WHERE rnk <= 5),
+         |$bruteTopCtes
+         |$recallSelectSql""".stripMargin,
+
+    "ann_recall_pq" ->
+      s"""WITH $pqRankedCtes,
+         |mt AS (SELECT qid, nid FROM r WHERE rnk <= 5),
+         |$bruteTopCtes
+         |$recallSelectSql""".stripMargin,
+
+    "ann_recall_ivfpq" ->
+      s"""WITH $ivfPqRankedCtes,
+         |mt AS (SELECT qid, nid FROM r WHERE rnk <= 5),
+         |$bruteTopCtes
+         |$recallSelectSql""".stripMargin,
 
     // semdedup: the emb_kmeans training replay, then cells as blocking
     // buckets — exact cosine within cells, recursive-CTE components (the
