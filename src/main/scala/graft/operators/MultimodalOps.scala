@@ -7,14 +7,17 @@ import org.apache.spark.sql.functions._
   * `binary` columns with typed metadata, per the large-scale curation
   * pattern (decode late, move bytes rarely).
   *
-  * The DECODE STEP IS A STUB — this environment has no image/audio codecs —
-  * implemented as deterministic arithmetic over the bytes so the whole
-  * pipeline stays testable and oracle-checkable. A production deployment
-  * swaps [[decodeStub]] for a real decoder over the very same binary column
-  * (an Arrow-batched `mapInPartitions`/Pandas-UDF stage with this exact
-  * output schema `struct<width:int, height:int, channels:int>`); every
-  * other operator here — the blob plumbing, frame slicing, metadata
-  * resize — is real and unchanged by that swap.
+  * The decode step is REAL for the one format whose decode is pure
+  * arithmetic: uncompressed BMP ([[decodeBmp]] parses the actual
+  * little-endian BITMAPINFOHEADER bytes; [[bmpBlob]] builds spec-valid
+  * 24bpp files so the parser is exercised against genuine payloads, and the
+  * oracle states ground-truth dimensions independently — a parse bug
+  * hash-mismatches). Compressed formats (JPEG/PNG/MP3/H.264) need codec
+  * libraries this environment does not ship; a production deployment adds
+  * them as an Arrow-batched `mapInPartitions` stage with the same
+  * `struct<width:int, height:int, channels:int>` output schema — every
+  * other operator here (blob plumbing, metadata resize, frame slicing,
+  * byte profiling) is format-agnostic and unchanged by that swap.
   */
 object MultimodalOps {
 
@@ -22,21 +25,76 @@ object MultimodalOps {
     * UTF-8 bytes stand in as the payload column. */
   def asBlob(text: Column): Column = encode(text, "UTF-8")
 
-  /** STUB image decode: fake-but-deterministic metadata derived from the
-    * payload (byte length + md5 characters), schema-identical to a real
-    * decoder's output. */
-  def decodeStub(bin: Column): Column = {
-    val h = md5(bin)
-    struct(
-      (lit(16) + pmod(length(bin), lit(512))).cast("int").as("width"),
-      (lit(16) + pmod(ascii(substring(h, 1, 1)) * 7 + ascii(substring(h, 2, 1)),
-        lit(512))).cast("int").as("height"),
-      lit(3).as("channels"))
+  /** Little-endian hex of the low `nBytes` bytes of a non-negative
+    * integral column — the BMP header's field encoding. */
+  private def leHex(v: Column, nBytes: Int): Column =
+    concat((0 until nBytes).map(i =>
+      lpad(hex(pmod(shiftright(v.cast("long"), 8 * i), lit(256))), 2, "0")): _*)
+
+  /** A spec-valid uncompressed 24bpp BMP (BITMAPFILEHEADER +
+    * BITMAPINFOHEADER, bottom-up row order): `width`×`height` pixels, pixel
+    * data from `payload` bytes truncated/zero-padded to the 4-byte-aligned
+    * image size. Pure column arithmetic — the fixture generator that lets
+    * [[decodeBmp]] be gated against real files without a codec library.
+    * Dimensions must be >= 1; payload rows are NOT aligned to pixel
+    * boundaries (the fill is an opaque byte stream, which is all a header
+    * parser cares about). */
+  def bmpBlob(width: Column, height: Column, payload: Column): Column = {
+    val w = width.cast("long")
+    val h = height.cast("long")
+    val rowSize = floor((w * 3 + lit(3)) / 4).cast("long") * 4
+    val imgSize = rowSize * h
+    val hdr = concat(
+      lit("424D"),                 // magic "BM"
+      leHex(imgSize + 54, 4),      // file size
+      lit("00000000"),             // reserved
+      lit("36000000"),             // pixel data offset = 54
+      lit("28000000"),             // BITMAPINFOHEADER size = 40
+      leHex(w, 4), leHex(h, 4),    // width, height (i32 LE)
+      lit("0100"),                 // planes = 1
+      lit("1800"),                 // bpp = 24
+      lit("00000000"),             // compression = BI_RGB
+      leHex(imgSize, 4),           // image size
+      lit("130B0000"),             // x ppm = 2835 (72 dpi)
+      lit("130B0000"),             // y ppm
+      lit("00000000"),             // palette colors = 0
+      lit("00000000"))             // important colors = 0
+    val pixLen = (imgSize * 2).cast("int")
+    val truncated = hex(payload).substr(lit(1), pixLen)
+    val pixHex = concat(truncated,
+      call_function("repeat", lit("0"), pixLen - length(truncated)))
+    unhex(concat(hdr, pixHex))
+  }
+
+  /** REAL image decode for uncompressed BMP: validates the "BM" magic and
+    * the BITMAPINFOHEADER marker, then parses width / height / channels out
+    * of the little-endian header bytes (plain arithmetic over `hex(bin)` —
+    * no codec). Returns `struct<width:int, height:int, channels:int>`, or
+    * NULL for anything that is not a BMP (the corrupt-payload /
+    * wrong-modality guard a curation filter keys on). A negative stored
+    * height (top-down row order) decodes to its magnitude — row order is a
+    * layout detail, not a dimension. */
+  def decodeBmp(bin: Column): Column = {
+    val hx = hex(bin)
+    def byteAt(off: Int) = hx.substr(lit(off * 2 + 1), lit(2)) // off 0-based
+    def leU(off: Int, n: Int): Column =
+      conv(concat((0 until n).reverse.map(i => byteAt(off + i)): _*), 16, 10)
+        .cast("long")
+    def leI32(off: Int): Column = {
+      val u = leU(off, 4)
+      when(u > 2147483647L, u - 4294967296L).otherwise(u)
+    }
+    val ok = length(bin) >= 54 && hx.substr(1, 4) === "424D" &&
+      leU(14, 4) === 40
+    when(ok, struct(
+      leI32(18).cast("int").as("width"),
+      abs(leI32(22)).cast("int").as("height"),
+      (leU(28, 2) / 8).cast("int").as("channels")))
   }
 
   /** Aspect-preserving fit of decoded metadata into a boxW×boxH bounding
     * box, integer milli-scale arithmetic (no floats → exact oracles). */
-  def resizeStub(meta: Column, boxW: Int, boxH: Int): Column = {
+  def resizeFit(meta: Column, boxW: Int, boxH: Int): Column = {
     // floor() before every narrowing cast: Spark truncates double→long but
     // DuckDB rounds, so the oracle-safe form is an explicit floor.
     val w = meta("width").cast("long")
@@ -48,23 +106,35 @@ object MultimodalOps {
       meta("channels").as("channels"))
   }
 
-  /** FEATURE EXTRACTION (real, not a stub — no codec needed): the 8-bin
-    * byte-value histogram of the payload, the standard modality-agnostic
-    * cheap feature for corrupt-payload / wrong-modality detection (text
-    * concentrates in bins 1–3, compressed media is near-uniform). Bin =
-    * byte >> 5, i.e. the HIGH hex nibble halved — so the histogram reads
-    * off `hex(bin)`'s odd positions without any per-byte decode. Pure
-    * column expressions, zero shuffle. Returns array<long> of 8 counts. */
+  /** FEATURE EXTRACTION (real, codec-free): the 8-bin byte-value histogram
+    * of the payload, the standard modality-agnostic cheap feature for
+    * corrupt-payload / wrong-modality detection (text concentrates in bins
+    * 1–3, compressed media is near-uniform). Bin = byte >> 5, read off the
+    * HIGH hex nibble at `hex(bin)`'s odd positions.
+    *
+    * Cost shape: the payload is hex-decoded ONCE per row — `split`'s child
+    * is an ordinary argument (evaluated once), and the counting runs as a
+    * single `aggregate` fold over that array with an 8-slot accumulator.
+    * (The previous shape fanned out 8 independent `size(filter(...))`
+    * expressions, each re-expanding the hex/transform subtree.) Callers
+    * that fan the result out per-bin should project it to a named column
+    * first — an 8-reference non-cheap projection is kept materialized by
+    * CollapseProject, so the fold also runs once. Returns array<long> of
+    * 8 counts. */
   def byteProfile(bin: Column): Column = {
-    val hx = hex(bin)
-    // High nibble of byte i sits at 1-based hex position 2i−1.
-    val highs = transform(sequence(lit(1), length(bin)),
-      i => hx.substr(i * 2 - 1, lit(1)))
-    val digits = "0123456789ABCDEF"
-    array((0 until 8).map { b =>
-      val (d1, d2) = (digits(2 * b).toString, digits(2 * b + 1).toString)
-      size(filter(highs, c => c === d1 || c === d2)).cast("long")
-    }: _*)
+    // split(hex, "") yields one element per hex char plus a trailing "";
+    // high nibble of byte i sits at even 0-based index 2i. Non-high or
+    // empty elements map to -1 and are dropped before the fold.
+    val bins = filter(
+      transform(split(hex(bin), ""), (c, i) => {
+        val d = ascii(c)
+        when(i % 2 === 0 && c =!= "",
+          ((when(d <= 57, d - 48).otherwise(d - 55)) / 2).cast("int"))
+          .otherwise(lit(-1))
+      }),
+      b => b >= 0)
+    aggregate(bins, array_repeat(lit(0L), 8),
+      (acc, b) => transform(acc, (v, j) => when(j === b, v + 1L).otherwise(v)))
   }
 
   /** Frame sampling: cut the payload into frames of `frameLen` bytes every

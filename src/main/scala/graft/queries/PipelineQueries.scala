@@ -613,18 +613,30 @@ object PipelineQueries {
     "wire_parse" -> (wireParse _),
 
     // ---------------------------------------------------------- multimodal
-    // Binary-column pipeline with the decode step stubbed (deterministic
-    // fake metadata — see MultimodalOps scaladoc); blob plumbing, metadata
-    // resize, and frame slicing are real.
+    // REAL binary decode, no codec: every doc becomes a spec-valid 24bpp
+    // BMP (dimensions a pure function of doc_id, pixel bytes from the
+    // text), and decodeBmp must recover the dimensions by parsing the
+    // actual little-endian header. The oracle states the ground-truth
+    // dimensions WITHOUT parsing — any header-layout or endianness bug in
+    // either builder or parser hash-mismatches. `bad` pins the non-BMP
+    // rejection path (truncated magic-only payload → NULL).
     "mm_decode" -> ((s, d) => {
       import graft.operators.MultimodalOps._
       docs(s, d)
-        .select(col("source"), decodeStub(asBlob(col("text"))).as("m"))
-        .select(col("source"), resizeStub(col("m"), 224, 224).as("r"), col("m"))
+        .select(col("source"),
+          decodeBmp(bmpBlob(
+            lit(1) + pmod(col("doc_id"), lit(24)),
+            lit(1) + pmod(col("doc_id") * 7, lit(24)),
+            asBlob(col("text")))).as("m"),
+          decodeBmp(unhex(lit("424D3A000000"))).as("bad"))
+        .select(col("source"), col("m"), col("bad"),
+          resizeFit(col("m"), 224, 224).as("r"))
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"),
           sum(col("m.width")).as("sum_w"), sum(col("m.height")).as("sum_h"),
-          sum(col("r.width")).as("sum_rw"), sum(col("r.height")).as("sum_rh"))
+          sum(col("m.channels")).as("sum_c"),
+          sum(col("r.width")).as("sum_rw"), sum(col("r.height")).as("sum_rh"),
+          count(col("bad")).as("n_false_decode"))
     }),
 
     "mm_frames" -> ((s, d) => {
@@ -646,11 +658,15 @@ object PipelineQueries {
     // signal. One scan, zero shuffle before the group sums.
     "mm_profile" -> ((s, d) => {
       import graft.operators.MultimodalOps._
-      val prof = byteProfile(asBlob(col("text")))
       val aggs = (0 until 8).map(b => sum(s"f$b").as(s"f$b"))
+      // `prof` projected to a named column BEFORE the per-bin fanout: 8
+      // references to a non-cheap projection stay materialized
+      // (CollapseProject keeps the boundary), so the histogram fold runs
+      // once per row, not once per element_at.
       docs(s, d)
+        .select(col("source"), byteProfile(asBlob(col("text"))).as("prof"))
         .select(col("source") +:
-          (0 until 8).map(b => element_at(prof, b + 1).as(s"f$b")): _*)
+          (0 until 8).map(b => element_at(col("prof"), b + 1).as(s"f$b")): _*)
         .groupBy("source")
         .agg(aggs.head, aggs.tail: _*)
     })
@@ -1317,16 +1333,20 @@ object PipelineQueries {
         |CAST(COUNT(*) AS BIGINT) AS dup_cnt
         |FROM documents GROUP BY 1""".stripMargin,
 
+    // mm_decode: GROUND-TRUTH dimensions straight from doc_id — the oracle
+    // never builds or parses a BMP, so the Spark side's build→parse round
+    // trip through real header bytes is what's being checked.
     "mm_decode" ->
-      """WITH b AS (SELECT source, octet_length(encode(text)) AS bl, md5(text) AS h FROM documents),
-        |m AS (SELECT source, 16 + (bl % 512) AS w,
-        |  16 + ((ascii(substr(h,1,1))*7 + ascii(substr(h,2,1))) % 512) AS hh FROM b),
+      """WITH m AS (SELECT source, 1 + (doc_id % 24) AS w,
+        |  1 + ((doc_id * 7) % 24) AS hh FROM documents),
         |r AS (SELECT source, w, hh,
         |  LEAST(FLOOR(224000 / w), FLOOR(224000 / hh)) AS sc FROM m)
         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
         |  CAST(SUM(w) AS BIGINT) AS sum_w, CAST(SUM(hh) AS BIGINT) AS sum_h,
+        |  CAST(SUM(3) AS BIGINT) AS sum_c,
         |  CAST(SUM(GREATEST(1, FLOOR(w * sc / 1000))) AS BIGINT) AS sum_rw,
-        |  CAST(SUM(GREATEST(1, FLOOR(hh * sc / 1000))) AS BIGINT) AS sum_rh
+        |  CAST(SUM(GREATEST(1, FLOOR(hh * sc / 1000))) AS BIGINT) AS sum_rh,
+        |  CAST(0 AS BIGINT) AS n_false_decode
         |FROM r GROUP BY source""".stripMargin,
 
     "mm_frames" ->
