@@ -1,7 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** Distributed BPE (byte-pair-encoding) merge-table training — the
@@ -16,127 +15,161 @@ import org.apache.spark.sql.functions._
   *     the reference implementation's counting;
   *   - the winning pair is (count desc, left asc, right asc);
   *   - application is greedy left-to-right NON-overlapping ("aaa" merges to
-  *     ("aa", "a")). Sequential-looking, but relational: occurrences of the
-  *     winning pair at consecutive positions form runs, and greedy keeps
-  *     exactly the odd-indexed occurrence within each run — a window
-  *     parity, not a fold. (For left ≠ right, occurrence positions are
-  *     always ≥ 2 apart and every run is a singleton.)
+  *     ("aa", "a")).
   *
-  * Scale shape: the corpus is scanned ONCE (the word-frequency groupBy,
-  * map-side combined); every training round then works on the DISTINCT-WORD
-  * table — vocabulary-sized, ≪ corpus — with per-word windows (partitions
-  * bounded by word length) and a symbol-pair-vocabulary-sized count
-  * aggregate. Each round collects exactly one row (the winning pair) —
-  * model-sized driver state, the [[VectorOps.kmeansAssign]] contract — and
-  * re-roots the word table at an eager localCheckpoint (see the loop
-  * comment; all checkpoints are released before returning).
+  * Scale shape — the production trainer split (sample-train / distributed-
+  * apply), not a per-merge job loop: the corpus is scanned ONCE into the
+  * distinct-word frequency table (map-side combined); TRAINING runs on the
+  * driver over a bounded deterministic sample of that table — the
+  * `sampleCap` most frequent words (freq desc, word asc) — with
+  * incrementally-maintained pair counts, so a 32k–100k-merge vocabulary is
+  * one in-memory loop instead of 32k+ sequential Spark jobs; APPLICATION of
+  * the whole trained table is then ONE distributed pass over the
+  * vocabulary-sized word table (every merge applied per word in rank
+  * order). Driver state is bounded by `sampleCap` × word length, the same
+  * model-sized-state contract as [[VectorOps.kmeansAssign]]'s centroids.
+  *
+  * The sample-size/quality trade: words below the frequency cutoff
+  * contribute no pair counts, so very-low-frequency tail pairs can merge in
+  * a different order than a full-table trainer would pick — the standard
+  * trade every production BPE trainer makes (training on a frequency-capped
+  * word table or a corpus sample). With `sampleCap` ≥ the distinct-word
+  * count the sample IS the full table and training is exact — the gates run
+  * in that regime, so the SQL oracle (which replays full-table training)
+  * stays hash-green.
   *
   * Output: (step 1..merges, left, right, cnt) — the merge table itself
   * (driver-small by construction). Training stops early if no pair is left.
   */
 object BpeOps {
 
-  /** Characters of `w` as an array column (1-based substr — no regex-split
-    * zero-width-match edge cases to replay cross-engine). */
-  private def chars(w: org.apache.spark.sql.Column) =
-    transform(sequence(lit(1), length(w)), i => w.substr(i, lit(1)))
+  /** Default bound on the driver-side training sample: 2^20 distinct words
+    * (tens of MB of driver state at realistic word lengths). */
+  val DefaultSampleCap: Int = 1 << 20
 
-  /** (w, freq, pos, sym) symbol explode of the word table. */
-  private def exploded(words: DataFrame): DataFrame =
-    words.select(col("w"), col("freq"),
-      posexplode(col("syms")).as(Seq("pos", "sym")))
-
-  /** Adjacent-pair counts over the current symbol table: (left, right, cnt),
-    * overlapping occurrences counted, weighted by word frequency. */
-  private def pairCounts(words: DataFrame): DataFrame =
-    exploded(words)
-      .withColumn("nxt",
-        lead("sym", 1).over(Window.partitionBy("w").orderBy("pos")))
-      .filter(col("nxt").isNotNull)
-      .groupBy(col("sym").as("left"), col("nxt").as("right"))
-      .agg(sum("freq").as("cnt"))
-
-  /** One greedy non-overlapping merge of (`a`,`b`) in every word: runs of
-    * consecutive occurrences keep odd positions only (window parity), kept
-    * starts take the merged symbol, their successors drop out. */
-  private def applyMerge(words: DataFrame, a: String, b: String): DataFrame = {
-    val wn = Window.partitionBy("w").orderBy("pos")
-    val ex = exploded(words)
-    val occ = ex
-      .withColumn("nxt", lead("sym", 1).over(wn))
-      .filter(col("sym") === a && col("nxt") === b)
-      .withColumn("rn", row_number().over(wn))
-      .withColumn("rn2", row_number().over(
-        Window.partitionBy(col("w"), col("pos") - col("rn")).orderBy("pos")))
-      .filter(col("rn2") % 2 === 1)
-      .select(col("w"), col("pos"))
-    ex
-      .join(occ.withColumn("st", lit(true)), Seq("w", "pos"), "left")
-      .join(occ.select(col("w"), (col("pos") + 1).as("pos"), lit(true).as("dr")),
-        Seq("w", "pos"), "left")
-      .filter(col("dr").isNull)
-      .select(col("w"), col("freq"),
-        struct(col("pos"),
-          when(col("st"), lit(a + b)).otherwise(col("sym")).as("sym")).as("ps"))
-      .groupBy("w", "freq")
-      .agg(transform(array_sort(collect_list(col("ps"))),
-        x => x.getField("sym")).as("syms"))
+  /** Code-point symbols of a word (matches SQL `substr`'s code-point — not
+    * UTF-16 code-unit — character semantics, so oracles replay exactly). */
+  private[operators] def codePointSyms(w: String): Array[String] = {
+    val out = Array.newBuilder[String]
+    var i = 0
+    while (i < w.length) {
+      val cp = w.codePointAt(i)
+      out += new String(Character.toChars(cp))
+      i += Character.charCount(cp)
+    }
+    out.result()
   }
 
-  /** The shared training loop: learned merge list + the final word table
-    * (an eager localCheckpoint) + its backing RDD (caller releases — or
-    * registers with [[graft.core.Caches]] if the returned plan consumes it). */
-  private def train(docs: DataFrame, merges: Int)
-      : (Seq[(Long, String, String, Long)], DataFrame, Option[org.apache.spark.rdd.RDD[_]]) = {
-    require(merges >= 1 && merges <= 64,
-      s"merges must be in 1..64 (each round is a distributed job): $merges")
-    // Each round's word table is an EAGER localCheckpoint: [[applyMerge]]
-    // self-joins its input, so Spark's self-join de-duplication clones the
-    // upstream subtree ~3× per round — a plain persist leaves the LOGICAL
-    // plan growing 3^rounds and analysis exhausts the heap long before any
-    // data does (the [[DedupOps.nearDupClusters]] hazard). The checkpoint
-    // re-roots each round at a constant-size tree; superseded rounds are
-    // freed in-loop, the last one before returning (the result is
-    // driver-local, so nothing downstream reads it).
-    def ckptRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
-      df.queryExecution.analyzed.collectFirst {
-        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
-      }
-    // length > 0 guard: Spark's sequence(1, 0) counts DOWN (yielding two
-    // phantom empty symbols for an empty token), so empty tokens are
-    // excluded explicitly — they carry no pairs anyway.
-    var words = docs.select(explode(TextOps.tokens(col("text"))).as("w"))
-      .filter(length(col("w")) > 0)
-      .groupBy("w").agg(count(lit(1)).as("freq"))
-      .select(col("w"), col("freq"), chars(col("w")).as("syms"))
-      .localCheckpoint()
-    var wordsRdd = ckptRdd(words)
-    val learned = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
-    var exhausted = false
-    for (step <- 1 to merges if !exhausted) {
-      val top = pairCounts(words)
-        .orderBy(col("cnt").desc, col("left"), col("right"))
-        .limit(1).collect()
-      if (top.isEmpty) exhausted = true
-      else {
-        val (a, b, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
-        learned += ((step.toLong, a, b, c))
-        val next = applyMerge(words, a, b).localCheckpoint()
-        wordsRdd.foreach(_.unpersist(blocking = false)) // superseded round
-        words = next
-        wordsRdd = ckptRdd(next)
+  /** One greedy left-to-right non-overlapping application of (`a`,`b`). */
+  private def mergeOnce(syms: Array[String], a: String, b: String): Array[String] = {
+    val out = Array.newBuilder[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+        out += (a + b); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.result()
+  }
+
+  /** Greedy application of the whole trained table to one word, merge by
+    * merge in rank order — the distributed single-pass apply. */
+  private[operators] def segmentWord(w: String, table: Seq[(String, String)]): Array[String] = {
+    var syms = codePointSyms(w)
+    table.foreach { case (a, b) =>
+      if (syms.length >= 2) syms = mergeOnce(syms, a, b)
+    }
+    syms
+  }
+
+  /** In-memory exact trainer over a (syms, freq) word table: the same
+    * counting/tie-break/application semantics as the relational loop it
+    * replaces, with pair counts maintained INCREMENTALLY (only words
+    * containing the winning pair are re-processed per round — the standard
+    * efficient-BPE-trainer shape, O(affected words) per merge instead of
+    * O(table)). */
+  private[operators] def trainInMemory(words0: Array[(Array[String], Long)],
+                                       merges: Int): Seq[(Long, String, String, Long)] = {
+    val syms = words0.map(_._1)
+    val freq = words0.map(_._2)
+    val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+    val index = scala.collection.mutable.HashMap
+      .empty[(String, String), scala.collection.mutable.ArrayBuffer[Int]]
+    def count(wi: Int, sign: Long): Unit = {
+      val s = syms(wi); val f = freq(wi) * sign
+      var i = 0
+      while (i + 1 < s.length) {
+        val p = (s(i), s(i + 1))
+        val c = counts.getOrElse(p, 0L) + f
+        if (c == 0L) counts.remove(p) else counts(p) = c
+        if (sign > 0L) index.getOrElseUpdate(
+          p, scala.collection.mutable.ArrayBuffer.empty) += wi
+        i += 1
       }
     }
-    (learned.toSeq, words, wordsRdd)
+    syms.indices.foreach(count(_, 1L))
+    val learned = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var step = 1
+    while (step <= merges && counts.nonEmpty) {
+      // HashMap iteration order doesn't matter: (cnt desc, left, right) is
+      // a strict total order over distinct pair keys.
+      val ((a, b), c) = counts.minBy { case ((l, r), n) => (-n, l, r) }
+      learned += ((step.toLong, a, b, c))
+      // Index entries go stale after unrelated merges rewrite a word; the
+      // remove/re-add pair makes reprocessing a stale word a no-op.
+      index.remove((a, b)).foreach(_.distinct.foreach { wi =>
+        count(wi, -1L)
+        syms(wi) = mergeOnce(syms(wi), a, b)
+        count(wi, 1L)
+      })
+      step += 1
+    }
+    learned.toSeq
+  }
+
+  /** The shared trainer: corpus → word-frequency table (one scan), bounded
+    * deterministic sample → driver training, trained table → one
+    * distributed apply pass. Returns the merge list and the segmented
+    * full word table (w, freq, syms) — a plain recomputable plan, no
+    * checkpoint lifecycle for callers to manage. */
+  private def train(docs: DataFrame, merges: Int, sampleCap: Int)
+      : (Seq[(Long, String, String, Long)], DataFrame) = {
+    require(merges >= 1 && merges <= (1 << 17),
+      s"merges must be in 1..131072: $merges")
+    require(sampleCap >= 1, s"sampleCap must be positive: $sampleCap")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // length > 0 guard: empty tokens (double spaces) carry no pairs and
+    // would otherwise pollute the word table.
+    val wordFreq = docs.select(explode(TextOps.tokens(col("text"))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+    // Bounded deterministic training sample: the most frequent `sampleCap`
+    // words (freq desc, w asc) — a TakeOrdered (per-partition top-N +
+    // driver merge), never a full sort/collect.
+    val sample: Array[(String, Long)] = wordFreq
+      .orderBy(col("freq").desc, col("w"))
+      .limit(sampleCap)
+      .as[(String, Long)].collect()
+    val learned = trainInMemory(
+      sample.map { case (w, f) => (codePointSyms(w), f) }, merges)
+    val table = learned.map { case (_, a, b, _) => (a, b) }
+    // Distributed apply: the trained table rides the closure (merge tables
+    // are KBs–MBs), each word segmented once — a typed map over the
+    // vocabulary-sized table, the one genuinely imperative per-row step.
+    val segmented: Dataset[(String, Long, Seq[String])] = wordFreq
+      .as[(String, Long)]
+      .map { case (w, f) => (w, f, segmentWord(w, table).toSeq) }
+    (learned, segmented.toDF("w", "freq", "syms"))
   }
 
   /** Train `merges` BPE merges over the whitespace tokens of `text` and
     * return the merge table: (step, lhs, rhs, cnt). */
-  def bpeMerges(docs: DataFrame, merges: Int): DataFrame = {
+  def bpeMerges(docs: DataFrame, merges: Int,
+                sampleCap: Int = DefaultSampleCap): DataFrame = {
     val spark = docs.sparkSession
-    val (learned, _, wordsRdd) = train(docs, merges)
-    wordsRdd.foreach(_.unpersist(blocking = false)) // result is driver-local
     import spark.implicits._
+    val (learned, _) = train(docs, merges, sampleCap)
     learned.toDF("step", "lhs", "rhs", "cnt")
   }
 
@@ -144,15 +177,12 @@ object BpeOps {
     * subword symbol the segmented corpus uses, with its total occurrence
     * count (word frequency × occurrences in the word) — the inference-side
     * surface of [[bpeMerges]] (symbol table sizing, coverage checks).
-    * Output: (subword, cnt). The returned plan reads the final training
-    * checkpoint, registered with [[graft.core.Caches]] — consume, then
-    * release. */
-  def bpeVocab(docs: DataFrame, merges: Int): DataFrame = {
-    val (_, words, wordsRdd) = train(docs, merges)
-    wordsRdd.foreach(graft.core.Caches.trackRdd)
-    exploded(words)
-      .groupBy(col("sym").as("subword"))
-      .agg(sum("freq").as("cnt"))
+    * Output: (subword, cnt). */
+  def bpeVocab(docs: DataFrame, merges: Int,
+               sampleCap: Int = DefaultSampleCap): DataFrame = {
+    val (_, words) = train(docs, merges, sampleCap)
+    words.select(col("freq"), explode(col("syms")).as("subword"))
+      .groupBy("subword").agg(sum("freq").as("cnt"))
   }
 
   /** Per-document TOKEN COUNT under the trained tokenizer — the budget
@@ -161,11 +191,10 @@ object BpeOps {
     * `merges` merges, then each document's count is the sum of its words'
     * segmented lengths. One corpus re-scan joined to the vocabulary-sized
     * word table (AQE broadcasts it), one map-side-combined sum. Output:
-    * (doc_id, n_subtokens). Reads the training checkpoint — consume, then
-    * release [[graft.core.Caches]]. */
-  def bpeDocTokens(docs: DataFrame, idCol: String, merges: Int): DataFrame = {
-    val (_, words, wordsRdd) = train(docs, merges)
-    wordsRdd.foreach(graft.core.Caches.trackRdd)
+    * (doc_id, n_subtokens). */
+  def bpeDocTokens(docs: DataFrame, idCol: String, merges: Int,
+                   sampleCap: Int = DefaultSampleCap): DataFrame = {
+    val (_, words) = train(docs, merges, sampleCap)
     docs.select(col(idCol).as("doc_id"),
         explode(TextOps.tokens(col("text"))).as("w"))
       .filter(length(col("w")) > 0)

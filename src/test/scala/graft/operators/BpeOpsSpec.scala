@@ -124,6 +124,26 @@ class BpeOpsSpec extends AnyFunSuite {
     assert(got == expect, s"got $got expect $expect")
   }
 
+  test("sampleCap bounds the training table: tail words stop contributing") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // "zz" appears 5x (top word), "qq" 3x, "ab" once. With the full table
+    // (z,z) wins round 1 and (q,q) round 2; capped to the single most
+    // frequent word, only zz's pairs exist and training exhausts after it.
+    val texts = Seq("zz zz zz zz zz qq qq qq ab")
+    val full = BpeOps.bpeMerges(texts.toDF("text"), 3)
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(full.take(2) == Seq(("z", "z"), ("q", "q")))
+    val capped = BpeOps.bpeMerges(texts.toDF("text"), 3, sampleCap = 1)
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(capped == Seq(("z", "z")))
+    // Application is still corpus-wide: the vocabulary segments EVERY word
+    // (qq/ab stay character-split under the capped table).
+    val vocab = BpeOps.bpeVocab(texts.toDF("text"), 3, sampleCap = 1)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(vocab == Map("zz" -> 5L, "q" -> 6L, "a" -> 1L, "b" -> 1L))
+  }
+
   test("bpeMerges stops early when no pairs remain") {
     val spark = TestSpark.spark
     import spark.implicits._
