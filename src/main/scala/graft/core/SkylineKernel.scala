@@ -6,12 +6,22 @@ import scala.collection.mutable.ArrayBuffer
   *
   * Two algorithms:
   *
-  *   - [[skylineOf]] — sort-filter-skyline (SFS, Chomicki et al., ICDE'03):
-  *     sort by coordinate sum ascending, then a single forward pass. Because
-  *     domination implies a strictly smaller coordinate sum, a candidate can
-  *     only be dominated by an already-accepted point, so accepted points are
-  *     never evicted. O(n log n + n·s·d) with s = skyline size. Used for
-  *     batch compaction inside the aggregation buffer.
+  *   - [[skylineCounted]] / [[skylineOf]] — sort-filter-skyline (SFS,
+  *     Chomicki et al., ICDE'03): sort by coordinate sum ascending, then a
+  *     single forward pass. Because domination implies a STRICTLY smaller
+  *     coordinate sum, a candidate can only be dominated by an
+  *     already-accepted point with a smaller sum, so (a) accepted points
+  *     are never evicted and (b) the dominance scan stops at the first
+  *     accepted point whose sum reaches the candidate's (equal-sum points
+  *     never dominate each other). Duplicates are collapsed to
+  *     (point, multiplicity) pairs — equal points sort adjacent under the
+  *     (sum, lexicographic) order, so the merge is free — which is what
+  *     keeps the kernel LINEAR-ish on duplicate-heavy inputs: the
+  *     reference's anti-correlated integer workload puts a large fraction
+  *     of rows ON the frontier as exact copies, and a multiset buffer made
+  *     every copy a full BNL scan (quadratic in input, observed as a
+  *     half-hour single task at 1M×2D); the counted buffer is quadratic
+  *     only in DISTINCT frontier points, which the integer domain bounds.
   *
   *   - [[insert]] — incremental block-nested-loop (BNL) insert, the
   *     reference's streaming-state update (reference:
@@ -25,27 +35,76 @@ import scala.collection.mutable.ArrayBuffer
   */
 object SkylineKernel {
 
-  /** Exact skyline of a batch of points via SFS. Output order is
-    * sum-ascending (callers that care about order must sort themselves; the
-    * skyline is a multiset).
-    */
-  def skylineOf(points: ArrayBuffer[Array[Double]]): ArrayBuffer[Array[Double]] = {
-    if (points.length <= 1) return points.clone()
-    val sorted = points.sortBy(Dominance.coordSum)
-    val acc = new ArrayBuffer[Array[Double]](math.min(64, sorted.length))
+  /** SFS over a counted multiset: `counts(i)` copies of `points(i)`.
+    * Returns the skyline in the same counted form, sum-ascending with
+    * equal points merged. The workhorse behind [[SkyBuffer]]. */
+  def skylineCounted(points: ArrayBuffer[Array[Double]], counts: ArrayBuffer[Long])
+      : (ArrayBuffer[Array[Double]], ArrayBuffer[Long]) = {
+    val n = points.length
+    if (n == 0) return (points.clone(), counts.clone())
+    val sums = new Array[Double](n)
     var i = 0
-    while (i < sorted.length) {
-      val p = sorted(i)
-      var dominated = false
-      var j = 0
-      while (j < acc.length && !dominated) {
-        if (Dominance.dominates(acc(j), p)) dominated = true
-        j += 1
+    while (i < n) { sums(i) = Dominance.coordSum(points(i)); i += 1 }
+    // (sum asc, coords lexicographic) — equal points become adjacent.
+    val order = points.indices.toArray.sortWith { (a, b) =>
+      if (sums(a) != sums(b)) sums(a) < sums(b)
+      else {
+        val pa = points(a); val pb = points(b)
+        var k = 0
+        while (k < pa.length && pa(k) == pb(k)) k += 1
+        k < pa.length && pa(k) < pb(k)
       }
-      if (!dominated) acc += p
+    }
+    val accP = new ArrayBuffer[Array[Double]](math.min(64, n))
+    val accC = new ArrayBuffer[Long](math.min(64, n))
+    val accS = new ArrayBuffer[Double](math.min(64, n))
+    var s = 0
+    while (s < order.length) {
+      val id = order(s)
+      val p = points(id)
+      val ps = sums(id)
+      // Copies of the last SURVIVOR merge without a scan (adjacency);
+      // copies of a dominated point fail this check and get re-scanned —
+      // each distinct dominated point still costs only one scan group.
+      if (accP.nonEmpty && accS(accP.length - 1) == ps &&
+          java.util.Arrays.equals(accP(accP.length - 1), p)) {
+        accC(accC.length - 1) += counts(id)
+      } else {
+        var dominated = false
+        var j = 0
+        // Dominators have strictly smaller sums: stop at the first
+        // accepted sum >= ps (accS is ascending).
+        while (j < accP.length && accS(j) < ps && !dominated) {
+          if (Dominance.dominates(accP(j), p)) dominated = true
+          j += 1
+        }
+        if (!dominated) { accP += p; accC += counts(id); accS += ps }
+      }
+      s += 1
+    }
+    (accP, accC)
+  }
+
+  /** Re-expand a counted skyline to its flat multiset form. */
+  def expand(points: ArrayBuffer[Array[Double]], counts: ArrayBuffer[Long])
+      : ArrayBuffer[Array[Double]] = {
+    val out = new ArrayBuffer[Array[Double]](points.length)
+    var i = 0
+    while (i < points.length) {
+      var c = counts(i)
+      while (c > 0) { out += points(i); c -= 1 }
       i += 1
     }
-    acc
+    out
+  }
+
+  /** Exact skyline of a batch of points via SFS, duplicates retained.
+    * Output order is sum-ascending (callers that care about order must
+    * sort themselves; the skyline is a multiset). */
+  def skylineOf(points: ArrayBuffer[Array[Double]]): ArrayBuffer[Array[Double]] = {
+    if (points.length <= 1) return points.clone()
+    val (p, c) = skylineCounted(points, ArrayBuffer.fill(points.length)(1L))
+    expand(p, c)
   }
 
   /** Incremental BNL insert of `p` into skyline `buf` (mutated in place).
@@ -81,47 +140,60 @@ object SkylineKernel {
 
 /** Mutable aggregation buffer for the skyline aggregate function.
   *
-  * Accumulates raw points and compacts to the running skyline once the
-  * buffer doubles past the last compaction result (amortized O(log) compaction
-  * passes, each SFS). This keeps per-row `reduce` cost at an append while
-  * bounding memory at O(2·s + threshold).
+  * Holds a COUNTED multiset — (point, multiplicity) pairs — and compacts to
+  * the running skyline once the entry count doubles past the last
+  * compaction result (amortized O(log) compaction passes, each SFS). This
+  * keeps per-row `reduce` cost at an append, bounds memory at
+  * O(2·s_distinct + threshold) entries, and makes duplicate-heavy inputs
+  * (the anti-correlated integer worst case) cost one entry per DISTINCT
+  * point instead of one per row. [[result]] re-expands multiplicities, so
+  * the aggregate's output multiset — duplicates of frontier points all
+  * present — is unchanged by the representation.
   *
-  * Serialized by Kryo only at the partial→final shuffle boundary (Spark keeps
-  * aggregation buffers as live objects within a partition). The Aggregator
-  * API has no pre-serialization hook, so the shuffled payload is bounded by
-  * `compactAt` (≈ 2·s + [[SkyBuffer.MinCompact]] points), not exactly the
-  * local skyline; `merge` re-runs SFS either way, mirroring the reference's
-  * MR local-phase output (`FlinkSkyline.java:396-403`).
+  * Serialized by Kryo only at the partial→final shuffle boundary (Spark
+  * keeps aggregation buffers as live objects within a partition). The
+  * shuffled payload is bounded by `compactAt` entries (≈ 2·s_distinct +
+  * [[SkyBuffer.MinCompact]]); `merge` absorbs lazily — concatenate counted
+  * entries, compact only past the threshold — so an N-way merge costs
+  * O(log) SFS passes, not N (mirroring the reference's MR local-phase
+  * output, `FlinkSkyline.java:396-403`).
   */
 final class SkyBuffer(
     var points: ArrayBuffer[Array[Double]],
+    var counts: ArrayBuffer[Long],
     var compactAt: Int
 ) extends Serializable {
-  def this() = this(new ArrayBuffer[Array[Double]], SkyBuffer.MinCompact)
+  def this() = this(new ArrayBuffer[Array[Double]], new ArrayBuffer[Long],
+    SkyBuffer.MinCompact)
 
   def add(p: Array[Double]): Unit = {
     points += p
+    counts += 1L
     if (points.length >= compactAt) compact()
   }
 
   def absorb(other: SkyBuffer): Unit = {
     points ++= other.points
-    compact()
+    counts ++= other.counts
+    if (points.length >= compactAt) compact()
   }
 
   def compact(): Unit = {
-    points = SkylineKernel.skylineOf(points)
+    val (p, c) = SkylineKernel.skylineCounted(points, counts)
+    points = p
+    counts = c
     compactAt = math.max(SkyBuffer.MinCompact, 2 * points.length)
   }
 
-  /** Final skyline as an array (the aggregate `finish`/`eval`). */
+  /** Final skyline as an array (the aggregate `finish`/`eval`), duplicates
+    * re-expanded. */
   def result(): Array[Array[Double]] = {
     compact()
-    points.toArray
+    SkylineKernel.expand(points, counts).toArray
   }
 }
 
 object SkyBuffer {
-  /** Minimum points between compactions; amortizes SFS sort cost. */
+  /** Minimum entries between compactions; amortizes SFS sort cost. */
   val MinCompact = 1024
 }
