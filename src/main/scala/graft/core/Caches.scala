@@ -35,6 +35,23 @@ object Caches {
     * which lives below the CacheManager) for [[releaseAll]]. */
   def trackRdd(rdd: org.apache.spark.rdd.RDD[_]): Unit = liveRdds.add(rdd)
 
+  /** The backing RDD of a `localCheckpoint`ed DataFrame — the handle its
+    * block storage is freed through (checkpoint storage lives below the
+    * CacheManager, so `unpersist` must hit the RDD itself). Probes the
+    * internal LogicalRDD plan node; if a Spark upgrade changes the
+    * checkpoint's plan shape this warns LOUDLY instead of silently leaking
+    * executor storage for every iterative round (shared by the
+    * DedupOps/VectorOps checkpoint loops — keep the probe in one place). */
+  def checkpointRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] = {
+    val rdd = df.queryExecution.analyzed.collectFirst {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }
+    if (rdd.isEmpty) System.err.println(
+      "[graft.Caches] WARNING: no LogicalRDD under a localCheckpoint plan — " +
+        "checkpoint block storage will NOT be released (plan shape changed?)")
+    rdd
+  }
+
   /** Unpersist every registered intermediate. Plans built from the released
     * DataFrames stay correct (they recompute); a released CHECKPOINT cannot
     * recompute (its lineage is gone), so tracked checkpoint RDDs must only

@@ -113,26 +113,33 @@ object CorpusOps {
     * Scale: the sketch path shuffles ≤ k hashes per partition per group —
     * THE bounded-state answer for "how many distinct shingles per source"
     * over 100 TB. `n_exact` (a countDistinct: expand + two-phase agg) is the
-    * gate-scale accuracy probe; drop it in production, where exact is the
-    * thing the sketch exists to avoid.
+    * gate-scale accuracy probe; drop it in production (`withExact = false`
+    * emits est_distinct only — one scan, no exact branch), where exact is
+    * the thing the sketch exists to avoid. With the probe on, the shingle
+    * explode is persisted (registered with [[graft.core.Caches]] — release
+    * after consuming) so the corpus is exploded ONCE for both branches, not
+    * once per branch.
     */
   def kmvDistinct(docs: DataFrame, groupCol: String, n: Int,
-                  k: Int): DataFrame = {
-    val sh = docs
+                  k: Int, withExact: Boolean = true): DataFrame = {
+    val shPlain = docs
       .select(col(groupCol),
         explode(DedupOps.shingles(col("text"), n)).as("s"))
       .select(col(groupCol), md5(col("s")).as("h"))
+    val sh = if (withExact) graft.core.Caches.persistTracked(shPlain) else shPlain
     val sketch = sh.groupBy(groupCol)
       .agg(kmin_distinct(col("h"), k).as("hk"))
       .select(col(groupCol),
         conv(substring(col("hk"), 1, 14), 16, 10).cast("long").as("vk"))
-    val exact = sh.groupBy(groupCol)
-      .agg(countDistinct(col("h")).as("n_exact"))
-    sketch.join(exact, groupCol)
-      .select(col(groupCol),
-        expr(s"CAST(${(k - 1).toLong * (1L << 56)} AS BIGINT) DIV vk")
-          .as("est_distinct"),
-        col("n_exact"))
+    val est = expr(s"CAST(${(k - 1).toLong * (1L << 56)} AS BIGINT) DIV vk")
+      .as("est_distinct")
+    if (!withExact) sketch.select(col(groupCol), est)
+    else {
+      val exact = sh.groupBy(groupCol)
+        .agg(countDistinct(col("h")).as("n_exact"))
+      sketch.join(exact, groupCol)
+        .select(col(groupCol), est, col("n_exact"))
+    }
   }
 
   /** Per-group repeated-span statistics — the cross-document contamination

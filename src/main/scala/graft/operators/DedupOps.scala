@@ -325,10 +325,7 @@ object DedupOps {
     // must be freed explicitly: superseded rounds in-loop (their data has
     // already fed the next round's materialization), the final round via
     // the Caches registry after the caller consumes the result.
-    def ckptRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
-      df.queryExecution.analyzed.collectFirst {
-        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
-      }
+    def ckptRdd(df: DataFrame) = graft.core.Caches.checkpointRdd(df)
     // Seed with the first propagation already applied: lbl₀ = min(id,
     // neighbors) — one fewer fixpoint round than an identity start.
     var labels = edges.groupBy("a")

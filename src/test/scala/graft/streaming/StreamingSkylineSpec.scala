@@ -168,6 +168,70 @@ class StreamingSkylineSpec extends AnyFunSuite {
     assert(parse(results.head, "skyline_size").toInt == expected)
   }
 
+  test("D7: -1 fast-path answers for untouched partitions ahead of late data") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[SkyEvent]
+    val rnd = new scala.util.Random(13)
+    // Data lands ONLY in pids 0 and 1; 2 and 3 never see a record. A
+    // barrier trigger met by 0/1 must emit after ONE batch — the untouched
+    // partitions answer via the -1 fast-path (FlinkSkyline.java:342-355)
+    // instead of parking the latch until data eventually shows up there.
+    val pts = (0 until 120).map(i => SkyEvent(i % 2, isTrigger = false, i.toLong,
+      Array(rnd.nextInt(10000).toDouble, rnd.nextInt(10000).toDouble), "", 0L))
+    val results = runQuery(stream) { sync =>
+      stream.addData(pts)
+      sync
+      stream.addData(StreamingSkyline.fanOutTrigger("6,100", NPart, 2L))
+      sync // all four partitions answer in this batch: 0/1 barrier-met, 2/3 fast-path
+    }
+    assert(results.size == 1)
+    val expected = SkylineKernel.skylineOf(ArrayBuffer(pts.map(_.values): _*)).size
+    assert(parse(results.head, "skyline_size").toInt == expected)
+    assert(parse(results.head, "query_id") == "6")
+    // Optimality still divides by the FIXED partition count (D4): only the
+    // two reporting partitions contribute ratios <= 1 each.
+    assert(parse(results.head, "optimality").toDouble <= 0.5)
+  }
+
+  test("checkpoint recovery: state (skylines + barriers) survives a restart") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[SkyEvent]
+    val pts = gen(300)
+    val ckpt = java.nio.file.Files.createTempDirectory("sky_ckpt_").toString
+    val sink = new java.util.concurrent.ConcurrentLinkedQueue[String]
+    def start() = StreamingSkyline(stream.toDS(), NPart, clock)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[String], _: Long) =>
+        batch.collect().foreach(sink.add)
+      }
+      .start()
+    // Phase 1: ingest everything, commit the batch, then KILL the query
+    // before any trigger arrives — the cumulative local skylines and id
+    // high-water marks exist only in the state store now.
+    val q1 = start()
+    try { stream.addData(pts.map { case (id, v) => point(id, v) }); q1.processAllAvailable() }
+    finally q1.stop()
+    assert(sink.isEmpty)
+    // Phase 2: restart from the checkpoint and query. The barrier (250) is
+    // only satisfiable from RESTORED state — the restarted query never
+    // re-reads the phase-1 batch (its offsets are committed).
+    val q2 = start()
+    try { stream.addData(StreamingSkyline.fanOutTrigger("11,250", NPart, 3L)); q2.processAllAvailable() }
+    finally q2.stop()
+    val results = sink.toArray(Array.empty[String]).toSeq
+    assert(results.size == 1)
+    val expected = SkylineKernel.skylineOf(ArrayBuffer(pts.map(_._2): _*)).size
+    assert(parse(results.head, "skyline_size").toInt == expected)
+    assert(parse(results.head, "query_id") == "11")
+    assert(parse(results.head, "record_count") == "250")
+  }
+
   test("D6: local skylines are cumulative — second query sees all data") {
     val spark = TestSpark.spark
     import spark.implicits._
