@@ -375,6 +375,31 @@ object DedupOps {
       .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("cluster"))
   }
 
+  /** The shared near-dup model a DEPLOYMENT consumes: verified MinHash pair
+    * graph and cluster labels computed ONCE (both persisted via
+    * [[graft.core.Caches]]), feeding every downstream surface — keep-lists
+    * (`clusters.filter(doc_id === cluster)`), cluster-size histograms,
+    * curation chains — without re-running shingling + banding + collapse
+    * per consumer. Opt-in: the driver gates each re-derive their own chain
+    * by design (gate independence — each query must stand alone against
+    * its oracle); a pipeline that consumes several surfaces builds this
+    * once instead. Consume eagerly, then release via
+    * [[unpersistPipelines]] / [[withDedupCaches]] like every other
+    * pipeline intermediate. */
+  final case class NearDupModel(pairs: DataFrame, clusters: DataFrame)
+
+  /** Build a [[NearDupModel]]: [[minhashNearDups]] → persist →
+    * [[nearDupClusters]] over the SAME persisted pair graph → persist. */
+  def nearDupModel(docs: DataFrame, idCol: String, n: Int, b: Int, r: Int,
+                   num: Int, den: Int,
+                   maxBucket: Int = DefaultMaxBucket): NearDupModel = {
+    val pairs = graft.core.Caches.persistTracked(
+      minhashNearDups(docs, idCol, n, b, r, num, den, maxBucket))
+    val clusters = graft.core.Caches.persistTracked(
+      nearDupClusters(docs, idCol, pairs))
+    NearDupModel(pairs, clusters)
+  }
+
   /** `bits`-wide SimHash over whitespace tokens: bit p is set iff the sum
     * over tokens of ±1 (sign of bit p of the token's xxhash64) is ≥ 0.
     * Documents differing in a few tokens land at small Hamming distance.

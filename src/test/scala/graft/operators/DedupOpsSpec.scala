@@ -185,6 +185,34 @@ class DedupOpsSpec extends AnyFunSuite with PropHelpers {
     }
   }
 
+  test("nearDupModel: shared pairs+clusters equal the independent chains") {
+    val df = docsDF(
+      (1L, (1 to 40).map(i => s"tok$i").mkString(" ")),
+      (2L, ((1 to 38).map(i => s"tok$i") ++ Seq("zzz", "tok40")).mkString(" ")),
+      (3L, (100 to 140).map(i => s"other$i").mkString(" ")),
+      (4L, (1 to 40).map(i => s"tok$i").mkString(" ")))
+    DedupOps.withDedupCaches {
+      val m = DedupOps.nearDupModel(df, "doc_id", 3, 12, 3, 1, 2)
+      val gotPairs = m.pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val gotClusters = m.clusters.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val expPairs = DedupOps.minhashNearDups(df, "doc_id", 3, 12, 3, 1, 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val expClusters = DedupOps.nearDupClusters(df, "doc_id",
+          DedupOps.minhashNearDups(df, "doc_id", 3, 12, 3, 1, 2))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(gotPairs == expPairs)
+      assert(gotClusters == expClusters)
+      // Downstream surfaces read the SAME persisted frames: keep-list and
+      // size histogram agree with the cluster labels.
+      val keep = m.clusters.filter(col("doc_id") === col("cluster"))
+        .collect().map(_.getLong(0)).toSet
+      assert(keep == expClusters.groupBy(_._2).map(_._2.map(_._1).min).toSet)
+    }
+    val spark = TestSpark.spark
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "model intermediates still cached after withDedupCaches")
+  }
+
   test("dedup caches: withDedupCaches leaves no cached partitions or checkpoint RDDs behind") {
     val spark = TestSpark.spark
     val before = spark.sparkContext.getPersistentRDDs.size
