@@ -92,6 +92,69 @@ object MultimodalOps {
       (leU(28, 2) / 8).cast("int").as("channels")))
   }
 
+  /** A spec-valid PCM WAV file (RIFF + fmt + data chunks): `payload` bytes
+    * as the sample data, header fields from the given format. The audio
+    * twin of [[bmpBlob]] — the fixture generator for [[decodeWav]]. */
+  def wavBlob(sampleRate: Column, channels: Column, bitsPerSample: Column,
+              payload: Column): Column = {
+    val ch = channels.cast("long")
+    val sr = sampleRate.cast("long")
+    val bits = bitsPerSample.cast("long")
+    val blockAlign = ch * (bits / 8)
+    val dataSize = length(payload).cast("long")
+    val hdr = concat(
+      lit("52494646"),             // "RIFF"
+      leHex(dataSize + 36, 4),     // chunk size = file size - 8
+      lit("57415645"),             // "WAVE"
+      lit("666D7420"),             // "fmt "
+      lit("10000000"),             // fmt chunk size = 16
+      lit("0100"),                 // audio format = 1 (PCM)
+      leHex(ch, 2),
+      leHex(sr, 4),
+      leHex(sr * blockAlign, 4),   // byte rate
+      leHex(blockAlign, 2),
+      leHex(bits, 2),
+      lit("64617461"),             // "data"
+      leHex(dataSize, 4))
+    unhex(concat(hdr, hex(payload)))
+  }
+
+  /** REAL audio decode for PCM WAV: validates the RIFF/WAVE magic and the
+    * leading fmt chunk, then parses the format fields out of the
+    * little-endian header — `struct<sample_rate:int, channels:int,
+    * bits:int, n_frames:long, duration_ms:long>` (duration in integer
+    * milliseconds: n_frames · 1000 / rate, floor — oracle-exact), or NULL
+    * for anything that is not such a WAV. Like [[decodeBmp]], pure column
+    * arithmetic over `hex(bin)` — no codec library. Assumes the data chunk
+    * directly follows fmt (the layout [[wavBlob]] writes and the common
+    * canonical file shape; extension chunks would need a scan loop, which
+    * a `mapInPartitions` decoder handles in production). */
+  def decodeWav(bin: Column): Column = {
+    val hx = hex(bin)
+    def byteAt(off: Int) = hx.substr(lit(off * 2 + 1), lit(2)) // off 0-based
+    def leU(off: Int, n: Int): Column =
+      conv(concat((0 until n).reverse.map(i => byteAt(off + i)): _*), 16, 10)
+        .cast("long")
+    val ok = length(bin) >= 44 &&
+      hx.substr(1, 8) === "52494646" &&           // "RIFF"
+      hx.substr(17, 16) === "57415645666D7420" && // "WAVE" + "fmt "
+      hx.substr(73, 8) === "64617461" &&          // "data"
+      leU(20, 2) === 1 &&                         // PCM
+      leU(32, 2) > 0                              // sane block align
+    val ch = leU(22, 2)
+    val sr = leU(24, 4)
+    val bits = leU(34, 2)
+    val blockAlign = leU(32, 2)
+    val dataSize = leU(40, 4)
+    val frames = floor(dataSize / blockAlign).cast("long")
+    when(ok, struct(
+      sr.cast("int").as("sample_rate"),
+      ch.cast("int").as("channels"),
+      bits.cast("int").as("bits"),
+      frames.as("n_frames"),
+      floor(frames * 1000 / sr).cast("long").as("duration_ms")))
+  }
+
   /** Aspect-preserving fit of decoded metadata into a boxW×boxH bounding
     * box, integer milli-scale arithmetic (no floats → exact oracles). */
   def resizeFit(meta: Column, boxW: Int, boxH: Int): Column = {

@@ -639,6 +639,33 @@ object PipelineQueries {
           count(col("bad")).as("n_false_decode"))
     }),
 
+    // Audio twin of mm_decode: every doc becomes a spec-valid PCM WAV
+    // (format fields a pure function of doc_id, sample bytes from the
+    // text); decodeWav must recover them by parsing the actual RIFF/fmt
+    // header, and the oracle states ground truth without parsing. The
+    // duration is the derived integer field (frames·1000/rate, floor), so
+    // the data-chunk size arithmetic is checked too.
+    "mm_wav" -> ((s, d) => {
+      import graft.operators.MultimodalOps._
+      val ch = lit(1) + pmod(col("doc_id"), lit(2))
+      val sr = element_at(array(lit(8000), lit(16000), lit(44100)),
+        (pmod(col("doc_id"), lit(3)) + 1).cast("int"))
+      val bits = element_at(array(lit(8), lit(16)),
+        (pmod(col("doc_id"), lit(2)) + 1).cast("int"))
+      docs(s, d)
+        .select(col("source"),
+          decodeWav(wavBlob(sr, ch, bits, asBlob(col("text")))).as("m"),
+          decodeWav(unhex(lit("524946460800000057415645"))).as("bad"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("m.sample_rate")).as("sum_rate"),
+          sum(col("m.channels")).as("sum_ch"),
+          sum(col("m.bits")).as("sum_bits"),
+          sum(col("m.n_frames")).as("sum_frames"),
+          sum(col("m.duration_ms")).as("sum_ms"),
+          count(col("bad")).as("n_false_decode"))
+    }),
+
     "mm_frames" -> ((s, d) => {
       import graft.operators.MultimodalOps._
       docs(s, d)
@@ -1348,6 +1375,25 @@ object PipelineQueries {
         |  CAST(SUM(GREATEST(1, FLOOR(hh * sc / 1000))) AS BIGINT) AS sum_rh,
         |  CAST(0 AS BIGINT) AS n_false_decode
         |FROM r GROUP BY source""".stripMargin,
+
+    // mm_wav: ground truth from doc_id + byte length — the Spark side's
+    // build->parse round trip through real RIFF headers is what's checked.
+    "mm_wav" ->
+      """WITH m AS (SELECT source,
+        |  1 + (doc_id % 2) AS ch,
+        |  CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000 ELSE 44100 END AS sr,
+        |  CASE doc_id % 2 WHEN 0 THEN 8 ELSE 16 END AS bits,
+        |  octet_length(encode(text)) AS ds FROM documents),
+        |f AS (SELECT source, ch, sr, bits,
+        |  ds // (ch * (bits // 8)) AS frames FROM m)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(sr) AS BIGINT) AS sum_rate,
+        |  CAST(SUM(ch) AS BIGINT) AS sum_ch,
+        |  CAST(SUM(bits) AS BIGINT) AS sum_bits,
+        |  CAST(SUM(frames) AS BIGINT) AS sum_frames,
+        |  CAST(SUM(frames * 1000 // sr) AS BIGINT) AS sum_ms,
+        |  CAST(0 AS BIGINT) AS n_false_decode
+        |FROM f GROUP BY source""".stripMargin,
 
     "mm_frames" ->
       """WITH b AS (SELECT lang, octet_length(encode(text)) AS bl FROM documents),

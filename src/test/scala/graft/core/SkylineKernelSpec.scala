@@ -83,4 +83,26 @@ class SkylineKernelSpec extends AnyFunSuite with PropHelpers {
       assert(asSets(b1.result().toSeq) == asSets(bruteForce(pts)))
     }
   }
+
+  test("counted buffer: duplicate-heavy input stays distinct-bounded, multiset intact") {
+    // 50k rows over 40 distinct mutually-non-dominated points (a tight
+    // anti-diagonal) — the anti-correlated integer worst case in miniature.
+    // The OLD multiset buffer held all 50k rows (quadratic merge, the
+    // round-8 28-minute-reducer bug); the counted buffer must stay at 40
+    // entries after compaction while result() still re-expands every copy.
+    val distinct = (0 until 40).map(i => Array(i.toDouble, (39 - i).toDouble))
+    val b = new SkyBuffer()
+    (0 until 50000).foreach(i => b.add(distinct(i % 40).clone()))
+    b.compact()
+    assert(b.points.length == 40, s"buffer not distinct-bounded: ${b.points.length}")
+    assert(b.counts.sum == 50000L, "multiset cardinality lost")
+    val out = b.result()
+    assert(out.length == 50000, s"duplicates not re-expanded: ${out.length}")
+    // And the counted path still drops dominated points' copies entirely.
+    val b2 = new SkyBuffer()
+    (0 until 1000).foreach(_ => b2.add(Array(100.0, 100.0))) // dominated by all
+    (0 until 1000).foreach(i => b2.add(distinct(i % 40).clone()))
+    assert(asSets(b2.result().toSeq) ==
+      asSets((0 until 1000).map(i => distinct(i % 40))))
+  }
 }

@@ -80,6 +80,45 @@ class MultimodalOpsSpec extends AnyFunSuite {
     assert(nulls.forall(identity))
   }
 
+  test("wavBlob/decodeWav: round trip, derived duration, rejection") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // 11 payload bytes at 2ch x 16bit (blockAlign 4) -> 2 whole frames;
+    // duration = floor(2 * 1000 / 16000) = 0 ms. A longer payload at 8kHz
+    // mono 8-bit gives a nonzero duration: 9000 bytes -> 9000 frames ->
+    // 1125 ms.
+    val rt = Seq("elevenbytes").toDF("text")
+      .select(MultimodalOps.decodeWav(MultimodalOps.wavBlob(
+        lit(16000), lit(2), lit(16), MultimodalOps.asBlob(col("text")))).as("m"))
+      .select(col("m.sample_rate"), col("m.channels"), col("m.bits"),
+        col("m.n_frames"), col("m.duration_ms"))
+      .head()
+    assert((rt.getInt(0), rt.getInt(1), rt.getInt(2), rt.getLong(3), rt.getLong(4))
+      == ((16000, 2, 16, 2L, 0L)))
+    val long = Seq("x" * 9000).toDF("text")
+      .select(MultimodalOps.decodeWav(MultimodalOps.wavBlob(
+        lit(8000), lit(1), lit(8), MultimodalOps.asBlob(col("text")))).as("m"))
+      .select(col("m.n_frames"), col("m.duration_ms")).head()
+    assert((long.getLong(0), long.getLong(1)) == ((9000L, 1125L)))
+    // Exact header bytes of an empty-payload 8kHz mono 8-bit file.
+    val hx = Seq("").toDF("text")
+      .select(hex(MultimodalOps.wavBlob(lit(8000), lit(1), lit(8),
+        MultimodalOps.asBlob(col("text")))).as("h")).head().getString(0)
+    val expected = "52494646" + "24000000" + "57415645" + "666D7420" +
+      "10000000" + "0100" + "0100" + "401F0000" + "401F0000" + "0100" +
+      "0800" + "64617461" + "00000000"
+    assert(hx == expected)
+    // Rejection: BMP bytes, truncated RIFF, and non-PCM format -> NULL.
+    val nonPcm = "52494646" + "24000000" + "57415645" + "666D7420" +
+      "10000000" + "0300" + "0100" + "401F0000" + "401F0000" + "0100" +
+      "0800" + "64617461" + "00000000"
+    val bads = Seq("424D" + "00" * 50, "524946460800000057415645", nonPcm)
+    val nulls = bads.toDF("hx")
+      .select(MultimodalOps.decodeWav(unhex(col("hx"))).as("m"))
+      .collect().map(_.isNullAt(0))
+    assert(nulls.forall(identity))
+  }
+
   test("resizeFit: aspect-preserving integer fit into 224x224") {
     val spark = TestSpark.spark
     import spark.implicits._
