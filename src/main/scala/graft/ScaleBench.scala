@@ -40,6 +40,8 @@ object ScaleBench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val ns = sys.env.getOrElse("SPARK_GRAFT_SCALE_NS", "1000000,10000000")
       .split(",").map(_.trim.toLong).toSeq
+    val dimsList = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIMS", "2,3")
+      .split(",").map(_.trim.toInt).toSeq
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -49,7 +51,7 @@ object ScaleBench {
 
     val nPart = 8            // the gate/report partition count (SURVEY §2.3)
     val dMax = 10000         // the reference producer's domain
-    val cells = for (dims <- Seq(2, 3); n <- ns) yield (dims, n)
+    val cells = for (dims <- dimsList; n <- ns) yield (dims, n)
 
     val rows = cells.map { case (dims, n) =>
       val names = dimCols(dims)
