@@ -158,6 +158,47 @@ object TextOps {
       .groupBy("doc_id")
       .agg(max(col("c")).as("top_cnt"), sum(col("c")).as("tok_cnt"))
 
+  /** Sliding token-window CHUNKING — the context-window preparation step a
+    * training/RAG pipeline runs over every document: chunks of `chunkLen`
+    * tokens starting every `stride` tokens (overlap = chunkLen − stride),
+    * the LAST chunk the first one to reach the document's end (a short
+    * trailing remainder rides inside it as a partial window; documents
+    * shorter than one window yield exactly one chunk; empty documents
+    * none). Output: (id, chunk_idx 0.., chunk_text, n_tokens).
+    *
+    * Scale shape: one corpus scan, a per-row explode with fanout
+    * ≈ tokens/stride (bounded by the document length contract, never by
+    * corpus size), zero shuffle — chunk assembly is pure `slice` +
+    * `array_join` column arithmetic inside codegen. Chunk identity is
+    * (id, chunk_idx), deterministic under any partitioning. */
+  def chunkRows(docs: DataFrame, idCol: String, chunkLen: Int, stride: Int): DataFrame = {
+    require(chunkLen >= 1, s"chunkLen must be positive: $chunkLen")
+    require(stride >= 1 && stride <= chunkLen,
+      s"stride must be in 1..chunkLen (gaps would drop tokens): $stride")
+    val toks = filter(tokens(col("text")), t => length(t) > 0)
+    docs
+      .select(col(idCol).as("id"), toks.as("toks"), size(toks).as("n"))
+      // Chunk count: 1 + ceil((n - chunkLen) / stride) for n > chunkLen,
+      // else one chunk for any nonempty doc — integer arithmetic only.
+      .withColumn("nc",
+        when(col("n") > chunkLen,
+          lit(1) + floor((col("n") - chunkLen + stride - 1) / stride).cast("int"))
+          .when(col("n") > 0, lit(1))
+          .otherwise(lit(0)))
+      // sequence(0, -1) counts DOWN (phantom chunks for empty docs), so
+      // the empty case must return an empty array explicitly — explode of
+      // an empty array emits no rows, which is the contract.
+      .select(col("id"), col("toks"), col("n"),
+        explode(when(col("nc") > 0, sequence(lit(0), col("nc") - 1))
+          .otherwise(array().cast("array<int>"))).as("chunk_idx"))
+      .select(col("id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        array_join(slice(col("toks"), col("chunk_idx") * stride + 1,
+          least(lit(chunkLen), col("n") - col("chunk_idx") * stride)), " ")
+          .as("chunk_text"),
+        least(lit(chunkLen), col("n") - col("chunk_idx") * stride)
+          .cast("long").as("n_tokens"))
+  }
+
   /** Deterministic content-hash bucket in [0, 100): three leading md5 hex
     * chars folded with engine-neutral ascii arithmetic (md5 hex text is
     * identical everywhere; no base-conversion builtin needed on either

@@ -86,6 +86,21 @@ object PipelineQueries {
         .select(col("doc_id"),
           TextOps.fingerprintCol(col("text"), 5).as("fp"))),
 
+    // Sliding-window chunking (32-token windows every 24): per-source chunk
+    // accounting plus a content checksum over every chunk's text — the
+    // checksum makes the gate sensitive to the chunk BOUNDARIES and token
+    // content, not just the counts.
+    "txt_chunks" -> ((s, d) =>
+      TextOps.chunkRows(docs(s, d), "doc_id", 32, 24)
+        .join(docs(s, d).select(col("doc_id").as("id"), col("source")), "id")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(col("n_tokens")).as("sum_tokens"),
+          sum(when(col("n_tokens") < 32, 1L).otherwise(0L)).as("n_partial"),
+          max(col("chunk_idx")).as("max_idx"),
+          sum(ascii(substring(md5(col("chunk_text")), 1, 1)).cast("long")
+            + ascii(substring(md5(col("chunk_text")), 2, 1))).as("chk"))),
+
     // Repetition-decile histogram: per-doc top-token share bucketed to
     // ⌊10·top/total⌋ (explicit floor on doubles — same value both engines).
     "txt_repetition" -> ((s, d) =>
@@ -1110,6 +1125,28 @@ object PipelineQueries {
         |  list_min([md5(array_to_string(w[i:i+4], ' ')) for i in range(1, len(w) - 3)])
         |END AS fp
         |FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)""".stripMargin,
+
+    // txt_chunks: replay the window arithmetic — starts every 24 tokens,
+    // last window the first to reach the end, slice + join per chunk.
+    "txt_chunks" ->
+      """WITH t AS (SELECT doc_id, source,
+        |  list_filter(string_split(text, ' '), x -> len(x) > 0) AS w FROM documents),
+        |n AS (SELECT doc_id, source, w, len(w) AS n,
+        |  CASE WHEN len(w) > 32 THEN 1 + (len(w) - 32 + 23) // 24
+        |       WHEN len(w) > 0 THEN 1 ELSE 0 END AS nc FROM t),
+        |c AS (SELECT doc_id, source, n,
+        |  unnest(range(0, nc)) AS i,
+        |  w FROM n WHERE nc > 0),
+        |x AS (SELECT source,
+        |  LEAST(32, n - i * 24) AS n_tokens, i,
+        |  array_to_string(w[i * 24 + 1 : i * 24 + LEAST(32, n - i * 24)], ' ') AS ct
+        |  FROM c)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+        |  CAST(SUM(CASE WHEN n_tokens < 32 THEN 1 ELSE 0 END) AS BIGINT) AS n_partial,
+        |  CAST(MAX(i) AS BIGINT) AS max_idx,
+        |  CAST(SUM(ascii(substr(md5(ct), 1, 1)) + ascii(substr(md5(ct), 2, 1))) AS BIGINT) AS chk
+        |FROM x GROUP BY source""".stripMargin,
 
     "txt_repetition" ->
       """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),

@@ -18,6 +18,31 @@ class TextOpsSpec extends AnyFunSuite {
     (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))
   }
 
+  test("chunkRows: window boundaries, trailing partial, short and empty docs") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // 10 tokens, chunkLen 4, stride 3: starts 0,3,6 (start 6 reaches the
+    // end with a 4-token window exactly); 11 tokens adds a partial at 9.
+    val toks10 = (1 to 10).map(i => s"t$i").mkString(" ")
+    val toks11 = (1 to 11).map(i => s"t$i").mkString(" ")
+    val df = Seq((1L, toks10), (2L, toks11), (3L, "a b"), (4L, ""), (5L, "  "))
+      .toDF("doc_id", "text")
+    val got = TextOps.chunkRows(df, "doc_id", 4, 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(got == Seq(
+      (1L, 0L, "t1 t2 t3 t4", 4L), (1L, 1L, "t4 t5 t6 t7", 4L),
+      (1L, 2L, "t7 t8 t9 t10", 4L),
+      (2L, 0L, "t1 t2 t3 t4", 4L), (2L, 1L, "t4 t5 t6 t7", 4L),
+      (2L, 2L, "t7 t8 t9 t10", 4L), (2L, 3L, "t10 t11", 2L),
+      (3L, 0L, "a b", 2L)))       // short doc: one partial chunk; empty: none
+    // Every token of every doc appears in at least one chunk (stride <=
+    // chunkLen means no gaps).
+    val covered = got.filter(_._1 == 2L).flatMap(_._3.split(" ")).toSet
+    assert(covered == (1 to 11).map(i => s"t$i").toSet)
+  }
+
   test("redactPiiCol replaces urls, emails, phones; counts mirror replacements") {
     val (u1, e1, p1, r1) = piiRow("email a@b.co visit https://c.de/path-1 call 111-222-3333")
     assert((u1, e1, p1) == ((1L, 1L, 1L)))
