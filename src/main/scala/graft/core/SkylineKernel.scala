@@ -46,13 +46,21 @@ object SkylineKernel {
     var i = 0
     while (i < n) { sums(i) = Dominance.coordSum(points(i)); i += 1 }
     // (sum asc, coords lexicographic) — equal points become adjacent.
+    // All comparisons via Double.compare: a TOTAL order (NaN sorts last,
+    // consistently), so sortWith's strict-weak-order contract holds for
+    // any input — a plain `<` comparator violates it under NaN and TimSort
+    // may throw mid-aggregation.
     val order = points.indices.toArray.sortWith { (a, b) =>
-      if (sums(a) != sums(b)) sums(a) < sums(b)
+      val c = java.lang.Double.compare(sums(a), sums(b))
+      if (c != 0) c < 0
       else {
         val pa = points(a); val pb = points(b)
         var k = 0
-        while (k < pa.length && pa(k) == pb(k)) k += 1
-        k < pa.length && pa(k) < pb(k)
+        var r = 0
+        while (r == 0 && k < pa.length) {
+          r = java.lang.Double.compare(pa(k), pb(k)); k += 1
+        }
+        r < 0
       }
     }
     val accP = new ArrayBuffer[Array[Double]](math.min(64, n))
@@ -66,15 +74,25 @@ object SkylineKernel {
       // Copies of the last SURVIVOR merge without a scan (adjacency);
       // copies of a dominated point fail this check and get re-scanned —
       // each distinct dominated point still costs only one scan group.
-      if (accP.nonEmpty && accS(accP.length - 1) == ps &&
+      if (accP.nonEmpty &&
+          java.lang.Double.compare(accS(accP.length - 1), ps) == 0 &&
           java.util.Arrays.equals(accP(accP.length - 1), p)) {
         accC(accC.length - 1) += counts(id)
       } else {
         var dominated = false
         var j = 0
-        // Dominators have strictly smaller sums: stop at the first
-        // accepted sum >= ps (accS is ascending).
-        while (j < accP.length && accS(j) < ps && !dominated) {
+        // A dominator's EXACT sum is strictly smaller, and left-to-right
+        // double summation is monotone per coordinate, so a dominator's
+        // COMPUTED sum is <= the candidate's — possibly EQUAL under
+        // rounding (1e16-magnitude coords) or at +-Infinity. The scan
+        // therefore covers the equal-sum group too and stops only at the
+        // first accepted sum strictly greater (Double.compare order, the
+        // sort's own total order — NaN-sum points just scan everything,
+        // which is correct and rare). Exact ties (same true sum) cannot
+        // dominate, so integer-band data pays only the group scan, not a
+        // lost early-exit.
+        while (j < accP.length && java.lang.Double.compare(accS(j), ps) <= 0
+            && !dominated) {
           if (Dominance.dominates(accP(j), p)) dominated = true
           j += 1
         }

@@ -82,17 +82,49 @@ object BpeOps {
     syms
   }
 
+  /** Code-point lexicographic compare — identical to UTF-8 unsigned-byte
+    * order, which is what Spark's UTF8String sort and DuckDB's default
+    * VARCHAR collation both use. JVM String.compareTo is UTF-16 code-UNIT
+    * order, which DISAGREES beyond the BMP (surrogates sort low), so the
+    * tie-break must not use it — a count tie between a U+FFFD pair and an
+    * emoji pair would otherwise pick a different winner than the SQL
+    * oracle and diverge every later merge. */
+  private[operators] def cpCompare(a: String, b: String): Int = {
+    var i = 0; var j = 0
+    while (i < a.length && j < b.length) {
+      val ca = a.codePointAt(i); val cb = b.codePointAt(j)
+      if (ca != cb) return Integer.compare(ca, cb)
+      i += Character.charCount(ca); j += Character.charCount(cb)
+    }
+    (a.length - i) - (b.length - j)
+  }
+
+  /** (count desc, left cp-asc, right cp-asc) — the winner order, total
+    * over (count, left, right) triples. */
+  private val winnerOrd: java.util.Comparator[(Long, String, String)] =
+    new java.util.Comparator[(Long, String, String)] {
+      def compare(x: (Long, String, String), y: (Long, String, String)): Int = {
+        var c = java.lang.Long.compare(y._1, x._1) // count DESC
+        if (c == 0) c = cpCompare(x._2, y._2)
+        if (c == 0) c = cpCompare(x._3, y._3)
+        c
+      }
+    }
+
   /** In-memory exact trainer over a (syms, freq) word table: the same
     * counting/tie-break/application semantics as the relational loop it
-    * replaces, with pair counts maintained INCREMENTALLY (only words
-    * containing the winning pair are re-processed per round — the standard
-    * efficient-BPE-trainer shape, O(affected words) per merge instead of
-    * O(table)). */
+    * replaces. Pair counts are maintained INCREMENTALLY (only words
+    * containing the winning pair are re-processed per round) and the
+    * argmax comes from an ordered set updated alongside each count change
+    * — O(affected words × log pairs) per merge, never a full pair-table
+    * scan per round, so a 32k–100k-merge run is bounded by total count
+    * churn, not merges × distinct-pairs. */
   private[operators] def trainInMemory(words0: Array[(Array[String], Long)],
                                        merges: Int): Seq[(Long, String, String, Long)] = {
     val syms = words0.map(_._1)
     val freq = words0.map(_._2)
     val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+    val ranked = new java.util.TreeSet[(Long, String, String)](winnerOrd)
     val index = scala.collection.mutable.HashMap
       .empty[(String, String), scala.collection.mutable.ArrayBuffer[Int]]
     def count(wi: Int, sign: Long): Unit = {
@@ -100,20 +132,27 @@ object BpeOps {
       var i = 0
       while (i + 1 < s.length) {
         val p = (s(i), s(i + 1))
-        val c = counts.getOrElse(p, 0L) + f
-        if (c == 0L) counts.remove(p) else counts(p) = c
-        if (sign > 0L) index.getOrElseUpdate(
-          p, scala.collection.mutable.ArrayBuffer.empty) += wi
+        val old = counts.getOrElse(p, 0L)
+        val c = old + f
+        if (old != 0L) ranked.remove((old, p._1, p._2))
+        if (c == 0L) counts.remove(p)
+        else { counts(p) = c; ranked.add((c, p._1, p._2)) }
+        if (sign > 0L) {
+          val buf = index.getOrElseUpdate(
+            p, scala.collection.mutable.ArrayBuffer.empty)
+          // Adjacent occurrences within one word arrive consecutively —
+          // skipping equal-last dedups the common repeat cheaply; cross-
+          // round duplicates are handled by `.distinct` at consumption.
+          if (buf.isEmpty || buf.last != wi) buf += wi
+        }
         i += 1
       }
     }
     syms.indices.foreach(count(_, 1L))
     val learned = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
     var step = 1
-    while (step <= merges && counts.nonEmpty) {
-      // HashMap iteration order doesn't matter: (cnt desc, left, right) is
-      // a strict total order over distinct pair keys.
-      val ((a, b), c) = counts.minBy { case ((l, r), n) => (-n, l, r) }
+    while (step <= merges && !ranked.isEmpty) {
+      val (c, a, b) = ranked.first()
       learned += ((step.toLong, a, b, c))
       // Index entries go stale after unrelated merges rewrite a word; the
       // remove/re-add pair makes reprocessing a stale word a no-op.
@@ -127,11 +166,12 @@ object BpeOps {
     learned.toSeq
   }
 
-  /** The shared trainer: corpus → word-frequency table (one scan), bounded
-    * deterministic sample → driver training, trained table → one
-    * distributed apply pass. Returns the merge list and the segmented
-    * full word table (w, freq, syms) — a plain recomputable plan, no
-    * checkpoint lifecycle for callers to manage. */
+  /** The shared trainer: corpus → word-frequency table (one scan,
+    * cache-persisted), bounded deterministic sample → driver training,
+    * trained table → one distributed apply pass. Returns the merge list
+    * and the segmented full word table (w, freq, syms) — recomputable
+    * lineage (a released cache degrades to recomputation, never a hard
+    * failure; no checkpoint lifecycle for callers to manage). */
   private def train(docs: DataFrame, merges: Int, sampleCap: Int)
       : (Seq[(Long, String, String, Long)], DataFrame) = {
     require(merges >= 1 && merges <= (1 << 17),
@@ -140,10 +180,14 @@ object BpeOps {
     val spark = docs.sparkSession
     import spark.implicits._
     // length > 0 guard: empty tokens (double spaces) carry no pairs and
-    // would otherwise pollute the word table.
-    val wordFreq = docs.select(explode(TextOps.tokens(col("text"))).as("w"))
-      .filter(length(col("w")) > 0)
-      .groupBy("w").agg(count(lit(1)).as("freq"))
+    // would otherwise pollute the word table. Persisted (registered with
+    // [[graft.core.Caches]] — release after consuming): the sample collect
+    // materializes it, and the returned segmented plan re-reads the cache
+    // instead of re-scanning the corpus — ONE corpus scan total.
+    val wordFreq = graft.core.Caches.persistTracked(
+      docs.select(explode(TextOps.tokens(col("text"))).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy("w").agg(count(lit(1)).as("freq")))
     // Bounded deterministic training sample: the most frequent `sampleCap`
     // words (freq desc, w asc) — a TakeOrdered (per-partition top-N +
     // driver merge), never a full sort/collect.

@@ -140,7 +140,10 @@ object MultimodalOps {
       hx.substr(17, 16) === "57415645666D7420" && // "WAVE" + "fmt "
       hx.substr(73, 8) === "64617461" &&          // "data"
       leU(20, 2) === 1 &&                         // PCM
-      leU(32, 2) > 0                              // sane block align
+      leU(32, 2) > 0 &&                           // sane block align
+      leU(24, 4) > 0                              // sane sample rate (a zero
+                                                  // rate must REJECT, not
+                                                  // decode with null duration)
     val ch = leU(22, 2)
     val sr = leU(24, 4)
     val bits = leU(34, 2)

@@ -84,6 +84,26 @@ class SkylineKernelSpec extends AnyFunSuite with PropHelpers {
     }
   }
 
+  test("sum-tie dominators are not missed (rounding / Infinity collapse sums)") {
+    // Exact sums differ but COMPUTED sums tie: 1e16 + 1.0 rounds back to
+    // 1e16, and anything + Infinity is Infinity. A sum-bounded SFS scan
+    // that stops strictly BELOW the candidate's sum would admit the
+    // dominated point (the round-8 review finding, runtime-confirmed).
+    val roundTie = ArrayBuffer(Array(1e16, 0.0), Array(1e16, 1.0))
+    assert(SkylineKernel.skylineOf(roundTie).map(_.toSeq) == ArrayBuffer(Seq(1e16, 0.0)))
+    val infTie = ArrayBuffer(
+      Array(0.0, Double.PositiveInfinity), Array(1.0, Double.PositiveInfinity))
+    assert(SkylineKernel.skylineOf(infTie).map(_.toSeq) ==
+      ArrayBuffer(Seq(0.0, Double.PositiveInfinity)))
+    // NaN coordinates: never dominate, never dominated, and the sort's
+    // comparator must stay a strict weak order (no TimSort contract throw).
+    val withNaN = ArrayBuffer(
+      Array(Double.NaN, 1.0), Array(1.0, 1.0), Array(2.0, 2.0), Array(Double.NaN, 1.0))
+    val sky = SkylineKernel.skylineOf(withNaN).map(_.toSeq)
+    assert(sky.count(_ == Seq(1.0, 1.0)) == 1 && !sky.contains(Seq(2.0, 2.0)))
+    assert(sky.count(s => s.head.isNaN) == 2, "NaN points must survive as themselves")
+  }
+
   test("counted buffer: duplicate-heavy input stays distinct-bounded, multiset intact") {
     // 50k rows over 40 distinct mutually-non-dominated points (a tight
     // anti-diagonal) — the anti-correlated integer worst case in miniature.

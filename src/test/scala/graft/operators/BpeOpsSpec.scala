@@ -144,6 +144,23 @@ class BpeOpsSpec extends AnyFunSuite {
     assert(vocab == Map("zz" -> 5L, "q" -> 6L, "a" -> 1L, "b" -> 1L))
   }
 
+  test("count ties break in CODE-POINT order (UTF-8/SQL collation), not UTF-16") {
+    // U+FFFD (65533) < U+1F600 (128512) by code point — the order Spark's
+    // UTF8String and DuckDB both sort by — but JVM String.compareTo puts
+    // the emoji's surrogates (0xD83D...) FIRST. A tie between the two
+    // pairs must pick the U+FFFD pair or the merge table diverges from
+    // the SQL oracle on any non-BMP corpus.
+    val rep = "�"
+    val emoji = new String(Character.toChars(0x1F600))
+    assert(BpeOps.cpCompare(rep, emoji) < 0)
+    assert(rep.compareTo(emoji) > 0, "fixture must expose the UTF-16 disagreement")
+    val words = Array(
+      (BpeOps.codePointSyms(emoji + emoji), 1L),
+      (BpeOps.codePointSyms(rep + rep), 1L))
+    val learned = BpeOps.trainInMemory(words, 1)
+    assert(learned == Seq((1L, rep, rep, 1L)), s"wrong tie winner: $learned")
+  }
+
   test("bpeMerges stops early when no pairs remain") {
     val spark = TestSpark.spark
     import spark.implicits._

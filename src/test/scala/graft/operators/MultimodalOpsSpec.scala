@@ -108,11 +108,15 @@ class MultimodalOpsSpec extends AnyFunSuite {
       "10000000" + "0100" + "0100" + "401F0000" + "401F0000" + "0100" +
       "0800" + "64617461" + "00000000"
     assert(hx == expected)
-    // Rejection: BMP bytes, truncated RIFF, and non-PCM format -> NULL.
+    // Rejection: BMP bytes, truncated RIFF, non-PCM format, and a ZERO
+    // sample rate (would make duration a null-producing division) -> NULL.
     val nonPcm = "52494646" + "24000000" + "57415645" + "666D7420" +
       "10000000" + "0300" + "0100" + "401F0000" + "401F0000" + "0100" +
       "0800" + "64617461" + "00000000"
-    val bads = Seq("424D" + "00" * 50, "524946460800000057415645", nonPcm)
+    val zeroRate = "52494646" + "24000000" + "57415645" + "666D7420" +
+      "10000000" + "0100" + "0100" + "00000000" + "00000000" + "0100" +
+      "0800" + "64617461" + "00000000"
+    val bads = Seq("424D" + "00" * 50, "524946460800000057415645", nonPcm, zeroRate)
     val nulls = bads.toDF("hx")
       .select(MultimodalOps.decodeWav(unhex(col("hx"))).as("m"))
       .collect().map(_.isNullAt(0))
