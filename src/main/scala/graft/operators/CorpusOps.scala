@@ -642,4 +642,44 @@ object CorpusOps {
     }
     docs.filter(sampleBucketCol(col("text"), salt) < pct)
   }
+
+  /** Deterministic hash draw in [1, ~2.9e9]: base-31 ascii fold over the
+    * first six md5 hex chars — the content-hash family's engine-neutral
+    * integer recipe widened from 3 to 6 chars for priority-resolution
+    * entropy (ascii + md5-hex text agree across engines; no engine-native
+    * int-parsing involved). */
+  def hashDrawCol(text: Column, salt: String): Column = {
+    val h = md5(concat(lit(salt), text))
+    (1 to 6).map(i => ascii(substring(h, i, 1)).cast("long"))
+      .reduce((a, b) => a * 31L + b)
+  }
+
+  /** Weighted sample without replacement via PRIORITY SAMPLING
+    * (Duffield–Lund–Thorup): each doc draws a deterministic uniform hash
+    * h and gets priority w / h; the k largest priorities are the sample —
+    * inclusion probability rises with weight, membership is a pure
+    * function of (salt, text, weight), reproducible under any
+    * re-partitioning. Weight here = `n_chars` (longer docs likelier — the
+    * token-budget-proportional draw a corpus mixer uses). Output:
+    * (doc id, w).
+    *
+    * Both w and h are exactly-representable integers, so the double
+    * quotient w/h is correctly rounded IEEE-754 in any engine — the
+    * ordering (and therefore the selected SET, the only thing the gate
+    * hashes) is engine-exact; ties break by doc id.
+    *
+    * Scale shape: pure per-row expressions then a global top-k =
+    * TakeOrderedAndProject — per-partition top-k, k rows per partition to
+    * the driver merge. No global sort, no window over one partition. */
+  def prioritySample(docs: DataFrame, idCol: String, k: Int,
+                     salt: String = "prio:"): DataFrame = {
+    require(k >= 1, s"prioritySample needs k >= 1: k=$k")
+    docs
+      .select(col(idCol), col("n_chars").as("w"),
+        (col("n_chars").cast("double") /
+          hashDrawCol(col("text"), salt).cast("double")).as("prio"))
+      .orderBy(col("prio").desc, col(idCol))
+      .limit(k)
+      .select(col(idCol), col("w"))
+  }
 }

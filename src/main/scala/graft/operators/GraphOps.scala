@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over similarity graphs (the kNN graph, near-dup pair
+  * graphs): centrality scoring a curation pipeline uses to pick canonical
+  * documents inside duplicate neighborhoods or to weight corpus items by
+  * connectivity.
+  *
+  * Everything here is INTEGER-exact so the DuckDB oracle can replay the
+  * whole computation bit-for-bit (same rationale as the k-means /
+  * PQ trainers in [[VectorOps]]): ranks are held in integer micro-units
+  * with floor division at every step — no accumulation-order-dependent
+  * floating point anywhere.
+  */
+object GraphOps {
+
+  /** PageRank over a directed edge list `(src, dst)` with `iters` fixed
+    * power-iteration rounds, damping 85/100, ranks in integer micro-units
+    * (`scale` ≙ total mass 1.0). Per round, with N = |nodes|:
+    *
+    *   r₀(v)    = scale div N
+    *   rₜ₊₁(v) = (15 · (scale div N)) div 100
+    *            + (85 · Σ_{u→v} (rₜ(u) div outdeg(u))) div 100
+    *
+    * All values positive integers, all divisions floor — Spark's `div` and
+    * DuckDB's `//` agree, so the oracle replays the full iteration.
+    * Dangling mass is dropped (the usual simplification); node set =
+    * distinct sources, which covers every connected node for
+    * symmetric-candidate graphs such as [[VectorOps.knnGraph]] output
+    * (each colliding pair appears in both directions before ranking, so
+    * any node with an edge ranks at least one out-neighbor). Nodes nobody
+    * links to keep the base term via the left join.
+    *
+    * Scale shape: the rank table is |V| rows × two longs; each round is
+    * one hash join (edges ⋈ ranks on src — AQE broadcasts the rank side
+    * when it is small, otherwise both sides co-partition on src) feeding a
+    * partially-aggregated groupBy(dst) shuffle, then a left join back to
+    * the node list. Every round re-roots through an eager
+    * `localCheckpoint` with the superseded round's blocks freed
+    * immediately ([[graft.core.Caches.checkpointRdd]] — the
+    * [[DedupOps.nearDupClusters]] lifecycle), so plan size and storage
+    * stay CONSTANT in the iteration count: a 50-round production run is 50
+    * bounded shuffles over the rank table, never a growing lineage. */
+  def pageRank(edges: DataFrame, iters: Int,
+               scale: Long = 1000000000000L): DataFrame = {
+    require(iters >= 1 && iters <= 1000, s"iters out of range: $iters")
+    // Both the degree table and every round's join consume the edge list.
+    val e = graft.core.Caches.persistTracked(
+      edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst")))
+    val deg = graft.core.Caches.persistTracked(
+      e.groupBy("src").agg(count(lit(1)).as("deg")))
+    val n = deg.count()
+    require(n > 0, "pageRank on an empty edge list")
+    val r0 = scale / n
+    val base = (15L * r0) / 100L
+    var ranks = deg.select(col("src").as("id"), lit(r0).as("r"))
+      .localCheckpoint()
+    var ranksRdd = graft.core.Caches.checkpointRdd(ranks)
+    var t = 0
+    while (t < iters) {
+      val contrib = e
+        .join(ranks.select(col("id").as("src"), col("r")), "src")
+        .join(deg, "src")
+        .select(col("dst"), expr("r div deg").as("share"))
+        .groupBy("dst").agg(sum(col("share")).as("contrib"))
+      val next = deg.select(col("src").as("id"))
+        .join(contrib.select(col("dst").as("id"), col("contrib")),
+          Seq("id"), "left")
+        .select(col("id"),
+          (lit(base) +
+            expr("(85 * coalesce(contrib, CAST(0 AS BIGINT))) div 100"))
+            .as("r"))
+        .localCheckpoint()
+      ranksRdd.foreach(_.unpersist(blocking = false)) // superseded round
+      ranks = next
+      ranksRdd = graft.core.Caches.checkpointRdd(ranks)
+      t += 1
+    }
+    // The returned plan reads the final checkpoint — released only after
+    // the caller consumes it (the registry's consume-then-release contract).
+    ranksRdd.foreach(graft.core.Caches.trackRdd)
+    ranks.select(col("id").as("vec_id"), col("r").as("pr"))
+  }
+}

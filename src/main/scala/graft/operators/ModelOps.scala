@@ -1,0 +1,111 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Model-based curation: training and applying cheap routing/filtering
+  * classifiers over integer text features — the "model in the loop" step
+  * of a training-data pipeline.
+  *
+  * The trainer is a DECISION STUMP (1R) learner: for each candidate
+  * feature it finds the error-minimizing threshold rule
+  * `pred = +1 iff x ≥ θ` by exact counting, then the best feature wins —
+  * the classic weak learner (the unit AdaBoost boosts). Unlike a
+  * constant-step batch perceptron (which oscillates on correlated
+  * integer features), stump training is single-pass, deterministic, and
+  * finds the GLOBAL optimum per feature by construction, so the learned
+  * rule is reproducible and engine-replayable: everything is integer
+  * counting, and the SQL oracle re-trains the identical model.
+  *
+  * The demo task is LENGTH ROUTING — predict whether a document exceeds
+  * the char budget ([[CharBudget]], the near-median split of the test
+  * corpus) from token-level features (token count, long-word count,
+  * stopword hits): the cheap router a packing/chunking pipeline applies
+  * before paying for exact measurement.
+  *
+  * Scale shape: one corpus scan melts (feature, value, label) triples
+  * into partial-aggregated counts — the shuffled table is bounded by
+  * features × distinct values, NOT corpus rows; the threshold sweep is a
+  * cumulative-sum window over each feature's distinct-value list (a few
+  * hundred rows per feature). No training loop, no driver-side data, no
+  * per-row UDFs.
+  */
+object ModelOps {
+
+  /** The label's char budget. */
+  private[graft] val CharBudget = 300L
+
+  /** Long-word cutoff for the `n_long` feature. */
+  private[graft] val LongWordLen = 6
+
+  /** Feature names in stack order — shared with the SQL oracle. */
+  private[graft] val FeatureNames = Seq("n_tok", "n_long", "n_stop")
+
+  /** Integer features (token count, long-word count, en-stopword hits) +
+    * the ±1 over-budget label. One scan, pure column arithmetic,
+    * codegen-friendly. */
+  private def features(docs: DataFrame): DataFrame = {
+    val toks = TextOps.tokens(col("text"))
+    docs.select(
+      col("doc_id"),
+      when(col("n_chars") >= CharBudget, 1L).otherwise(-1L).as("y"),
+      size(toks).cast("long").as("n_tok"),
+      size(filter(toks, t => length(t) >= LongWordLen))
+        .cast("long").as("n_long"),
+      TextOps.hitCount(toks, TextOps.LangProfiles.head._2)
+        .cast("long").as("n_stop"))
+  }
+
+  /** Per-(feature, threshold) exact error counts: for the rule
+    * `pred = +1 iff x ≥ θ` over candidate thresholds θ = the feature's
+    * observed distinct values,
+    *
+    *   errors(θ) = #{y=+1, x < θ} + #{y=−1, x ≥ θ}
+    *
+    * via cumulative sums over the per-feature distinct-value list. */
+  private def stumpErrors(docs: DataFrame): DataFrame = {
+    val stackExpr = FeatureNames
+      .map(f => s"'$f', $f").mkString(s"stack(${FeatureNames.size}, ", ", ", ")")
+    val melted = features(docs)
+      .select(col("y"), expr(s"$stackExpr AS (feature, v)"))
+    val g = melted.groupBy("feature", "v").agg(
+      sum(when(col("y") === 1L, 1L).otherwise(0L)).as("np"),
+      sum(when(col("y") === -1L, 1L).otherwise(0L)).as("nn"))
+    val below = Window.partitionBy("feature").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val whole = Window.partitionBy("feature")
+    g.select(col("feature"), col("v").as("thr"),
+      (coalesce(sum(col("np")).over(below), lit(0L)) +
+        sum(col("nn")).over(whole) -
+        coalesce(sum(col("nn")).over(below), lit(0L))).as("errs"))
+  }
+
+  /** The trained model: per feature, the error-minimizing threshold
+    * (ties → smallest θ). Output: (feature, thr, errs) — one row per
+    * candidate feature; the best row IS the 1R model, and hashing all
+    * rows pins the full per-feature sweep, not just the winner. */
+  def stumpTrain(docs: DataFrame): DataFrame = {
+    val rank = Window.partitionBy("feature")
+      .orderBy(col("errs"), col("thr"))
+    stumpErrors(docs)
+      .withColumn("rn", row_number().over(rank))
+      .filter(col("rn") === 1)
+      .select(col("feature"), col("thr"), col("errs"))
+  }
+
+  /** Confusion matrix of the overall-best stump over the corpus
+    * (label ±1 × prediction ±1 cell counts). Train = one aggregate; the
+    * winning (feature, θ) — a two-value model — enters the scoring scan
+    * as literals, same deploy shape as the k-means/PQ model gates. */
+  def stumpConfusion(docs: DataFrame): DataFrame = {
+    val best = stumpTrain(docs)
+      .orderBy(col("errs"), col("feature"), col("thr"))
+      .limit(1).collect()(0)
+    val (feat, thr) = (best.getString(0), best.getLong(1))
+    features(docs)
+      .select(col("y"),
+        when(col(feat) >= thr, 1L).otherwise(-1L).as("pred"))
+      .groupBy("y", "pred").agg(count(lit(1)).as("n"))
+  }
+}

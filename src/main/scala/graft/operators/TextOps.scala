@@ -75,18 +75,24 @@ object TextOps {
     * length band, token-count band, stopword ratio ≥ 0.2, mean word length
     * in [3, 8]. Returns the number of passed flags (0–4).
     */
-  def qualityScoreCol(text: Column): Column = {
+  /** The four boolean quality signals behind [[qualityScoreCol]], exposed
+    * individually (feature extraction for model-based curation —
+    * [[ModelOps]] trains on exactly these bits). */
+  def qualityFlags(text: Column): Seq[Column] = {
     val toks    = tokens(text)
     val nTok    = size(toks)
     val nChars  = length(text)
     val stops   = hitCount(toks, LangProfiles.head._2)
     val letters = nChars - (nTok - lit(1)) // chars minus the separating spaces
-    val f1 = (nChars >= 50) && (nChars <= 2000)
-    val f2 = (nTok >= 10) && (nTok <= 500)
-    val f3 = stops * lit(5) >= nTok
-    val f4 = (letters >= nTok * lit(3)) && (letters <= nTok * lit(8))
-    Seq(f1, f2, f3, f4).map(f => when(f, 1).otherwise(0)).reduce(_ + _)
+    Seq(
+      (nChars >= 50) && (nChars <= 2000),
+      (nTok >= 10) && (nTok <= 500),
+      stops * lit(5) >= nTok,
+      (letters >= nTok * lit(3)) && (letters <= nTok * lit(8)))
   }
+
+  def qualityScoreCol(text: Column): Column =
+    qualityFlags(text).map(f => when(f, 1).otherwise(0)).reduce(_ + _)
 
   /** Winnowing-style document fingerprint: minimum md5 over the document's
     * word `n`-gram shingles (lexicographic min over hex strings — stable

@@ -245,6 +245,26 @@ object PipelineQueries {
     "samp_topk" -> ((s, d) =>
       graft.operators.CorpusOps.groupTopK(docs(s, d), "doc_id", "source", 7)),
 
+    // Weighted sample without replacement (priority sampling, weight =
+    // n_chars): the token-budget-proportional corpus draw. The selected
+    // SET is the gate; priorities are engine-exact integer/integer
+    // double quotients.
+    "samp_weighted" -> ((s, d) =>
+      graft.operators.CorpusOps.prioritySample(docs(s, d), "doc_id", 25)),
+
+    // Decision-stump (1R) length-router training: per candidate feature
+    // the exact error-minimizing threshold rule (pred = +1 iff x ≥ θ),
+    // found by integer counting over the feature's distinct values — the
+    // gate hashes the full per-feature sweep and the oracle re-trains the
+    // identical model.
+    "model_stump" -> ((s, d) =>
+      graft.operators.ModelOps.stumpTrain(docs(s, d))),
+
+    // Confusion matrix of the overall-best stump over the corpus — the
+    // deploy-side scoring pass (label ±1 × prediction ±1 cell counts).
+    "model_confusion" -> ((s, d) =>
+      graft.operators.ModelOps.stumpConfusion(docs(s, d))),
+
     "dedup_exact" -> ((s, d) => TextOps.dedupExact(docs(s, d))),
 
     // MinHash+LSH near-dup pairs: word-3-gram shingles, 12 bands × 3 rows,
@@ -375,6 +395,18 @@ object PipelineQueries {
     "knn_graph" -> ((s, d) =>
       graft.operators.VectorOps.knnGraph(
         embs(s, d), "vec_id", "embedding", KnnGraphK, LshTables, LshBits, EmbDims)),
+
+    // PAGERANK over that kNN graph: connectivity-weighted centrality (the
+    // canonical-document / corpus-weighting signal), 5 integer-exact
+    // power-iteration rounds — the oracle replays the full training run
+    // (graph build + every round) in SQL, so the gate hashes the
+    // iteration itself, not just plumbing.
+    "graph_pagerank" -> ((s, d) => {
+      val kg = graft.operators.VectorOps.knnGraph(
+        embs(s, d), "vec_id", "embedding", KnnGraphK, LshTables, LshBits, EmbDims)
+      graft.operators.GraphOps.pageRank(
+        kg.select(col("qid").as("src"), col("nid").as("dst")), PrIters)
+    }),
 
     // IVF (inverted-file) top-5: 16 deterministic corpus-vector centroids
     // (vec_id 8..23), nearest-cell assignment, 3 probed cells per query,
@@ -759,6 +791,8 @@ object PipelineQueries {
   private val BpeSteps  = 8
   private val ProjDims  = 8
   private val SemMinCos = 0.35
+  private val PrIters   = 5
+  private val PrScale   = 1000000000000L
 
   /** Per-query recall@5 of an ANN `method` result (qid, nid, …) against
     * the exact-cosine baseline over the same query set: n_true = baseline
@@ -794,6 +828,61 @@ object PipelineQueries {
     s"${d(a, b)} / (sqrt(${d(a, a)}) * sqrt(${d(b, b)}))"
   }
 
+  /** Shared CTE chain ending in `kg(qid, nid, rnk)` — the full kNN-graph
+    * build (LSH buckets → symmetric collisions → exact cosine → top-K per
+    * vector), consumed by the knn_graph gate and as the edge source of the
+    * graph_pagerank oracle. */
+  private lazy val knnGraphCtes: String = {
+    val pdot = s"list_sum([CAST(e.v[i] AS DOUBLE) * pl.p[i] for i in range(1, ${EmbDims + 1})])"
+    val cos  = cosSql("a.v", "b.v")
+    s"""planes(t, b, p) AS (VALUES
+       |$planesValuesSql),
+       |e AS (SELECT vec_id, embedding AS v FROM embeddings),
+       |buck AS (SELECT e.vec_id AS id, pl.t,
+       |  CAST(SUM(CASE WHEN $pdot >= 0 THEN (1 << pl.b) ELSE 0 END) AS INTEGER) AS bucket
+       |  FROM e, planes pl GROUP BY 1, 2),
+       |cand AS (SELECT x.id AS qid, y.id AS nid
+       |  FROM buck x JOIN buck y ON x.t = y.t AND x.bucket = y.bucket AND x.id != y.id
+       |  GROUP BY 1, 2),
+       |s AS (SELECT c.qid, c.nid, $cos AS sim
+       |  FROM cand c JOIN e a ON a.vec_id = c.qid JOIN e b ON b.vec_id = c.nid),
+       |kg AS (SELECT qid, nid, CAST(rnk AS BIGINT) AS rnk FROM (
+       |  SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rnk FROM s)
+       |WHERE rnk <= $KnnGraphK)""".stripMargin
+  }
+
+  /** CTE chain replaying [[graft.operators.ModelOps.stumpTrain]]: feature
+    * extraction (`f` — token count, long-word count, stop hits; label =
+    * the n_chars budget split, mirroring ModelOps.features expression by
+    * expression), the feature melt (`u`), per-(feature, value) label
+    * counts (`g`), and the cumulative-sum threshold sweep (`e`:
+    * errors(θ) = positives below θ + negatives at/above θ). */
+  private lazy val stumpCtes: String = {
+    import graft.operators.ModelOps.{CharBudget, LongWordLen}
+    val melt = graft.operators.ModelOps.FeatureNames
+      .map(f => s"SELECT y, '$f' AS feature, $f AS v FROM f")
+      .mkString("\n  UNION ALL ")
+    val below =
+      "OVER (PARTITION BY feature ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)"
+    s"""t AS (SELECT n_chars, string_split(text, ' ') AS w FROM documents),
+       |f AS (SELECT
+       |  CASE WHEN n_chars >= $CharBudget THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END AS y,
+       |  CAST(len(w) AS BIGINT) AS n_tok,
+       |  CAST(len(list_filter(w, t -> len(t) >= $LongWordLen)) AS BIGINT) AS n_long,
+       |  CAST(${hitSql(TextOps.LangProfiles.head._2)} AS BIGINT) AS n_stop
+       |  FROM t),
+       |u AS ($melt),
+       |g AS (SELECT feature, v,
+       |  SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS np,
+       |  SUM(CASE WHEN y = -1 THEN 1 ELSE 0 END) AS nn
+       |  FROM u GROUP BY 1, 2),
+       |e AS (SELECT feature, v AS thr,
+       |  COALESCE(SUM(np) $below, 0)
+       |  + SUM(nn) OVER (PARTITION BY feature)
+       |  - COALESCE(SUM(nn) $below, 0) AS errs
+       |  FROM g)""".stripMargin
+  }
+
   // DuckDB equivalents. Dialect notes: regexp_replace needs the 'g' flag
   // (Spark replaces all matches by default); tokens via string_split; list
   // comprehensions for shingles.
@@ -802,11 +891,17 @@ object PipelineQueries {
 
   /** The quality-score formula (expects `w` tokens and `nc` char count in
     * scope) — shared by the txt_quality and curate_counts oracles. */
+  /** The four quality flags of [[graft.operators.TextOps.qualityFlags]] in
+    * DuckDB terms (over a CTE exposing tokens `w` and char count `nc`) —
+    * individually consumed as perceptron features, summed into scoreSql. */
+  private val flagSqls: Seq[String] = Seq(
+    "CASE WHEN nc >= 50 AND nc <= 2000 THEN 1 ELSE 0 END",
+    "CASE WHEN len(w) >= 10 AND len(w) <= 500 THEN 1 ELSE 0 END",
+    s"CASE WHEN ${hitSql(TextOps.LangProfiles.head._2)} * 5 >= len(w) THEN 1 ELSE 0 END",
+    "CASE WHEN nc - (len(w) - 1) >= len(w) * 3 AND nc - (len(w) - 1) <= len(w) * 8 THEN 1 ELSE 0 END")
+
   private val scoreSql: String =
-    s"""(CASE WHEN nc >= 50 AND nc <= 2000 THEN 1 ELSE 0 END)
-       |  + (CASE WHEN len(w) >= 10 AND len(w) <= 500 THEN 1 ELSE 0 END)
-       |  + (CASE WHEN ${hitSql(TextOps.LangProfiles.head._2)} * 5 >= len(w) THEN 1 ELSE 0 END)
-       |  + (CASE WHEN nc - (len(w) - 1) >= len(w) * 3 AND nc - (len(w) - 1) <= len(w) * 8 THEN 1 ELSE 0 END)""".stripMargin
+    flagSqls.map(f => s"($f)").mkString("\n  + ")
 
   /** [[graft.operators.TextOps.hashBucketCol]] in DuckDB terms. */
   private def bucketSql(t: String): String =
@@ -1576,6 +1671,42 @@ object PipelineQueries {
         |  FROM documents)
         |WHERE rnk <= 7""".stripMargin,
 
+    // samp_weighted: priority sampling — w/h with the base-31 ascii fold
+    // over six md5 hex chars (BIGINT throughout; INTEGER would overflow at
+    // 31^5·ascii). The double quotient of two exact integers is correctly
+    // rounded identically in both engines, so the top-25 SET is exact.
+    "samp_weighted" -> {
+      val draw = (1 to 6)
+        .map(i => s"CAST(ascii(substr(md5('prio:' || text), $i, 1)) AS BIGINT)")
+        .reduce((a, b) => s"($a * 31 + $b)")
+      s"""SELECT doc_id, w FROM (
+         |  SELECT doc_id, n_chars AS w,
+         |    CAST(n_chars AS DOUBLE) / CAST($draw AS DOUBLE) AS prio
+         |  FROM documents)
+         |ORDER BY prio DESC, doc_id LIMIT 25""".stripMargin
+    },
+
+    // model_stump / model_confusion: the full 1R training replay —
+    // feature melt, per-(feature, value) label counts, cumulative-sum
+    // threshold sweep. DuckDB SUM(BIGINT) returns HUGEINT, so every
+    // emitted value is cast back to BIGINT.
+    "model_stump" ->
+      s"""WITH $stumpCtes
+         |SELECT feature, CAST(thr AS BIGINT) AS thr, CAST(errs AS BIGINT) AS errs
+         |FROM (SELECT feature, thr, errs,
+         |  ROW_NUMBER() OVER (PARTITION BY feature ORDER BY errs, thr) AS rn FROM e)
+         |WHERE rn = 1""".stripMargin,
+
+    "model_confusion" ->
+      s"""WITH $stumpCtes,
+         |b AS (SELECT feature, thr FROM e ORDER BY errs, feature, thr LIMIT 1)
+         |SELECT CAST(f.y AS BIGINT) AS y,
+         |  CAST(CASE WHEN (CASE b.feature WHEN 'n_tok' THEN f.n_tok
+         |    WHEN 'n_long' THEN f.n_long ELSE f.n_stop END) >= b.thr
+         |    THEN 1 ELSE -1 END AS BIGINT) AS pred,
+         |  CAST(COUNT(*) AS BIGINT) AS n
+         |FROM f CROSS JOIN b GROUP BY 1, 2""".stripMargin,
+
     "evt_topk" ->
       """WITH c AS (SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS cnt
         |  FROM events GROUP BY 1, 2),
@@ -1647,23 +1778,31 @@ object PipelineQueries {
     // knn_graph: the knn_lsh replay with NO query predicate — candidates
     // from symmetric (table, bucket) collisions (x.id != y.id covers both
     // directions of each pair), exact cosine, top-KnnGraphK per vector.
-    "knn_graph" -> {
-      val pdot = s"list_sum([CAST(e.v[i] AS DOUBLE) * pl.p[i] for i in range(1, ${EmbDims + 1})])"
-      val cos  = cosSql("a.v", "b.v")
-      s"""WITH planes(t, b, p) AS (VALUES
-         |$planesValuesSql),
-         |e AS (SELECT vec_id, embedding AS v FROM embeddings),
-         |buck AS (SELECT e.vec_id AS id, pl.t,
-         |  CAST(SUM(CASE WHEN $pdot >= 0 THEN (1 << pl.b) ELSE 0 END) AS INTEGER) AS bucket
-         |  FROM e, planes pl GROUP BY 1, 2),
-         |cand AS (SELECT x.id AS qid, y.id AS nid
-         |  FROM buck x JOIN buck y ON x.t = y.t AND x.bucket = y.bucket AND x.id != y.id
-         |  GROUP BY 1, 2),
-         |s AS (SELECT c.qid, c.nid, $cos AS sim
-         |  FROM cand c JOIN e a ON a.vec_id = c.qid JOIN e b ON b.vec_id = c.nid)
-         |SELECT qid, nid, CAST(rnk AS BIGINT) AS rnk FROM (
-         |  SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rnk FROM s)
-         |WHERE rnk <= $KnnGraphK""".stripMargin
+    "knn_graph" -> s"WITH $knnGraphCtes\nSELECT qid, nid, rnk FROM kg",
+
+    // graph_pagerank: the kNN-graph CTE chain feeding PrIters unrolled
+    // integer power-iteration rounds — BIGINT floor division (`//`)
+    // matches Spark's `div` on the all-positive rank units, so the oracle
+    // re-trains the identical run. SUMs go through HUGEINT; every output
+    // and every round's rank is cast back to BIGINT.
+    "graph_pagerank" -> {
+      val base = s"(15 * ($PrScale // nn.n)) // 100"
+      val rounds = (1 to PrIters).map { t =>
+        s"""c$t AS (SELECT e.dst, SUM(p.r // dg.deg) AS contrib
+           |  FROM edges e JOIN pr${t - 1} p ON p.id = e.src
+           |  JOIN deg dg ON dg.src = e.src GROUP BY 1),
+           |pr$t AS (SELECT dg.src AS id,
+           |  CAST($base + (85 * COALESCE(c.contrib, 0)) // 100 AS BIGINT) AS r
+           |  FROM deg dg CROSS JOIN nn LEFT JOIN c$t c ON c.dst = dg.src)"""
+      }.mkString(",\n")
+      s"""WITH $knnGraphCtes,
+         |edges AS (SELECT qid AS src, nid AS dst FROM kg),
+         |deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY 1),
+         |nn AS (SELECT COUNT(*) AS n FROM deg),
+         |pr0 AS (SELECT src AS id, CAST($PrScale // nn.n AS BIGINT) AS r
+         |  FROM deg CROSS JOIN nn),
+         |$rounds
+         |SELECT id AS vec_id, r AS pr FROM pr$PrIters""".stripMargin
     },
 
     "knn_ivf" -> {

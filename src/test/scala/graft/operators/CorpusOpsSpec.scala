@@ -443,6 +443,35 @@ class CorpusOpsSpec extends AnyFunSuite with PropHelpers {
       s"got ${packed.toSeq}")
   }
 
+  test("prioritySample matches a driver-side replay; deterministic under repartition") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val docs = (1L to 60L)
+      .map(i => (i, s"doc number $i with ${"x " * (i % 13).toInt}payload"))
+      .map { case (i, t) => (i, t, t.length.toLong) }
+      .toDF("doc_id", "text", "n_chars")
+    // Driver-side replay: same md5, same base-31 ascii fold over the first
+    // six hex chars, same w/h priority, same (prio desc, id) order.
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def draw(text: String): Long = {
+      val hex = md.digest(("prio:" + text).getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      hex.take(6).foldLeft(0L)((a, c) => a * 31L + c.toInt)
+    }
+    val expect = docs.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .map { case (id, t, w) => (id, w, w.toDouble / draw(t).toDouble) }
+      .sortBy { case (id, _, p) => (-p, id) }
+      .take(10).map { case (id, w, _) => (id, w) }.toSeq
+    def got(df: org.apache.spark.sql.DataFrame) =
+      CorpusOps.prioritySample(df, "doc_id", 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(got(docs) == expect.sorted)
+    assert(got(docs.repartition(13)) == expect.sorted)
+    // k beyond the corpus: everything is sampled.
+    assert(CorpusOps.prioritySample(docs, "doc_id", 1000).count() == 60L)
+  }
+
   test("stratifiedSample uses a salted bucket (not the split bucket)") {
     val spark = TestSpark.spark
     val df = docsDF((1 to 100).map(i =>

@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.TestSpark
+
+class GraphOpsSpec extends AnyFunSuite {
+
+  /** Reference integer PageRank: the exact recursion the operator claims
+    * (floor division, damping 85/100, dangling mass dropped, node set =
+    * distinct sources). */
+  private def referencePr(edges: Seq[(Long, Long)], iters: Int,
+                          scale: Long): Map[Long, Long] = {
+    val deg = edges.groupBy(_._1).map { case (s, es) => s -> es.size.toLong }
+    val n = deg.size.toLong
+    val r0 = scale / n
+    val base = (15L * r0) / 100L
+    var r: Map[Long, Long] = deg.map { case (s, _) => s -> r0 }
+    for (_ <- 1 to iters) {
+      val contrib = edges
+        .filter { case (s, d) => r.contains(s) && deg.contains(s) }
+        .groupBy(_._2)
+        .map { case (d, es) =>
+          d -> es.map { case (s, _) => r(s) / deg(s) }.sum }
+      r = deg.map { case (s, _) =>
+        s -> (base + (85L * contrib.getOrElse(s, 0L)) / 100L) }
+    }
+    r
+  }
+
+  private def run(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val got = GraphOps.pageRank(edges.toDF("src", "dst"), iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    graft.core.Caches.releaseAll()
+    got
+  }
+
+  test("3-cycle: symmetric graph, equal ranks, mass preserved per node") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L))
+    val got = run(edges, 4)
+    assert(got.keySet == Set(1L, 2L, 3L))
+    assert(got.values.toSet.size == 1, s"cycle ranks must be equal: $got")
+    assert(got == referencePr(edges, 4, 1000000000000L))
+  }
+
+  test("star: the hub out-ranks the leaves and matches the reference") {
+    // Leaves 2..5 all point at hub 1; hub points back at leaf 2 (so every
+    // node is a source — the knnGraph-shaped symmetric-candidate property).
+    val edges = Seq((2L, 1L), (3L, 1L), (4L, 1L), (5L, 1L),
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 2L))
+    val got = run(edges, 5)
+    val ref = referencePr(edges, 5, 1000000000000L)
+    assert(got == ref)
+    assert(got(1L) > got(3L) && got(1L) > got(4L) && got(1L) > got(5L),
+      s"hub must out-rank plain leaves: $got")
+  }
+
+  test("random graph matches the reference recursion exactly") {
+    val rnd = new scala.util.Random(7)
+    val n = 40
+    val edges = (0 until n).flatMap { s =>
+      // 1-3 out-edges per node, self-loops excluded.
+      (0 until 1 + rnd.nextInt(3)).map { _ =>
+        var d = rnd.nextInt(n)
+        if (d == s) d = (s + 1) % n
+        (s.toLong, d.toLong)
+      }
+    }.distinct
+    assert(run(edges, 6) == referencePr(edges, 6, 1000000000000L))
+  }
+
+  test("ranks stay positive and bounded by the total mass") {
+    val edges = Seq((1L, 2L), (2L, 1L), (3L, 1L))
+    val got = run(edges, 8)
+    assert(got.values.forall(r => r > 0 && r <= 1000000000000L))
+  }
+}
