@@ -44,6 +44,31 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!meta.contains("l_comment"), s"columns not pruned: $meta")
   }
 
+  test("samp_weighted is a pruned scan into a global top-k (no sort, no window)") {
+    val spark = TestSpark.spark
+    val df = graft.queries.PipelineQueries.queries("samp_weighted")(spark, sf)
+    val plan = df.queryExecution.sparkPlan
+    assert(plan.collect {
+      case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
+    }.nonEmpty, s"expected TakeOrderedAndProject:\n$plan")
+    assert(plan.collect {
+      case s: org.apache.spark.sql.execution.SortExec => s
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, s"global sort/window crept into the sample plan:\n$plan")
+    val meta = scanMeta(df)
+    assert(!meta.contains("lang") && !meta.contains("source"),
+      s"columns not pruned: $meta")
+  }
+
+  test("model_stump prunes its scan to (text, n_chars)") {
+    val spark = TestSpark.spark
+    val df = graft.queries.PipelineQueries.queries("model_stump")(spark, sf)
+    val meta = scanMeta(df)
+    assert(meta.contains("text") && meta.contains("n_chars") &&
+      !meta.contains("lang") && !meta.contains("doc_id"),
+      s"columns not pruned: $meta")
+  }
+
   test("the skyline query's scan reads only its dimensions") {
     val spark = TestSpark.spark
     val df = graft.queries.SkylineQueries.queries("sky2d")(spark, sf)
