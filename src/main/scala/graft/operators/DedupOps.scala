@@ -523,4 +523,61 @@ object DedupOps {
       .distinct()
       .filter(col("dist") <= maxDist)
   }
+
+  /** INCREMENTAL deduplication — the ingestion-time shape: dedup an
+    * incoming batch against the EXISTING corpus and return the new doc ids
+    * that survive. (New-vs-new duplication inside the batch is the plain
+    * batch problem — [[graft.operators.TextOps.dedupExact]] /
+    * [[minhashNearDups]] — and deliberately out of this contract.)
+    *
+    * A new doc is dropped iff (a) its normalized-text hash
+    * ([[TextOps.normHashCol]]) already exists in the corpus, or (b) banded
+    * MinHash LSH proposes an old neighbor and exact shingle-set Jaccard
+    * verifies J ≥ num/den — the same candidate/verify semantics and the
+    * same hot-bucket cap as [[minhashNearDups]], restricted to new × old
+    * pairs.
+    *
+    * Scale shape: the exact pass is a LEFT ANTI hash join on the
+    * normalized key (both sides pruned to two columns; the NEW side is
+    * batch-sized, so AQE broadcasts it against the corpus-sized build).
+    * The fuzzy pass runs ONE banding over the tagged old ∪ new union —
+    * the hot-bucket guard sees COMBINED bucket occupancy, so an old-side
+    * boilerplate cluster cannot fan a new doc out quadratically — and the
+    * band-key equi-join carries the side tags, so only cross-side
+    * candidates materialize (old×old, the overwhelmingly largest pair
+    * population at steady state, never leaves the bucket). */
+  def incrementalDedup(oldDocs: DataFrame, newDocs: DataFrame, idCol: String,
+                       n: Int, b: Int, r: Int, num: Int, den: Int,
+                       maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    require(num > 0 && den > 0 && num <= den,
+      s"Jaccard threshold must be in (0, 1]: $num/$den")
+    val newKeyed = newDocs.select(col(idCol).as("id"),
+      TextOps.normHashCol(col("text")).as("k"))
+    val oldKeys = oldDocs.select(TextOps.normHashCol(col("text")).as("k"))
+    val exactSurvivors = newKeyed
+      .join(oldKeys, Seq("k"), "left_anti").select(col("id"))
+    // One banding over the union; ids are disjoint across sides by
+    // contract (same id space, different rows), so the side tag rejoins
+    // by id after the per-id signature aggregation.
+    val tagged = oldDocs.select(col(idCol), col("text"), lit(0).as("side"))
+      .unionAll(newDocs.select(col(idCol), col("text"), lit(1).as("side")))
+    val sr = cachePersist(shingleRows(tagged, idCol, n))
+    val keys = Seq("band") ++ (0 until r).map(t => s"h$t")
+    val g = dropHotBuckets(bandedSignatures(sr, b, r), keys, maxBucket)
+      .join(tagged.select(col(idCol).as("id"), col("side")), "id")
+    val cond = keys.map(c => col(s"a.$c") === col(s"b.$c")).reduce(_ && _) &&
+      col("a.side") === 1 && col("b.side") === 0
+    val cand = g.as("a").join(g.as("b"), cond)
+      .select(col("a.id").as("id_new"), col("b.id").as("id_old"))
+      .distinct()
+    val sh = sr.groupBy("id").agg(collect_list(col("s")).as("sh"))
+    val fuzzyDropped = cand
+      .join(sh.select(col("id").as("id_new"), col("sh").as("sh_n")), "id_new")
+      .join(sh.select(col("id").as("id_old"), col("sh").as("sh_o")), "id_old")
+      .filter(size(array_intersect(col("sh_n"), col("sh_o"))) * den >=
+        size(array_union(col("sh_n"), col("sh_o"))) * num)
+      .select(col("id_new").as("id")).distinct()
+    exactSurvivors.join(fuzzyDropped, Seq("id"), "left_anti")
+      .select(col("id").as(idCol))
+  }
 }

@@ -280,6 +280,18 @@ object PipelineQueries {
     "dedup_minhash" -> ((s, d) =>
       graft.operators.DedupOps.minhashNearDups(docs(s, d), "doc_id", 3, 12, 3, 1, 2)),
 
+    // INCREMENTAL dedup — the ingestion-time operation: new batch (odd
+    // doc_ids) deduped against the existing corpus (even doc_ids), exact
+    // normalized-hash anti-join + banded-LSH/verified-Jaccard cross-side
+    // pass. Output: surviving new doc ids. The oracle replays both drop
+    // rules brute-force.
+    "dedup_incr" -> ((s, d) => {
+      val dd = docs(s, d)
+      graft.operators.DedupOps.incrementalDedup(
+        dd.filter(col("doc_id") % 2 === 0), dd.filter(col("doc_id") % 2 === 1),
+        "doc_id", 3, 12, 3, 1, 2)
+    }),
+
     // Exact n-gram-Jaccard near-dups (shingle co-occurrence join — no LSH):
     // must produce the identical pair set through a different algorithm.
     "dedup_jaccard" -> ((s, d) =>
@@ -1981,6 +1993,27 @@ object PipelineQueries {
         |  CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS c_inter,
         |  CAST(len(list_distinct(list_concat(a.s, b.s))) AS BIGINT) AS c_union
         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        |WHERE len(list_intersect(a.s, b.s)) * 2 >= len(list_distinct(list_concat(a.s, b.s)))""".stripMargin
+        |WHERE len(list_intersect(a.s, b.s)) * 2 >= len(list_distinct(list_concat(a.s, b.s)))""".stripMargin,
+
+    // dedup_incr: brute-force replay of both drop rules over the parity
+    // split — exact normalized-hash membership in the old side, and any
+    // old doc with shingle Jaccard ≥ 1/2 (docs under 3 tokens carry no
+    // shingles and can only be exact-dropped, matching the Spark side).
+    "dedup_incr" ->
+      """WITH norm AS (SELECT doc_id,
+        |  md5(regexp_replace(lower(trim(text)), ' +', ' ', 'g')) AS k FROM documents),
+        |toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT doc_id,
+        |  list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)]) AS s
+        |  FROM toks WHERE len(w) >= 3),
+        |ex AS (SELECT DISTINCT n.doc_id FROM norm n JOIN norm o
+        |  ON n.doc_id % 2 = 1 AND o.doc_id % 2 = 0 AND n.k = o.k),
+        |fz AS (SELECT DISTINCT a.doc_id FROM sh a JOIN sh b
+        |  ON a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+        |  AND len(list_intersect(a.s, b.s)) * 2 >= len(list_distinct(list_concat(a.s, b.s))))
+        |SELECT doc_id FROM documents
+        |WHERE doc_id % 2 = 1
+        |  AND doc_id NOT IN (SELECT doc_id FROM ex)
+        |  AND doc_id NOT IN (SELECT doc_id FROM fz)""".stripMargin
   )
 }

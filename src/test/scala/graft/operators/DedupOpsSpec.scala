@@ -150,6 +150,32 @@ class DedupOpsSpec extends AnyFunSuite with PropHelpers {
     assert(run(m - 1) == uncapped -- clusterPairs)
   }
 
+  test("incrementalDedup: exact copies and near-dups of the corpus drop, fresh docs survive") {
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val near = ((1 to 38).map(i => s"tok$i") ++ Seq("zzz", "tok40")).mkString(" ")
+    val old = docsDF((1L, base), (2L, (100 to 140).map(i => s"old$i").mkString(" ")))
+    val incoming = docsDF(
+      (10L, base),                                         // exact copy → drop
+      (11L, "  " + base.toUpperCase + "  "),               // normalized copy → drop
+      (12L, near),                                         // near-dup (J ≥ 1/2) → drop
+      (13L, (200 to 240).map(i => s"new$i").mkString(" ")), // fresh → survives
+      (14L, "a b"))                                        // <3 tokens, fresh → survives
+    val got = DedupOps.incrementalDedup(old, incoming, "doc_id", 3, 12, 3, 1, 2)
+      .collect().map(_.getLong(0)).toSet
+    graft.core.Caches.releaseAll()
+    assert(got == Set(13L, 14L), s"got $got")
+  }
+
+  test("incrementalDedup does NOT dedup new-vs-new (contract: batch dedup is separate)") {
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    val old = docsDF((1L, (50 to 80).map(i => s"o$i").mkString(" ")))
+    val incoming = docsDF((10L, base), (11L, base)) // mutual dups, no old match
+    val got = DedupOps.incrementalDedup(old, incoming, "doc_id", 3, 12, 3, 1, 2)
+      .collect().map(_.getLong(0)).toSet
+    graft.core.Caches.releaseAll()
+    assert(got == Set(10L, 11L), s"got $got")
+  }
+
   test("nearDupClusters: min label propagates across chains; singletons keep their id") {
     val spark = TestSpark.spark
     import spark.implicits._
