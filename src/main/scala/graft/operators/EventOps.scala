@@ -1,0 +1,125 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Behavioral / product analytics over event streams — the funnel,
+  * cohort-retention, and inter-event-gap reports that sit next to a
+  * training-data pipeline's activity logs (reference scope: the events
+  * topology of `FlinkSkyline.java` ingests exactly this shape of
+  * per-user timestamped stream; these are the standard OLAP readouts
+  * over it).
+  *
+  * Everything is INTEGER-exact (microsecond epochs, day indexes via
+  * positive floor division) so the DuckDB oracles replay each operator
+  * bit-for-bit — no cross-engine timestamp encodings or float time
+  * arithmetic anywhere.
+  */
+object EventOps {
+
+  private val UsPerDay = 86400000000L
+
+  /** Ordered conversion funnel over `steps` event types. A user reaches
+    * stage i when an event of type `steps(i-1)` exists STRICTLY after
+    * their stage-(i−1) reach time (reach time = earliest such event);
+    * stage 1 is the earliest `steps(0)` event. Strict ordering means an
+    * equal-timestamp pair does not convert — deterministic, and exactly
+    * replayable in SQL.
+    *
+    * Output: one row per stage — (step, step_name, n_users).
+    *
+    * Scale shape: one filtered scan of the event table feeds every
+    * stage; each stage is a per-user min aggregation (shuffle keyed on
+    * the user column, map-side partial min) followed by a user-keyed
+    * equi-join against the previous stage's one-row-per-user frontier.
+    * State per stage is |converted users| × two longs — never event
+    * rows — and each stage's frontier is cached since both the stage
+    * count and the next stage consume it. Nothing here is quadratic in
+    * events; at 100 TB the event scan dominates and it happens once.
+    */
+  def funnel(events: DataFrame, userCol: String, usCol: String,
+             typeCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val s = events.sparkSession
+    import s.implicits._
+    // One narrow projection of only the funnel-relevant events, shared
+    // by every stage (persisted: |steps| consumers).
+    val ev = graft.core.Caches.persistTracked(
+      events.select(col(userCol).as("u"), col(usCol).cast("long").as("us"),
+          col(typeCol).as("et"))
+        .filter(col("et").isin(steps: _*)))
+    var frontier = graft.core.Caches.persistTracked(
+      ev.filter(col("et") === steps.head)
+        .groupBy("u").agg(min(col("us")).as("t")))
+    var out = frontier.agg(count(lit(1)).as("n_users"))
+      .select(lit(1L).as("step"), lit(steps.head).as("step_name"),
+        col("n_users"))
+    var i = 1
+    while (i < steps.length) {
+      val prev = frontier.select(col("u"), col("t").as("t_prev"))
+      frontier = graft.core.Caches.persistTracked(
+        ev.filter(col("et") === steps(i))
+          .join(prev, "u")
+          .filter(col("us") > col("t_prev"))
+          .groupBy("u").agg(min(col("us")).as("t")))
+      out = out.unionAll(
+        frontier.agg(count(lit(1)).as("n_users"))
+          .select(lit((i + 1).toLong).as("step"),
+            lit(steps(i)).as("step_name"), col("n_users")))
+      i += 1
+    }
+    out
+  }
+
+  /** Cohort retention: cohort = the user's first active day (us div
+    * day), activity = the distinct (user, day) set; one row per
+    * (cohort_day, day_off ≥ 0) with the number of cohort users active
+    * that many days after their first day. `day_off = 0` rows recover
+    * cohort sizes, so retention ratios are a client-side division.
+    *
+    * Scale shape: a distinct over (user, day) — the event table's only
+    * shuffle, with map-side partial dedup — then a per-user min (same
+    * key, so AQE coalesces into the existing partitioning), a user-keyed
+    * join of the day set against the one-row-per-user cohort table, and
+    * a (cohort, offset)-keyed count whose cardinality is bounded by
+    * days², independent of user count. No event-row state survives the
+    * first distinct.
+    */
+  def retention(events: DataFrame, userCol: String, usCol: String): DataFrame = {
+    val days = graft.core.Caches.persistTracked(
+      events.select(col(userCol).as("u"),
+          expr(s"CAST(${usCol} AS BIGINT) div $UsPerDay").as("day"))
+        .distinct())
+    val cohort = days.groupBy("u").agg(min(col("day")).as("cohort_day"))
+    days.join(cohort, "u")
+      .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_off"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  /** Inter-event gap statistics per group: orders the per-key event
+    * sequence (day index, id tiebreak), takes consecutive-day gaps via
+    * `lag`, and aggregates count / sum / max of the gaps per group
+    * column from a dimension join — the purchase-cadence report.
+    *
+    * Scale shape: one window shuffle keyed on the entity column (the
+    * sort is per-key, sized by that key's row count — no global sort),
+    * a broadcastable dimension join (AQE decides; the dim side is
+    * |entities| rows), and a low-cardinality group aggregate. Skewed
+    * entities would bound the window task, but an entity's own event
+    * count is the natural ceiling here, not corpus size.
+    */
+  def gapStats(fact: DataFrame, keyCol: String, dayCol: Column,
+               ordCol: String, dim: DataFrame, dimKeyCol: String,
+               groupCol: String): DataFrame = {
+    val w = Window.partitionBy("k").orderBy(col("day"), col(ordCol))
+    val gaps = fact
+      .select(col(keyCol).as("k"), dayCol.cast("long").as("day"), col(ordCol))
+      .withColumn("gap", col("day") - lag("day", 1).over(w))
+      .filter(col("gap").isNotNull)
+    gaps.join(dim.select(col(dimKeyCol).as("k"), col(groupCol).as("grp")), "k")
+      .groupBy("grp")
+      .agg(count(lit(1)).as("n_gaps"), sum("gap").as("sum_gap_days"),
+        max("gap").as("max_gap_days"))
+  }
+}

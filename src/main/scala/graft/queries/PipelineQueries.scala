@@ -668,6 +668,32 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n_views"))
     }),
 
+    // Ordered conversion funnel view → click → purchase: stage counts
+    // with strictly-after reach semantics (an equal-timestamp pair does
+    // not convert). Per-user frontier state only — never event rows.
+    "evt_funnel" -> ((s, d) =>
+      graft.operators.EventOps.funnel(
+        events(s, d).select(col("user_id"), expr("ts div 1000").as("us"),
+          col("event_type")),
+        "user_id", "us", "event_type", Seq("view", "click", "purchase"))),
+
+    // Cohort retention triangle: users active `day_off` days after their
+    // first active day, keyed by cohort day. day_off=0 recovers cohort
+    // sizes; state bounded by days², not users.
+    "evt_retention" -> ((s, d) =>
+      graft.operators.EventOps.retention(
+        events(s, d).select(col("user_id"), expr("ts div 1000").as("us")),
+        "user_id", "us")),
+
+    // Inter-order gap cadence per market segment: per-customer lag over
+    // (order day, key), gaps aggregated through the broadcastable
+    // customer dimension join — integer day arithmetic throughout.
+    "ord_gaps" -> ((s, d) =>
+      graft.operators.EventOps.gapStats(
+        s.read.parquet(s"$d/orders.parquet"), "o_custkey",
+        expr("datediff(CAST(o_orderdate AS DATE), DATE'1970-01-01')"), "o_orderkey",
+        s.read.parquet(s"$d/customer.parquet"), "c_custkey", "c_mktsegment")),
+
     // ---------------------------------------------------- wire format (O3/O4)
     "wire_parse" -> (wireParse _),
 
@@ -1675,6 +1701,42 @@ object PipelineQueries {
         |FROM e JOIN v ON e.user_id = v.user_id
         |  AND v.v_us BETWEEN e.us - 600000000 AND e.us - 1
         |GROUP BY 1, 2, 3""".stripMargin,
+
+    // evt_funnel: stage frontiers as chained per-user MIN CTEs with the
+    // identical strictly-after (>) conversion rule.
+    "evt_funnel" ->
+      """WITH ev AS (SELECT user_id AS u, epoch_us(ts) AS us, event_type AS et FROM events),
+        |s1 AS (SELECT u, MIN(us) AS t FROM ev WHERE et = 'view' GROUP BY 1),
+        |s2 AS (SELECT ev.u, MIN(ev.us) AS t FROM ev JOIN s1 ON ev.u = s1.u
+        |  WHERE ev.et = 'click' AND ev.us > s1.t GROUP BY 1),
+        |s3 AS (SELECT ev.u, MIN(ev.us) AS t FROM ev JOIN s2 ON ev.u = s2.u
+        |  WHERE ev.et = 'purchase' AND ev.us > s2.t GROUP BY 1)
+        |SELECT CAST(1 AS BIGINT) AS step, 'view' AS step_name,
+        |  CAST((SELECT COUNT(*) FROM s1) AS BIGINT) AS n_users
+        |UNION ALL SELECT 2, 'click', CAST((SELECT COUNT(*) FROM s2) AS BIGINT)
+        |UNION ALL SELECT 3, 'purchase', CAST((SELECT COUNT(*) FROM s3) AS BIGINT)""".stripMargin,
+
+    // evt_retention: distinct (user, day) set joined to the per-user
+    // first-day cohort — integer day indexes via positive floor division
+    // (epoch_us is positive here; Spark div = DuckDB // only then).
+    "evt_retention" ->
+      """WITH days AS (SELECT DISTINCT user_id AS u, epoch_us(ts) // 86400000000 AS day FROM events),
+        |c AS (SELECT u, MIN(day) AS cohort_day FROM days GROUP BY 1)
+        |SELECT cohort_day, day - cohort_day AS day_off, CAST(COUNT(*) AS BIGINT) AS n_users
+        |FROM days JOIN c USING (u) GROUP BY 1, 2""".stripMargin,
+
+    // ord_gaps: same lag-over-(day, key) scan; gap multiset is invariant
+    // to the equal-day tiebreak so the aggregate is engine-exact.
+    "ord_gaps" ->
+      """WITH o AS (SELECT o_custkey AS k,
+        |  CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS day, o_orderkey FROM orders),
+        |g AS (SELECT k, day - LAG(day) OVER (
+        |  PARTITION BY k ORDER BY day, o_orderkey) AS gap FROM o)
+        |SELECT c_mktsegment AS grp, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+        |  CAST(SUM(gap) AS BIGINT) AS sum_gap_days,
+        |  CAST(MAX(gap) AS BIGINT) AS max_gap_days
+        |FROM g JOIN customer ON k = c_custkey
+        |WHERE gap IS NOT NULL GROUP BY 1""".stripMargin,
 
     "samp_topk" ->
       """SELECT source, doc_id, CAST(rnk AS BIGINT) AS rnk FROM (

@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.TestSpark
+
+class EventOpsSpec extends AnyFunSuite {
+
+  /** Hand-built event log (user, us, type). Funnel view→click→purchase:
+    *  u1: view@10, click@20, purchase@30  — full conversion
+    *  u2: view@10, click@10 (tie — no),  purchase@50 (no stage-2)
+    *  u3: click@5, view@10, click@15, purchase@12 (purchase BEFORE the
+    *      stage-2 click ⇒ no stage 3; click@5 before the view ignored)
+    *  u4: view only
+    *  u5: click, purchase but never a view — enters no stage
+    */
+  private def ev() = {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    Seq(
+      (1L, 10L, "view"), (1L, 20L, "click"), (1L, 30L, "purchase"),
+      (2L, 10L, "view"), (2L, 10L, "click"), (2L, 50L, "purchase"),
+      (3L, 5L, "click"), (3L, 10L, "view"), (3L, 15L, "click"), (3L, 12L, "purchase"),
+      (4L, 10L, "view"),
+      (5L, 5L, "click"), (5L, 9L, "purchase")
+    ).toDF("user_id", "us", "event_type")
+  }
+
+  test("funnel: strictly-after conversion, stage counts") {
+    val rows = EventOps.funnel(ev(), "user_id", "us", "event_type",
+        Seq("view", "click", "purchase"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    // stage1 = {u1,u2,u3,u4}; stage2 = {u1 (20>10), u3 (15>10)} — u2's
+    // click ties its view; stage3 = {u1} — u3's purchase precedes its
+    // qualifying click.
+    assert(rows == Set((1L, "view", 4L), (2L, "click", 2L), (3L, "purchase", 1L)))
+    graft.core.Caches.releaseAll()
+  }
+
+  test("funnel: single-step degenerates to distinct users with that event") {
+    val rows = EventOps.funnel(ev(), "user_id", "us", "event_type", Seq("click"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(rows.toSeq == Seq((1L, "click", 4L)))
+    graft.core.Caches.releaseAll()
+  }
+
+  test("retention: cohort triangle matches brute force") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val day = 86400000000L
+    // u1 first day 0, active 0,1,3 (dup same-day events collapse);
+    // u2 first day 1, active 1,2; u3 first day 3 only.
+    val df = Seq(
+      (1L, 0L), (1L, 100L), (1L, day + 5L), (1L, 3 * day + 1L),
+      (2L, day + 7L), (2L, 2 * day),
+      (3L, 3 * day)
+    ).toDF("user_id", "us")
+    val got = EventOps.retention(df, "user_id", "us")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set(
+      (0L, 0L, 1L), (0L, 1L, 1L), (0L, 3L, 1L),
+      (1L, 0L, 1L), (1L, 1L, 1L),
+      (3L, 0L, 1L)))
+    graft.core.Caches.releaseAll()
+  }
+
+  test("gapStats: per-key day gaps aggregated through the dim join") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // key 1 (grp A): days 10, 12, 12, 20 → gaps {2, 0, 8}
+    // key 2 (grp A): day 5 only → no gaps
+    // key 3 (grp B): days 1, 4 → gaps {3}
+    val fact = Seq(
+      (1L, 10L, 100L), (1L, 12L, 101L), (1L, 12L, 102L), (1L, 20L, 103L),
+      (2L, 5L, 104L),
+      (3L, 1L, 105L), (3L, 4L, 106L)
+    ).toDF("k_in", "d", "ord")
+    val dim = Seq((1L, "A"), (2L, "A"), (3L, "B")).toDF("dk", "seg")
+    val got = EventOps.gapStats(fact, "k_in", col("d"), "ord", dim, "dk", "seg")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == Set(("A", 3L, 10L, 8L), ("B", 1L, 3L, 3L)))
+  }
+}
