@@ -85,6 +85,7 @@ case class DotProduct(left: Expression, right: Expression)
   * to the Spark 4.x line like the encoder note in SkylineAgg. */
 object GraftFunctions {
   val DotName = "graft_dot"
+  val ZOrderName = "graft_zorder"
 
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
@@ -93,6 +94,12 @@ object GraftFunctions {
         FunctionIdentifier(DotName),
         new ExpressionInfo(classOf[DotProduct].getName, DotName),
         (children: Seq[Expression]) => DotProduct(children(0), children(1)))
+    }
+    if (!registry.functionExists(FunctionIdentifier(ZOrderName))) {
+      registry.registerFunction(
+        FunctionIdentifier(ZOrderName),
+        new ExpressionInfo(classOf[ZOrder2].getName, ZOrderName),
+        (children: Seq[Expression]) => ZOrder2(children(0), children(1)))
     }
   }
 }

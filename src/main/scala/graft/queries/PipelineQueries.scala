@@ -694,6 +694,53 @@ object PipelineQueries {
         expr("datediff(CAST(o_orderdate AS DATE), DATE'1970-01-01')"), "o_orderkey",
         s.read.parquet(s"$d/customer.parquet"), "c_custkey", "c_mktsegment")),
 
+    // ------------------------------------------------------------ layout
+    // Z-order clustering readout: lineitem quantized to a 1024×1024
+    // (partkey, orderkey) grid, z-keyed by the native codegen'd
+    // interleave, bucketed by the top 6 z-bits (= an 8×8 grid of 128×128
+    // tiles — the "files" of a z-sorted write). Per-bucket bounding boxes
+    // are the footer stats a reader prunes with; the oracle replays the
+    // bit interleave arithmetically.
+    "zorder_layout" -> ((s, d) => {
+      graft.plans.GraftFunctions.register(s)
+      import graft.operators.LayoutOps
+      val li = s.read.parquet(s"$d/lineitem.parquet")
+        .select(pmod(col("l_partkey"), lit(1024)).cast("long").as("px"),
+          pmod(col("l_orderkey"), lit(1024)).cast("long").as("ox"))
+      LayoutOps.bucketStats(li,
+        shiftright(LayoutOps.zkey(col("px"), col("ox")), 14),
+        col("px"), col("ox"))
+    }),
+
+    // Pruning effectiveness, z-order vs ingest order, under the box
+    // predicate px∈[300,449] ∧ ox∈[600,749]: candidate buckets/rows a
+    // stats-pruning reader must read per layout. The ingest layout
+    // (contiguous orderkey ranges — arrival order) has every file span
+    // the px axis, so it prunes only by accident; the z layout bounds
+    // both axes per file. One row, all integer.
+    "zorder_prune" -> ((s, d) => {
+      graft.plans.GraftFunctions.register(s)
+      import graft.operators.LayoutOps
+      val base = graft.core.Caches.persistTracked(
+        s.read.parquet(s"$d/lineitem.parquet")
+          .select(pmod(col("l_partkey"), lit(1024)).cast("long").as("px"),
+            pmod(col("l_orderkey"), lit(1024)).cast("long").as("ox"),
+            pmod(expr("l_orderkey div 1024"), lit(64)).cast("long").as("nat")))
+      val zstats = LayoutOps.bucketStats(base,
+        shiftright(LayoutOps.zkey(col("px"), col("ox")), 14),
+        col("px"), col("ox"))
+      val nstats = LayoutOps.bucketStats(base, col("nat"), col("px"), col("ox"))
+      val zp = LayoutOps.pruneStats(zstats, 300, 449, 600, 749)
+        .select(col("n_buckets").as("z_n_buckets"),
+          col("cand_buckets").as("z_cand_buckets"),
+          col("cand_rows").as("z_cand_rows"))
+      val np = LayoutOps.pruneStats(nstats, 300, 449, 600, 749)
+        .select(col("n_buckets").as("nat_n_buckets"),
+          col("cand_buckets").as("nat_cand_buckets"),
+          col("cand_rows").as("nat_cand_rows"))
+      zp.crossJoin(np)
+    }),
+
     // ---------------------------------------------------- wire format (O3/O4)
     "wire_parse" -> (wireParse _),
 
@@ -944,6 +991,17 @@ object PipelineQueries {
   /** [[graft.operators.TextOps.hashBucketCol]] in DuckDB terms. */
   private def bucketSql(t: String): String =
     s"(ascii(substr(md5($t),1,1))*59 + ascii(substr(md5($t),2,1))*17 + ascii(substr(md5($t),3,1))) % 100"
+
+  /** DuckDB replay of [[graft.plans.ZOrder2]] over the quantized dims
+    * `px`/`ox` (10 bits each): bit i of px at z-bit 2i, bit i of ox at
+    * 2i+1, as pure floor-div/mod arithmetic on positive values. */
+  private lazy val zInterleaveSql: String = (0 until 10).map { i =>
+    s"((px // ${1L << i}) % 2) * ${1L << (2 * i)} + ((ox // ${1L << i}) % 2) * ${1L << (2 * i + 1)}"
+  }.mkString(" + ")
+
+  /** The zorder_prune box-intersection predicate over bucket stats. */
+  private val pruneHitSql: String =
+    "(min_x <= 449 AND max_x >= 300 AND min_y <= 749 AND max_y >= 600)"
 
   /** Value of one (lowercase) md5 hex char in DuckDB. */
   private def hexvalSql(c: String): String =
@@ -1737,6 +1795,39 @@ object PipelineQueries {
         |  CAST(MAX(gap) AS BIGINT) AS max_gap_days
         |FROM g JOIN customer ON k = c_custkey
         |WHERE gap IS NOT NULL GROUP BY 1""".stripMargin,
+
+    // zorder_*: the 10-bit Morton interleave replayed arithmetically
+    // (bit i via floor-div/mod on the POSITIVE quantized dims).
+    "zorder_layout" ->
+      s"""WITH b AS (SELECT l_partkey % 1024 AS px, l_orderkey % 1024 AS ox FROM lineitem),
+         |z AS (SELECT ($zInterleaveSql) // 16384 AS bucket, px, ox FROM b)
+         |SELECT CAST(bucket AS BIGINT) AS bucket, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |  CAST(MIN(px) AS BIGINT) AS min_x, CAST(MAX(px) AS BIGINT) AS max_x,
+         |  CAST(MIN(ox) AS BIGINT) AS min_y, CAST(MAX(ox) AS BIGINT) AS max_y
+         |FROM z GROUP BY 1""".stripMargin,
+
+    "zorder_prune" ->
+      s"""WITH b AS (SELECT l_partkey % 1024 AS px, l_orderkey % 1024 AS ox,
+         |    (l_orderkey // 1024) % 64 AS nat FROM lineitem),
+         |zs AS (SELECT ($zInterleaveSql) // 16384 AS bucket,
+         |    COUNT(*) AS n_rows, MIN(px) AS min_x, MAX(px) AS max_x,
+         |    MIN(ox) AS min_y, MAX(ox) AS max_y FROM b GROUP BY 1),
+         |ns AS (SELECT nat AS bucket, COUNT(*) AS n_rows,
+         |    MIN(px) AS min_x, MAX(px) AS max_x,
+         |    MIN(ox) AS min_y, MAX(ox) AS max_y FROM b GROUP BY 1),
+         |zp AS (SELECT COUNT(*) AS nb,
+         |    SUM(CASE WHEN $pruneHitSql THEN 1 ELSE 0 END) AS cb,
+         |    SUM(CASE WHEN $pruneHitSql THEN n_rows ELSE 0 END) AS cr FROM zs),
+         |np AS (SELECT COUNT(*) AS nb,
+         |    SUM(CASE WHEN $pruneHitSql THEN 1 ELSE 0 END) AS cb,
+         |    SUM(CASE WHEN $pruneHitSql THEN n_rows ELSE 0 END) AS cr FROM ns)
+         |SELECT CAST(zp.nb AS BIGINT) AS z_n_buckets,
+         |  CAST(zp.cb AS BIGINT) AS z_cand_buckets,
+         |  CAST(zp.cr AS BIGINT) AS z_cand_rows,
+         |  CAST(np.nb AS BIGINT) AS nat_n_buckets,
+         |  CAST(np.cb AS BIGINT) AS nat_cand_buckets,
+         |  CAST(np.cr AS BIGINT) AS nat_cand_rows
+         |FROM zp, np""".stripMargin,
 
     "samp_topk" ->
       """SELECT source, doc_id, CAST(rnk AS BIGINT) AS rnk FROM (
