@@ -155,6 +155,19 @@ object PipelineQueries {
         dd.filter(col("source") === "src0"), "doc_id", 8)
     }),
 
+    // Fixed-size Bloom-filter decontamination with false-positive
+    // accounting against the exact semi-join: the 65536-bit filter of
+    // src0's 8-token spans flags train docs; bloom ⊇ exact always, and
+    // the gap is the measured cost of the constant-size broadcast. Every
+    // hash position is engine-neutral md5-hex arithmetic, so the oracle
+    // replays even the false positives.
+    "bloom_decontam" -> ((s, d) => {
+      val dd = docs(s, d)
+      graft.operators.BloomOps.bloomDecontam(
+        dd.filter(col("source") =!= "src0"),
+        dd.filter(col("source") === "src0"), "doc_id", 8)
+    }),
+
     // Exact discrete length quantiles per source via the bounded
     // histogram+cumsum shape (no per-group value collection).
     "txt_len_quantiles" -> ((s, d) =>
@@ -1422,6 +1435,33 @@ object PipelineQueries {
         |  FROM (SELECT string_split(text, ' ') AS w FROM documents WHERE source = 'src0'))
         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
         |FROM tr JOIN ev USING (sh) GROUP BY doc_id""".stripMargin,
+
+    // bloom_decontam: replays the three 4-hex-window md5 folds, the
+    // distinct-position bitset, and both flag branches.
+    "bloom_decontam" -> {
+      def posSql(off: Int): String =
+        s"(${hexvalSql(s"substr(h,$off,1)")}*4096 + ${hexvalSql(s"substr(h,${off + 1},1)")}*256" +
+          s" + ${hexvalSql(s"substr(h,${off + 2},1)")}*16 + ${hexvalSql(s"substr(h,${off + 3},1)")})"
+      val inPos = Seq(1, 9, 17)
+        .map(o => s"${posSql(o)} IN (SELECT p FROM pos)").mkString(" AND ")
+      s"""WITH tr AS (SELECT DISTINCT doc_id,
+         |  unnest([md5(array_to_string(w[i:i+7], ' ')) for i in range(1, len(w) - 6)]) AS h
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE source != 'src0')),
+         |ev AS (SELECT DISTINCT
+         |  unnest([md5(array_to_string(w[i:i+7], ' ')) for i in range(1, len(w) - 6)]) AS h
+         |  FROM (SELECT string_split(text, ' ') AS w FROM documents WHERE source = 'src0')),
+         |pos AS (SELECT DISTINCT unnest([${Seq(1, 9, 17).map(posSql).mkString(", ")}]) AS p FROM ev),
+         |per AS (SELECT doc_id,
+         |  MAX(CASE WHEN $inPos THEN 1 ELSE 0 END) AS b,
+         |  MAX(CASE WHEN h IN (SELECT h FROM ev) THEN 1 ELSE 0 END) AS e
+         |  FROM tr GROUP BY 1)
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_train_docs,
+         |  CAST(SUM(b) AS BIGINT) AS n_flagged_bloom,
+         |  CAST(SUM(e) AS BIGINT) AS n_flagged_exact,
+         |  CAST(SUM(b) - SUM(e) AS BIGINT) AS n_false_pos,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM pos) AS n_bits_set
+         |FROM per""".stripMargin
+    },
 
     "txt_len_quantiles" ->
       """WITH h AS (SELECT source, n_chars AS v, COUNT(*) AS c FROM documents GROUP BY 1, 2),
