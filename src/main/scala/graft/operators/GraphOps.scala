@@ -84,4 +84,37 @@ object GraphOps {
     ranksRdd.foreach(graft.core.Caches.trackRdd)
     ranks.select(col("id").as("vec_id"), col("r").as("pr"))
   }
+
+  /** Triangle census of the undirected graph induced by a directed edge
+    * list (an edge exists iff EITHER direction appears — the natural
+    * undirection of a kNN top-k list, where ranking is asymmetric).
+    * Output: one row (n_nodes, n_edges, n_triangles) — the clustering
+    * signal that separates tight duplicate neighborhoods from chains.
+    *
+    * Shape: wedge enumeration over the canonical a<b edge set — e1(a,b)
+    * ⋈ e2(b,c) builds each wedge from its smallest vertex, and the
+    * closing edge (a,c) is semi-joined, so each triangle is counted
+    * exactly once (a<b<c). Scale: both joins key on single node ids;
+    * wedge count is Σ_b deg²(b), the known hot spot — at production
+    * scale the standard refinement is ordering by DEGREE instead of id
+    * (same join shape, provably Σ min-degree wedges); id order is kept
+    * here because it is what a SQL oracle can replay deterministically.
+    * State never exceeds the wedge stream; nothing is quadratic in
+    * nodes. */
+  def triangles(edges: DataFrame): DataFrame = {
+    val ue = graft.core.Caches.persistTracked(
+      edges.select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"))
+        .filter(col("a") < col("b")).distinct())
+    val tri = ue.as("e1")
+      .join(ue.as("e2"), col("e2.a") === col("e1.b"))
+      .select(col("e1.a").as("x"), col("e2.b").as("z"))
+      .join(ue.as("e3"),
+        col("x") === col("e3.a") && col("z") === col("e3.b"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val nodes = ue.select(col("a").as("v")).unionAll(ue.select(col("b").as("v")))
+      .agg(countDistinct(col("v")).as("n_nodes"))
+    val ne = ue.agg(count(lit(1)).as("n_edges"))
+    nodes.crossJoin(ne).crossJoin(tri)
+  }
 }

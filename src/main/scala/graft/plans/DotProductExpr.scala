@@ -87,19 +87,35 @@ object GraftFunctions {
   val DotName = "graft_dot"
   val ZOrderName = "graft_zorder"
 
+  /** The native-function catalog, one entry per expression — shared by
+    * the in-process [[register]] path and the `spark.sql.extensions`
+    * path ([[GraftExtensions]]) so both install identical builders. */
+  private[plans] val functions: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier(DotName),
+      new ExpressionInfo(classOf[DotProduct].getName, DotName),
+      (children: Seq[Expression]) => DotProduct(children(0), children(1))),
+    (FunctionIdentifier(ZOrderName),
+      new ExpressionInfo(classOf[ZOrder2].getName, ZOrderName),
+      (children: Seq[Expression]) => ZOrder2(children(0), children(1))))
+
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
-    if (!registry.functionExists(FunctionIdentifier(DotName))) {
-      registry.registerFunction(
-        FunctionIdentifier(DotName),
-        new ExpressionInfo(classOf[DotProduct].getName, DotName),
-        (children: Seq[Expression]) => DotProduct(children(0), children(1)))
-    }
-    if (!registry.functionExists(FunctionIdentifier(ZOrderName))) {
-      registry.registerFunction(
-        FunctionIdentifier(ZOrderName),
-        new ExpressionInfo(classOf[ZOrder2].getName, ZOrderName),
-        (children: Seq[Expression]) => ZOrder2(children(0), children(1)))
+    functions.foreach { case (id, info, builder) =>
+      if (!registry.functionExists(id)) {
+        registry.registerFunction(id, info, builder)
+      }
     }
   }
+}
+
+/** `spark.sql.extensions=graft.plans.GraftExtensions` — the public
+  * deployment path: every session built with this class configured gets
+  * graft's native expressions in its function registry (SQL and
+  * `call_function` both resolve them) with no imperative register call.
+  * The in-library operators still call [[GraftFunctions.register]]
+  * defensively, so either wiring works. */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    GraftFunctions.functions.foreach(ext.injectFunction)
 }

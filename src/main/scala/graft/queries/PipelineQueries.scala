@@ -433,6 +433,16 @@ object PipelineQueries {
         kg.select(col("qid").as("src"), col("nid").as("dst")), PrIters)
     }),
 
+    // TRIANGLE census of the undirected kNN graph: the local-clustering
+    // signal (tight duplicate neighborhoods close triangles; chains
+    // don't). Oracle replays graph build + wedge closure.
+    "graph_triangles" -> ((s, d) => {
+      val kg = graft.operators.VectorOps.knnGraph(
+        embs(s, d), "vec_id", "embedding", KnnGraphK, LshTables, LshBits, EmbDims)
+      graft.operators.GraphOps.triangles(
+        kg.select(col("qid").as("src"), col("nid").as("dst")))
+    }),
+
     // IVF (inverted-file) top-5: 16 deterministic corpus-vector centroids
     // (vec_id 8..23), nearest-cell assignment, 3 probed cells per query,
     // exact re-rank. The oracle replays the identical index in SQL.
@@ -706,6 +716,26 @@ object PipelineQueries {
         s.read.parquet(s"$d/orders.parquet"), "o_custkey",
         expr("datediff(CAST(o_orderdate AS DATE), DATE'1970-01-01')"), "o_orderkey",
         s.read.parquet(s"$d/customer.parquet"), "c_custkey", "c_mktsegment")),
+
+    // Robust outlier monitor per event type: exact p25/p75 of the cent-
+    // quantized value (floor(v·100+0.5) — engine-exact on 2-decimal
+    // doubles), Tukey fence hi = p75 + 3·IQR div 2, and the count above
+    // it. The quantiles come from the bounded histogram+cumsum shape and
+    // the fence table broadcasts back onto one event scan.
+    "evt_outliers" -> ((s, d) => {
+      val ev = events(s, d).select(col("event_type"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("v100"))
+      val q = graft.operators.CorpusOps.discQuantiles(
+          ev, "event_type", "v100", Seq(25, 75))
+        .select(col("event_type"), col("p25"), col("p75"),
+          (col("p75") + expr("(3 * (p75 - p25)) div 2")).as("fence_hi"))
+      ev.join(broadcast(q), "event_type")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          min(col("p25")).as("p25"), min(col("p75")).as("p75"),
+          min(col("fence_hi")).as("fence_hi"),
+          sum(when(col("v100") > col("fence_hi"), 1L).otherwise(0L)).as("n_hi"))
+    }),
 
     // ------------------------------------------------------------ layout
     // Z-order clustering readout: lineitem quantized to a 1024×1024
@@ -1836,6 +1866,23 @@ object PipelineQueries {
         |FROM g JOIN customer ON k = c_custkey
         |WHERE gap IS NOT NULL GROUP BY 1""".stripMargin,
 
+    // evt_outliers: histogram+cumsum exact quartiles of the cent value,
+    // integer Tukey fence, recount over the event scan.
+    "evt_outliers" ->
+      """WITH ev AS (SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS v100 FROM events),
+        |h AS (SELECT event_type, v100 AS v, COUNT(*) AS c FROM ev GROUP BY 1, 2),
+        |cum AS (SELECT event_type, v, SUM(c) OVER (PARTITION BY event_type ORDER BY v) AS cum,
+        |  SUM(c) OVER (PARTITION BY event_type) AS n FROM h),
+        |q AS (SELECT event_type,
+        |  MIN(CASE WHEN cum*100 >= n*25 THEN v END) AS p25,
+        |  MIN(CASE WHEN cum*100 >= n*75 THEN v END) AS p75 FROM cum GROUP BY 1),
+        |f AS (SELECT event_type, p25, p75, p75 + (3 * (p75 - p25)) // 2 AS fence_hi FROM q)
+        |SELECT ev.event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(MIN(p25) AS BIGINT) AS p25, CAST(MIN(p75) AS BIGINT) AS p75,
+        |  CAST(MIN(fence_hi) AS BIGINT) AS fence_hi,
+        |  CAST(SUM(CASE WHEN v100 > fence_hi THEN 1 ELSE 0 END) AS BIGINT) AS n_hi
+        |FROM ev JOIN f USING (event_type) GROUP BY 1""".stripMargin,
+
     // zorder_*: the 10-bit Morton interleave replayed arithmetically
     // (bit i via floor-div/mod on the POSITIVE quantized dims).
     "zorder_layout" ->
@@ -1984,6 +2031,20 @@ object PipelineQueries {
     // from symmetric (table, bucket) collisions (x.id != y.id covers both
     // directions of each pair), exact cosine, top-KnnGraphK per vector.
     "knn_graph" -> s"WITH $knnGraphCtes\nSELECT qid, nid, rnk FROM kg",
+
+    // graph_triangles: undirect kg canonically (a<b), close wedges.
+    "graph_triangles" ->
+      s"""WITH $knnGraphCtes,
+         |ue AS MATERIALIZED (SELECT DISTINCT LEAST(qid, nid) AS a, GREATEST(qid, nid) AS b FROM kg),
+         |tri AS (SELECT COUNT(*) AS t FROM ue e1
+         |  JOIN ue e2 ON e2.a = e1.b
+         |  JOIN ue e3 ON e3.a = e1.a AND e3.b = e2.b),
+         |ns AS (SELECT COUNT(DISTINCT v) AS n FROM
+         |  (SELECT a AS v FROM ue UNION ALL SELECT b FROM ue))
+         |SELECT CAST(ns.n AS BIGINT) AS n_nodes,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM ue) AS n_edges,
+         |  CAST(tri.t AS BIGINT) AS n_triangles
+         |FROM ns, tri""".stripMargin,
 
     // graph_pagerank: the kNN-graph CTE chain feeding PrIters unrolled
     // integer power-iteration rounds — BIGINT floor division (`//`)

@@ -77,4 +77,44 @@ class GraphOpsSpec extends AnyFunSuite {
     val got = run(edges, 8)
     assert(got.values.forall(r => r > 0 && r <= 1000000000000L))
   }
+
+  private def runTriangles(edges: Seq[(Long, Long)]): (Long, Long, Long) = {
+    val spark = graft.TestSpark.spark
+    import spark.implicits._
+    val r = GraphOps.triangles(edges.toDF("src", "dst")).collect().head
+    graft.core.Caches.releaseAll()
+    (r.getLong(0), r.getLong(1), r.getLong(2))
+  }
+
+  /** Brute-force census over the canonical undirected edge set. */
+  private def refTriangles(edges: Seq[(Long, Long)]): (Long, Long, Long) = {
+    val ue = edges.map { case (s, d) => (math.min(s, d), math.max(s, d)) }
+      .filter { case (a, b) => a < b }.toSet
+    val vs = ue.flatMap { case (a, b) => Seq(a, b) }.toSeq.sorted
+    val tris = for {
+      i <- vs.indices; j <- (i + 1) until vs.length; k <- (j + 1) until vs.length
+      if ue((vs(i), vs(j))) && ue((vs(j), vs(k))) && ue((vs(i), vs(k)))
+    } yield 1
+    (vs.length.toLong, ue.size.toLong, tris.size.toLong)
+  }
+
+  test("triangles: directed/duplicate edges undirect once; counts match brute force") {
+    // K4 on {1..4} given as a mix of directions + duplicates → 4 triangles.
+    val k4 = Seq((1L, 2L), (2L, 1L), (1L, 3L), (1L, 4L), (3L, 2L), (2L, 4L), (4L, 3L), (3L, 4L))
+    assert(runTriangles(k4) == (4L, 6L, 4L))
+    // Chain + one closing edge → exactly 1 triangle, plus a pendant.
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L))
+    assert(runTriangles(chain) == (4L, 4L, 1L))
+  }
+
+  test("triangles: random graphs match brute force") {
+    val rnd = new scala.util.Random(11)
+    for (trial <- 0 until 5) {
+      val n = 12 + trial
+      val edges = (0 until 3 * n).map { _ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)
+      }.filter { case (s, d) => s != d }
+      assert(runTriangles(edges) == refTriangles(edges), s"trial $trial")
+    }
+  }
 }
