@@ -117,4 +117,41 @@ object GraphOps {
     val ne = ue.agg(count(lit(1)).as("n_edges"))
     nodes.crossJoin(ne).crossJoin(tri)
   }
+
+  /** [[triangles]] with the production DEGREE ordering: each undirected
+    * edge is oriented from its lower-(degree, id) endpoint to the higher,
+    * wedges enumerate only from a vertex's out-edges, and the closing
+    * undirected edge is checked once. Every triangle's minimum-rank
+    * vertex is the unique vertex with two out-edges in it, so counts are
+    * IDENTICAL to the id-ordered variant (property-tested) — but wedge
+    * work drops from Σ deg²(hub) to O(|E|^{3/2}) total: a hub's edges
+    * all point INTO it, so the hub centers no wedges. This is the
+    * skew-safe shape for power-law similarity graphs; the id-ordered
+    * twin remains the oracle-replayable gate. */
+  def trianglesDegreeOrdered(edges: DataFrame): DataFrame = {
+    val ue = graft.core.Caches.persistTracked(
+      edges.select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"))
+        .filter(col("a") < col("b")).distinct())
+    val deg = ue.select(col("a").as("v")).unionAll(ue.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+    val ranked = ue
+      .join(deg.select(col("v").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("deg").as("db")), "b")
+    val fwd = col("da") < col("db") || (col("da") === col("db") && col("a") < col("b"))
+    val oriented = graft.core.Caches.persistTracked(
+      ranked.select(when(fwd, col("a")).otherwise(col("b")).as("src"),
+        when(fwd, col("b")).otherwise(col("a")).as("dst")))
+    val tri = oriented.as("x")
+      .join(oriented.as("y"),
+        col("x.src") === col("y.src") && col("x.dst") < col("y.dst"))
+      .select(col("x.dst").as("v"), col("y.dst").as("w"))
+      .join(ue.as("cl"),
+        least(col("v"), col("w")) === col("cl.a") &&
+          greatest(col("v"), col("w")) === col("cl.b"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val nodes = deg.agg(count(lit(1)).as("n_nodes"))
+    val ne = ue.agg(count(lit(1)).as("n_edges"))
+    nodes.crossJoin(ne).crossJoin(tri)
+  }
 }

@@ -737,6 +737,39 @@ object PipelineQueries {
           sum(when(col("v100") > col("fence_hi"), 1L).otherwise(0L)).as("n_hi"))
     }),
 
+    // RFM customer segmentation: recency (days since last order, vs the
+    // corpus max day), frequency (order count), monetary (cents summed
+    // exactly, then $100-quantized so the quantile histogram's value
+    // domain stays bounded — the discQuantiles "bucket first" rule).
+    // Quartile thresholds per metric come from the same histogram+cumsum
+    // shape (three one-row tables, broadcast), and customers land in
+    // 1..4 bands per axis → segment counts. One orders shuffle total.
+    "cust_rfm" -> ((s, d) => {
+      val o = s.read.parquet(s"$d/orders.parquet")
+        .select(col("o_custkey").as("c"),
+          expr("datediff(CAST(o_orderdate AS DATE), DATE'1970-01-01')").as("day"),
+          expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("cents"))
+      val per = o.groupBy("c")
+        .agg(max("day").as("rday"), count(lit(1)).as("f"),
+          expr("CAST(sum(cents) div 10000 AS BIGINT)").as("m"))
+      val base = graft.core.Caches.persistTracked(
+        per.crossJoin(broadcast(per.agg(max("rday").as("md"))))
+          .select(col("c"), (col("md") - col("rday")).as("r"), col("f"), col("m"))
+          .withColumn("g", lit(1)))
+      def qs(v: String) = broadcast(
+        graft.operators.CorpusOps.discQuantiles(base, "g", v, Seq(25, 50, 75))
+          .select(col("p25").as(s"${v}25"), col("p50").as(s"${v}50"),
+            col("p75").as(s"${v}75")))
+      def band(v: String): org.apache.spark.sql.Column =
+        (lit(1L) + when(col(v) >= col(s"${v}25"), 1L).otherwise(0L)
+          + when(col(v) >= col(s"${v}50"), 1L).otherwise(0L)
+          + when(col(v) >= col(s"${v}75"), 1L).otherwise(0L)).as(s"${v}_band")
+      base.crossJoin(qs("r")).crossJoin(qs("f")).crossJoin(qs("m"))
+        .select(band("r"), band("f"), band("m"))
+        .groupBy("r_band", "f_band", "m_band")
+        .agg(count(lit(1)).as("n_cust"))
+    }),
+
     // ------------------------------------------------------------ layout
     // Z-order clustering readout: lineitem quantized to a 1024×1024
     // (partkey, orderkey) grid, z-keyed by the native codegen'd
@@ -1865,6 +1898,31 @@ object PipelineQueries {
         |  CAST(MAX(gap) AS BIGINT) AS max_gap_days
         |FROM g JOIN customer ON k = c_custkey
         |WHERE gap IS NOT NULL GROUP BY 1""".stripMargin,
+
+    // cust_rfm: replays the per-customer rollup, the three quartile
+    // histograms, and the banding.
+    "cust_rfm" -> {
+      def q(src: String) =
+        s"""(SELECT MIN(CASE WHEN cum*100 >= n*25 THEN v END) AS p25,
+           |  MIN(CASE WHEN cum*100 >= n*50 THEN v END) AS p50,
+           |  MIN(CASE WHEN cum*100 >= n*75 THEN v END) AS p75 FROM
+           |  (SELECT v, SUM(cnt) OVER (ORDER BY v) AS cum, SUM(cnt) OVER () AS n
+           |   FROM (SELECT $src AS v, COUNT(*) AS cnt FROM base GROUP BY 1)))""".stripMargin
+      def band(v: String, t: String) =
+        s"1 + CASE WHEN $v >= $t.p25 THEN 1 ELSE 0 END + CASE WHEN $v >= $t.p50 THEN 1 ELSE 0 END + CASE WHEN $v >= $t.p75 THEN 1 ELSE 0 END"
+      s"""WITH per AS (SELECT o_custkey AS c, MAX(day) AS rday, COUNT(*) AS f,
+         |    SUM(cents) // 10000 AS m FROM
+         |  (SELECT o_custkey, CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS day,
+         |     CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents FROM orders)
+         |  GROUP BY 1),
+         |base AS MATERIALIZED (SELECT c, (SELECT MAX(rday) FROM per) - rday AS r, f, m FROM per),
+         |qr AS ${q("r")}, qf AS ${q("f")}, qm AS ${q("m")}
+         |SELECT CAST(${band("r", "qr")} AS BIGINT) AS r_band,
+         |  CAST(${band("f", "qf")} AS BIGINT) AS f_band,
+         |  CAST(${band("m", "qm")} AS BIGINT) AS m_band,
+         |  CAST(COUNT(*) AS BIGINT) AS n_cust
+         |FROM base, qr, qf, qm GROUP BY 1, 2, 3""".stripMargin
+    },
 
     // evt_outliers: histogram+cumsum exact quartiles of the cent value,
     // integer Tukey fence, recount over the event scan.

@@ -117,4 +117,34 @@ class GraphOpsSpec extends AnyFunSuite {
       assert(runTriangles(edges) == refTriangles(edges), s"trial $trial")
     }
   }
+
+  private def runTrianglesDeg(edges: Seq[(Long, Long)]): (Long, Long, Long) = {
+    val spark = graft.TestSpark.spark
+    import spark.implicits._
+    val r = GraphOps.trianglesDegreeOrdered(edges.toDF("src", "dst")).collect().head
+    graft.core.Caches.releaseAll()
+    (r.getLong(0), r.getLong(1), r.getLong(2))
+  }
+
+  test("degree-ordered triangles equal the id-ordered census, including on a skewed hub") {
+    // Hub 0 connected to everyone + a clique on {1,2,3,4} + random edges:
+    // the worst case for id-ordering (hub centers most wedges) and the
+    // exact case degree-ordering exists for.
+    val hub = (1L to 20L).map(v => (0L, v))
+    val clique = for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)
+    val rnd = new scala.util.Random(3)
+    val rand = (0 until 30).map(_ => (rnd.nextInt(21).toLong, rnd.nextInt(21).toLong))
+      .filter { case (s, d) => s != d }
+    val edges = hub ++ clique ++ rand
+    assert(runTrianglesDeg(edges) == refTriangles(edges))
+    assert(runTrianglesDeg(edges) == runTriangles(edges))
+    // And on plain random graphs.
+    for (trial <- 0 until 3) {
+      val n = 10 + 2 * trial
+      val es = (0 until 3 * n).map { _ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)
+      }.filter { case (s, d) => s != d }
+      assert(runTrianglesDeg(es) == refTriangles(es), s"trial $trial")
+    }
+  }
 }
