@@ -737,6 +737,40 @@ object PipelineQueries {
           sum(when(col("v100") > col("fence_hi"), 1L).otherwise(0L)).as("n_hi"))
     }),
 
+    // Session transition matrix: within each 30-min-gap session, count
+    // event_type → next-event_type transitions (the navigation-flow /
+    // markov-chain readout). Lead over the deterministic (us, event_id)
+    // per-session order; one window shuffle keyed on user.
+    "evt_transitions" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val wu = Window.partitionBy("user_id").orderBy("us", "event_id")
+      val ev = events(s, d).select(col("user_id"), col("event_id"),
+        col("event_type"), expr("ts div 1000").as("us"))
+      val sess = ev
+        .withColumn("brk",
+          when(col("us") - lag("us", 1).over(wu) > SessionGapUs, 1).otherwise(0))
+        .withColumn("sid", sum("brk").over(wu))
+      val ws = Window.partitionBy("user_id", "sid").orderBy("us", "event_id")
+      sess.withColumn("nxt", lead("event_type", 1).over(ws))
+        .filter(col("nxt").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("nxt").as("to_type"))
+        .agg(count(lit(1)).as("cnt"))
+    }),
+
+    // Degree histogram of the undirected kNN graph — the connectivity
+    // profile (how many near-isolates vs dense hubs the similarity
+    // corpus has).
+    "graph_degrees" -> ((s, d) => {
+      val kg = graft.operators.VectorOps.knnGraph(
+        embs(s, d), "vec_id", "embedding", KnnGraphK, LshTables, LshBits, EmbDims)
+      val ue = kg.select(least(col("qid"), col("nid")).as("a"),
+          greatest(col("qid"), col("nid")).as("b"))
+        .filter(col("a") < col("b")).distinct()
+      ue.select(col("a").as("v")).unionAll(ue.select(col("b").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("deg"))
+        .groupBy("deg").agg(count(lit(1)).as("n_nodes"))
+    }),
+
     // RFM customer segmentation: recency (days since last order, vs the
     // corpus max day), frequency (order count), monetary (cents summed
     // exactly, then $100-quantized so the quantile histogram's value
@@ -1899,6 +1933,20 @@ object PipelineQueries {
         |FROM g JOIN customer ON k = c_custkey
         |WHERE gap IS NOT NULL GROUP BY 1""".stripMargin,
 
+    // evt_transitions: same gap-cumsum sessionization as evt_sessions
+    // (strict > gap), lead over the identical total order.
+    "evt_transitions" ->
+      s"""WITH t AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
+         |b AS (SELECT *, CASE WHEN us - LAG(us) OVER w > $SessionGapUs
+         |    THEN 1 ELSE 0 END AS brk FROM t
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+         |s AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+         |    ROWS UNBOUNDED PRECEDING) AS sid FROM b),
+         |x AS (SELECT event_type AS from_type, LEAD(event_type) OVER (
+         |    PARTITION BY user_id, sid ORDER BY us, event_id) AS to_type FROM s)
+         |SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS cnt
+         |FROM x WHERE to_type IS NOT NULL GROUP BY 1, 2""".stripMargin,
+
     // cust_rfm: replays the per-customer rollup, the three quartile
     // histograms, and the banding.
     "cust_rfm" -> {
@@ -2089,6 +2137,16 @@ object PipelineQueries {
     // from symmetric (table, bucket) collisions (x.id != y.id covers both
     // directions of each pair), exact cosine, top-KnnGraphK per vector.
     "knn_graph" -> s"WITH $knnGraphCtes\nSELECT qid, nid, rnk FROM kg",
+
+    // graph_degrees: canonical undirected edges → per-node degree →
+    // degree histogram.
+    "graph_degrees" ->
+      s"""WITH $knnGraphCtes,
+         |ue AS MATERIALIZED (SELECT DISTINCT LEAST(qid, nid) AS a, GREATEST(qid, nid) AS b FROM kg),
+         |d AS (SELECT v, COUNT(*) AS deg FROM
+         |  (SELECT a AS v FROM ue UNION ALL SELECT b FROM ue) GROUP BY 1)
+         |SELECT CAST(deg AS BIGINT) AS deg, CAST(COUNT(*) AS BIGINT) AS n_nodes
+         |FROM d GROUP BY 1""".stripMargin,
 
     // graph_triangles: undirect kg canonically (a<b), close wedges.
     "graph_triangles" ->

@@ -15,12 +15,26 @@ class PlanShapeSpec extends AnyFunSuite {
   private val sf = "/root/testdata/sf0.001"
 
   // sparkPlan, not executedPlan: AQE wraps multi-exchange plans in an
-  // adaptive root whose leaves are not yet the file scans.
+  // adaptive root whose leaves are not yet the file scans. Cached
+  // subtrees (persistTracked operators) are followed into the
+  // InMemoryRelation's cached plan — the file scan that FILLS the cache
+  // is the one whose pushdown/pruning matters.
+  private def fileScans(plan: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
+    plan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+      case im: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+        fileScans(im.relation.cachedPlan)
+      // A cached plan roots in its own leaf AdaptiveSparkPlanExec
+      // (childless wrapper) — follow its input plan.
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        fileScans(a.inputPlan)
+    }.flatten
+
   private def scanMeta(df: org.apache.spark.sql.DataFrame): String =
-    df.queryExecution.sparkPlan.collectLeaves().collect {
-      case f: org.apache.spark.sql.execution.FileSourceScanExec => f.metadata
-    }.map(m => s"PushedFilters=${m.getOrElse("PushedFilters", "")} " +
-      s"ReadSchema=${m.getOrElse("ReadSchema", "")}").mkString("\n")
+    fileScans(df.queryExecution.sparkPlan).map(_.metadata)
+      .map(m => s"PushedFilters=${m.getOrElse("PushedFilters", "")} " +
+        s"ReadSchema=${m.getOrElse("ReadSchema", "")}").mkString("\n")
 
   test("equality filter + narrow select push down and prune the events scan") {
     val spark = TestSpark.spark
@@ -79,5 +93,29 @@ class PlanShapeSpec extends AnyFunSuite {
       s"dims missing from scan: $meta")
     assert(!meta.contains("l_orderkey") && !meta.contains("l_comment"),
       s"sky2d scan reads beyond its dims: $meta")
+  }
+
+  test("zorder_layout reads exactly its two layout dimensions") {
+    val spark = TestSpark.spark
+    val df = graft.queries.PipelineQueries.queries("zorder_layout")(spark, sf)
+    val meta = scanMeta(df)
+    assert(meta.contains("l_partkey") && meta.contains("l_orderkey"),
+      s"layout dims missing: $meta")
+    assert(!meta.contains("l_comment") && !meta.contains("l_quantity") &&
+      !meta.contains("l_extendedprice"),
+      s"z-key computation widened the scan: $meta")
+  }
+
+  test("evt_funnel pushes its step-type membership filter to the events scan") {
+    val spark = TestSpark.spark
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = graft.queries.PipelineQueries.queries("evt_funnel")(spark, sf)
+    val meta = scanMeta(df)
+    // Non-funnel event types (signup, error) must never leave the reader.
+    assert(meta.contains("In(event_type"),
+      s"step filter not pushed: $meta\n${df.queryExecution.sparkPlan.treeString}")
+    assert(!meta.contains("props") && !meta.contains("value"),
+      s"funnel scan reads beyond (user, ts, type): $meta")
+    graft.core.Caches.releaseAll()
   }
 }
