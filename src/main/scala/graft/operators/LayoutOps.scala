@@ -41,6 +41,27 @@ object LayoutOps {
         min("x").as("min_x"), max("x").as("max_x"),
         min("y").as("min_y"), max("y").as("max_y"))
 
+  /** The z-sorted WRITE path itself: range-partition on the z-key into
+    * `nFiles` output files and sort within each, so every parquet file
+    * holds one contiguous z-range — the layout whose footer min/max
+    * stats [[pruneStats]] measures. The z-key column rides along in the
+    * output (`zCol`) as the clustering key a compaction job re-sorts by.
+    *
+    * Scale shape: `repartitionByRange` samples the z-key to cut
+    * balanced contiguous ranges (one shuffle — the sort is per-file,
+    * never global), and the interleave itself is the codegen'd
+    * [[graft.plans.ZOrder2]] under the write projection. A contiguous
+    * run of z covering 1/n of the key space projects onto at most two
+    * quadtree tiles per axis, so per-file bounding boxes shrink ~√n per
+    * axis where an ingest-order write spans the whole domain —
+    * file-level proof pinned in LayoutOpsSpec via input_file_name(). */
+  def zorderWrite(df: DataFrame, x: Column, y: Column, path: String,
+                  nFiles: Int, zCol: String = "graft_z"): Unit =
+    df.withColumn(zCol, zkey(x, y))
+      .repartitionByRange(nFiles, col(zCol))
+      .sortWithinPartitions(zCol)
+      .write.mode("overwrite").parquet(path)
+
   /** Pruning effectiveness of a layout for the box predicate
     * `x ∈ [xlo, xhi] ∧ y ∈ [ylo, yhi]`: from the layout's bucket stats,
     * the buckets whose bounding box intersects the query box (= files a
