@@ -783,9 +783,11 @@ object PipelineQueries {
         .select(col("o_custkey").as("c"),
           expr("datediff(CAST(o_orderdate AS DATE), DATE'1970-01-01')").as("day"),
           expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("cents"))
-      val per = o.groupBy("c")
+      // Persisted: the rollup feeds both the global-max-day aggregate
+      // and the banding base — one orders pass, not two.
+      val per = graft.core.Caches.persistTracked(o.groupBy("c")
         .agg(max("day").as("rday"), count(lit(1)).as("f"),
-          expr("CAST(sum(cents) div 10000 AS BIGINT)").as("m"))
+          expr("CAST(sum(cents) div 10000 AS BIGINT)").as("m")))
       val base = graft.core.Caches.persistTracked(
         per.crossJoin(broadcast(per.agg(max("rday").as("md"))))
           .select(col("c"), (col("md") - col("rday")).as("r"), col("f"), col("m"))
