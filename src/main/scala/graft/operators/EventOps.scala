@@ -41,8 +41,6 @@ object EventOps {
   def funnel(events: DataFrame, userCol: String, usCol: String,
              typeCol: String, steps: Seq[String]): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
-    val s = events.sparkSession
-    import s.implicits._
     // One narrow projection of only the funnel-relevant events, shared
     // by every stage (persisted: |steps| consumers).
     val ev = graft.core.Caches.persistTracked(
