@@ -70,6 +70,36 @@ object EventOps {
     out
   }
 
+  /** Per-user reach times of every funnel stage, for users who complete
+    * ALL stages — the [[funnel]] frontier chain with the per-stage times
+    * kept instead of counted. Output: (u, t1 … t|steps|). Same state
+    * bounds as [[funnel]]; the k-way assembly joins one-row-per-user
+    * frontiers on the user key. */
+  def funnelReachTimes(events: DataFrame, userCol: String, usCol: String,
+                       typeCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val ev = graft.core.Caches.persistTracked(
+      events.select(col(userCol).as("u"), col(usCol).cast("long").as("us"),
+          col(typeCol).as("et"))
+        .filter(col("et").isin(steps: _*)))
+    var frontier = graft.core.Caches.persistTracked(
+      ev.filter(col("et") === steps.head)
+        .groupBy("u").agg(min(col("us")).as("t1")))
+    var acc = frontier
+    var i = 1
+    while (i < steps.length) {
+      val prev = frontier.select(col("u"), col(s"t$i").as("t_prev"))
+      frontier = graft.core.Caches.persistTracked(
+        ev.filter(col("et") === steps(i))
+          .join(prev, "u")
+          .filter(col("us") > col("t_prev"))
+          .groupBy("u").agg(min(col("us")).as(s"t${i + 1}")))
+      acc = acc.join(frontier.select(col("u"), col(s"t${i + 1}")), "u")
+      i += 1
+    }
+    acc
+  }
+
   /** Cohort retention: cohort = the user's first active day (us div
     * day), activity = the distinct (user, day) set; one row per
     * (cohort_day, day_off ≥ 0) with the number of cohort users active

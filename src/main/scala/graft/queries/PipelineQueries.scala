@@ -737,6 +737,23 @@ object PipelineQueries {
           sum(when(col("v100") > col("fence_hi"), 1L).otherwise(0L)).as("n_hi"))
     }),
 
+    // Time-to-convert quantiles: for users completing the full
+    // view→click→purchase funnel, exact p25/p50/p75/p95 of the
+    // first-view → conversion-purchase delay in whole seconds —
+    // the funnel's latency readout, via the bounded histogram shape.
+    "evt_ttc" -> ((s, d) => {
+      val rt = graft.operators.EventOps.funnelReachTimes(
+        events(s, d).select(col("user_id"), expr("ts div 1000").as("us"),
+          col("event_type")),
+        "user_id", "us", "event_type", Seq("view", "click", "purchase"))
+      graft.operators.CorpusOps.discQuantiles(
+          rt.select(lit(1).as("g"),
+            expr("(t3 - t1) div 1000000").as("ttc_s")),
+          "g", "ttc_s", Seq(25, 50, 75, 95))
+        .select(col("p25"), col("p50"), col("p75"), col("p95"))
+        .crossJoin(rt.agg(count(lit(1)).as("n_converted")))
+    }),
+
     // Session transition matrix: within each 30-min-gap session, count
     // event_type → next-event_type transitions (the navigation-flow /
     // markov-chain readout). Lead over the deterministic (us, event_id)
@@ -1934,6 +1951,25 @@ object PipelineQueries {
         |  CAST(MAX(gap) AS BIGINT) AS max_gap_days
         |FROM g JOIN customer ON k = c_custkey
         |WHERE gap IS NOT NULL GROUP BY 1""".stripMargin,
+
+    // evt_ttc: funnel frontier chain (shared semantics with evt_funnel)
+    // kept per-user, delta quantiles via the cum-hist shape.
+    "evt_ttc" ->
+      """WITH ev AS (SELECT user_id AS u, epoch_us(ts) AS us, event_type AS et FROM events),
+        |s1 AS (SELECT u, MIN(us) AS t1 FROM ev WHERE et = 'view' GROUP BY 1),
+        |s2 AS (SELECT ev.u, MIN(ev.us) AS t2 FROM ev JOIN s1 ON ev.u = s1.u
+        |  WHERE ev.et = 'click' AND ev.us > s1.t1 GROUP BY 1),
+        |s3 AS (SELECT ev.u, MIN(ev.us) AS t3 FROM ev JOIN s2 ON ev.u = s2.u
+        |  WHERE ev.et = 'purchase' AND ev.us > s2.t2 GROUP BY 1),
+        |d AS (SELECT (s3.t3 - s1.t1) // 1000000 AS v FROM s3 JOIN s1 ON s3.u = s1.u),
+        |h AS (SELECT v, COUNT(*) AS c FROM d GROUP BY 1),
+        |cum AS (SELECT v, SUM(c) OVER (ORDER BY v) AS cum, SUM(c) OVER () AS n FROM h)
+        |SELECT CAST(MIN(CASE WHEN cum*100 >= n*25 THEN v END) AS BIGINT) AS p25,
+        |  CAST(MIN(CASE WHEN cum*100 >= n*50 THEN v END) AS BIGINT) AS p50,
+        |  CAST(MIN(CASE WHEN cum*100 >= n*75 THEN v END) AS BIGINT) AS p75,
+        |  CAST(MIN(CASE WHEN cum*100 >= n*95 THEN v END) AS BIGINT) AS p95,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM d) AS n_converted
+        |FROM cum""".stripMargin,
 
     // evt_transitions: same gap-cumsum sessionization as evt_sessions
     // (strict > gap), lead over the identical total order.

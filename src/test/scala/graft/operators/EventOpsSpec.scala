@@ -45,6 +45,15 @@ class EventOpsSpec extends AnyFunSuite {
     graft.core.Caches.releaseAll()
   }
 
+  test("funnelReachTimes: completing users only, chained-min times") {
+    val rows = EventOps.funnelReachTimes(ev(), "user_id", "us", "event_type",
+        Seq("view", "click", "purchase"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // Only u1 completes; reach times are the chained minima.
+    assert(rows.toSeq == Seq((1L, 10L, 20L, 30L)))
+    graft.core.Caches.releaseAll()
+  }
+
   test("retention: cohort triangle matches brute force") {
     val spark = TestSpark.spark
     import spark.implicits._
