@@ -508,6 +508,25 @@ object PipelineQueries {
         col("vec_id").between(KmCentLo, KmCentHi), KmIters, IvfProbes,
         PqIters, PqM, EmbDims)),
 
+    // RESIDUAL IVF+PQ — the full FAISS form: codes quantize the
+    // within-cell displacement v − centroid(cell), ADC tables are
+    // per-(query, probed cell). Oracle replays coarse training, residual
+    // book training, encoding, and every cell-dependent table.
+    "knn_ivfpq_res" -> ((s, d) =>
+      graft.operators.VectorOps.knnIvfPqResidual(
+        embs(s, d), "vec_id", "embedding", col("vec_id") < 8, 5,
+        col("vec_id").between(KmCentLo, KmCentHi), KmIters, IvfProbes,
+        PqIters, PqM, EmbDims)),
+
+    // Recall@5 of the residual path vs the exact baseline — measures what
+    // residual encoding buys over knn_ivfpq at identical m/probes/iters.
+    "ann_recall_ivfpq_res" -> ((s, d) => annRecall(
+      graft.operators.VectorOps.knnIvfPqResidual(
+        embs(s, d), "vec_id", "embedding", col("vec_id") < 8, 5,
+        col("vec_id").between(KmCentLo, KmCentHi), KmIters, IvfProbes,
+        PqIters, PqM, EmbDims),
+      embs(s, d))),
+
     // SemDeDup-style semantic dedup: k-means cells (the trained quantizer,
     // same seeds/iters as emb_kmeans) as blocking buckets, exact cosine
     // >= 0.35 within cells, connected components — every vector labeled
@@ -1310,6 +1329,65 @@ object PipelineQueries {
        |  SELECT id, cid, ROW_NUMBER() OVER (PARTITION BY id ORDER BY d, cid) AS rn
        |  FROM dists WHERE id < 8) WHERE rn <= $IvfProbes),
        |cand AS (SELECT p.qid, cl.id AS nid FROM prob p JOIN cells cl USING (cid)
+       |  WHERE cl.id != p.qid),
+       |parts AS (
+       |  $parts),
+       |adc AS (SELECT qid, nid, SUM(dist) AS adc FROM parts GROUP BY 1, 2),
+       |r AS (SELECT qid, nid, adc, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc, nid) AS rnk FROM adc)""".stripMargin
+  }
+
+  /** Residual IVF+PQ replay ending in ranked `r` — the knn_ivfpq chain
+    * with PQ trained/encoded on `v − centroid(cell(v))`: a residual
+    * corpus frame `res`, residual sub-chains `rq/rc/rcode<sp>`, and the
+    * per-(query, PROBED cell) residual tables `rqd<sp>` (a query's ADC
+    * table differs per probed cell — the defining residual complication,
+    * keyed by `pcid` all the way into the parts join). */
+  private lazy val rIvfPqRankedCtes: String = {
+    val sub = EmbDims / PqM
+    val dist = s"list_sum([(q.v[i]-c.cv[i])*(q.v[i]-c.cv[i]) for i in range(1, ${sub + 1})])"
+    val sumCols = (1 to sub).map(i => s"SUM(v[$i]) AS s$i").mkString(", ")
+    val centList = (1 to sub).map(i =>
+      s"CAST(CASE WHEN s$i < 0 THEN -((2*(-s$i) + n) // (2*n)) ELSE (2*s$i + n) // (2*n) END AS BIGINT)")
+      .mkString("[", ", ", "]")
+    val resList = s"[q.v[i] - cc.cv[i] for i in range(1, ${EmbDims + 1})]"
+    val chains = (0 until PqM).map { sp =>
+      val off = sp * sub
+      val iterCtes = (1 to PqIters).map { t =>
+        s"""ra${t}_$sp AS (SELECT id, v, cid FROM (
+           |  SELECT id, v, cid, ROW_NUMBER() OVER (PARTITION BY id ORDER BY d, cid) AS rn
+           |  FROM (SELECT q.id, q.v, c.cid, $dist AS d FROM rq$sp q, rc${t - 1}_$sp c)) WHERE rn = 1),
+           |rg${t}_$sp AS (SELECT cid, COUNT(*) AS n, $sumCols FROM ra${t}_$sp GROUP BY cid),
+           |rc${t}_$sp AS (SELECT c.cid, CASE WHEN g.cid IS NULL THEN c.cv ELSE $centList END AS cv
+           |  FROM rc${t - 1}_$sp c LEFT JOIN rg${t}_$sp g ON c.cid = g.cid)""".stripMargin
+      }.mkString(",\n")
+      s"""rq$sp AS (SELECT id, v[${off + 1}:${off + sub}] AS v FROM res),
+         |rc0_$sp AS (SELECT id AS cid, v AS cv FROM rq$sp WHERE id BETWEEN $KmCentLo AND $KmCentHi),
+         |$iterCtes,
+         |rcode$sp AS (SELECT id, cid FROM (
+         |  SELECT id, cid, ROW_NUMBER() OVER (PARTITION BY id ORDER BY d, cid) AS rn
+         |  FROM (SELECT q.id, c.cid, $dist AS d FROM rq$sp q, rc${PqIters}_$sp c)) WHERE rn = 1),
+         |rqd$sp AS (SELECT q.qid, q.pcid, c.cid, $dist AS dist
+         |  FROM (SELECT qid, pcid, v[${off + 1}:${off + sub}] AS v FROM qres) q, rc${PqIters}_$sp c)""".stripMargin
+    }.mkString(",\n")
+    val parts = (0 until PqM).map(sp =>
+      s"""SELECT c.qid, c.nid, d.dist FROM cand c
+         |    JOIN rcode$sp cd ON cd.id = c.nid
+         |    JOIN rqd$sp d ON d.cid = cd.cid AND d.qid = c.qid AND d.pcid = c.pcid""".stripMargin)
+      .mkString("\n  UNION ALL\n  ")
+    s"""$kmeansCteSql,
+       |dists AS MATERIALIZED (SELECT q.id, c.cid, $kmDistSql AS d FROM q, c$KmIters c),
+       |cells AS MATERIALIZED (SELECT id, cid FROM (
+       |  SELECT id, cid, ROW_NUMBER() OVER (PARTITION BY id ORDER BY d, cid) AS rn
+       |  FROM dists) WHERE rn = 1),
+       |res AS MATERIALIZED (SELECT q.id, cl.cid, $resList AS v
+       |  FROM q JOIN cells cl ON cl.id = q.id JOIN c$KmIters cc ON cc.cid = cl.cid),
+       |prob AS MATERIALIZED (SELECT id AS qid, cid FROM (
+       |  SELECT id, cid, ROW_NUMBER() OVER (PARTITION BY id ORDER BY d, cid) AS rn
+       |  FROM dists WHERE id < 8) WHERE rn <= $IvfProbes),
+       |qres AS MATERIALIZED (SELECT p.qid, p.cid AS pcid, $resList AS v
+       |  FROM prob p JOIN q ON q.id = p.qid JOIN c$KmIters cc ON cc.cid = p.cid),
+       |$chains,
+       |cand AS (SELECT p.qid, p.cid AS pcid, cl.id AS nid FROM prob p JOIN cells cl USING (cid)
        |  WHERE cl.id != p.qid),
        |parts AS (
        |  $parts),
@@ -2328,6 +2406,17 @@ object PipelineQueries {
 
     "ann_recall_ivfpq" ->
       s"""WITH $ivfPqRankedCtes,
+         |mt AS (SELECT qid, nid FROM r WHERE rnk <= 5),
+         |$bruteTopCtes
+         |$recallSelectSql""".stripMargin,
+
+    "knn_ivfpq_res" ->
+      s"""WITH $rIvfPqRankedCtes
+         |SELECT qid, nid, CAST(adc AS BIGINT) AS adc, CAST(rnk AS BIGINT) AS rnk
+         |FROM r WHERE rnk <= 5""".stripMargin,
+
+    "ann_recall_ivfpq_res" ->
+      s"""WITH $rIvfPqRankedCtes,
          |mt AS (SELECT qid, nid FROM r WHERE rnk <= 5),
          |$bruteTopCtes
          |$recallSelectSql""".stripMargin,

@@ -374,6 +374,66 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(one.size <= full.size)
   }
 
+  test("knnIvfPqResidual: residual codes, per-cell tables match the in-memory reference") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val rows = (0L until 24L).map(id =>
+      (id, Array.fill(4)((rnd.nextFloat() - 0.5f) * 2f)))
+    val df = rows.toDF("vec_id", "embedding")
+    // coarseIters=0 (centroids = quantized seeds), pqIters=1 (one real
+    // Lloyd round over residual slices), probes=4 = all cells.
+    val got = graft.core.Caches.scoped {
+      VectorOps.knnIvfPqResidual(df, "vec_id", "embedding", col("vec_id") < 3, 4,
+        col("vec_id").between(10, 13), 0, 4, 1, 2, 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    }
+    val quant = rows.map { case (id, v) =>
+      val scale = v.map(x => math.abs(x.toDouble)).max / 127.0
+      id -> (if (scale > 0) v.map(x => math.floor(x / scale + 0.5).toLong)
+             else v.map(_ => 0L))
+    }.toMap
+    val seeds = Seq(10L, 11L, 12L, 13L)
+    val sub = 2
+    def d2(a: Seq[Long], b: Seq[Long]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    def roundDiv(s: Long, n: Long): Long = {
+      val a = (2L * math.abs(s) + n) / (2L * n)
+      if (s < 0) -a else a
+    }
+    def cell(id: Long): Long =
+      seeds.map(c => (d2(quant(id).toSeq, quant(c).toSeq), c)).min._2
+    def resid(id: Long): Array[Long] =
+      quant(id).zip(quant(cell(id))).map { case (a, b) => a - b }
+    def slice(v: Array[Long], s: Int) = v.slice(s * sub, (s + 1) * sub).toSeq
+    // One Lloyd round per subspace over ALL residual slices.
+    val books: IndexedSeq[Map[Long, Seq[Long]]] = (0 until 2).map { s =>
+      val c0 = seeds.map(c => c -> slice(resid(c), s)).toMap
+      val assign = (0L until 24L).groupBy(id =>
+        seeds.map(c => (d2(slice(resid(id), s), c0(c)), c)).min._2)
+      seeds.map { c =>
+        c -> (assign.get(c) match {
+          case Some(ms) => (0 until sub).map(i =>
+            roundDiv(ms.map(id => slice(resid(id), s)(i)).sum, ms.length))
+          case None => c0(c)
+        })
+      }.toMap
+    }
+    def code(id: Long, s: Int): Long =
+      seeds.map(c => (d2(slice(resid(id), s), books(s)(c)), c)).min._2
+    val expect = (0L until 3L).flatMap { qid =>
+      (0L until 24L).filter(_ != qid).map { nid =>
+        // Query residual w.r.t. the CANDIDATE'S cell — the residual rule.
+        val rq = quant(qid).zip(quant(cell(nid))).map { case (a, b) => a - b }
+        val adc = (0 until 2).map(s =>
+          d2(slice(rq, s), books(s)(code(nid, s)))).sum
+        (nid, adc)
+      }.sortBy { case (nid, adc) => (adc, nid) }.take(4)
+        .zipWithIndex.map { case ((nid, adc), i) => (qid, nid, adc, (i + 1).toLong) }
+    }.toSet
+    assert(got == expect, s"got $got\nexpect $expect")
+  }
+
   test("knnBrute ranks by cosine with id tiebreak") {
     val spark = TestSpark.spark
     import spark.implicits._
