@@ -807,6 +807,25 @@ object PipelineQueries {
         .groupBy("deg").agg(count(lit(1)).as("n_nodes"))
     }),
 
+    // Global clustering coefficient of the kNN graph, as exact integers:
+    // closed wedges = 3·triangles, total wedges = Σ C(deg,2), plus the
+    // per-mille floor ratio (integer-exact; positive so div == //).
+    "graph_clustering" -> ((s, d) => {
+      val kg = graft.operators.VectorOps.knnGraph(
+        embs(s, d), "vec_id", "embedding", KnnGraphK, LshTables, LshBits, EmbDims)
+      val tri = graft.operators.GraphOps.triangles(
+        kg.select(col("qid").as("src"), col("nid").as("dst")))
+      val ue = kg.select(least(col("qid"), col("nid")).as("a"),
+          greatest(col("qid"), col("nid")).as("b"))
+        .filter(col("a") < col("b")).distinct()
+      val wedges = ue.select(col("a").as("v")).unionAll(ue.select(col("b").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("deg"))
+        .agg(sum(expr("deg * (deg - 1) div 2")).as("n_wedges"))
+      tri.select(col("n_triangles")).crossJoin(wedges)
+        .select(col("n_triangles"), col("n_wedges"),
+          expr("(3 * n_triangles * 1000) div n_wedges").as("cc_permille"))
+    }),
+
     // RFM customer segmentation: recency (days since last order, vs the
     // corpus max day), frequency (order count), monetary (cents summed
     // exactly, then $100-quantized so the quantile histogram's value
@@ -2263,6 +2282,20 @@ object PipelineQueries {
          |  (SELECT a AS v FROM ue UNION ALL SELECT b FROM ue) GROUP BY 1)
          |SELECT CAST(deg AS BIGINT) AS deg, CAST(COUNT(*) AS BIGINT) AS n_nodes
          |FROM d GROUP BY 1""".stripMargin,
+
+    // graph_clustering: triangles and wedge totals off the same chain.
+    "graph_clustering" ->
+      s"""WITH $knnGraphCtes,
+         |ue AS MATERIALIZED (SELECT DISTINCT LEAST(qid, nid) AS a, GREATEST(qid, nid) AS b FROM kg),
+         |tri AS (SELECT COUNT(*) AS t FROM ue e1
+         |  JOIN ue e2 ON e2.a = e1.b
+         |  JOIN ue e3 ON e3.a = e1.a AND e3.b = e2.b),
+         |wg AS (SELECT SUM(deg * (deg - 1) // 2) AS w FROM
+         |  (SELECT v, COUNT(*) AS deg FROM
+         |    (SELECT a AS v FROM ue UNION ALL SELECT b FROM ue) GROUP BY 1))
+         |SELECT CAST(tri.t AS BIGINT) AS n_triangles, CAST(wg.w AS BIGINT) AS n_wedges,
+         |  CAST((3 * tri.t * 1000) // wg.w AS BIGINT) AS cc_permille
+         |FROM tri, wg""".stripMargin,
 
     // graph_triangles: undirect kg canonically (a<b), close wedges.
     "graph_triangles" ->
