@@ -811,8 +811,11 @@ object PipelineQueries {
     // closed wedges = 3·triangles, total wedges = Σ C(deg,2), plus the
     // per-mille floor ratio (integer-exact; positive so div == //).
     "graph_clustering" -> ((s, d) => {
-      val kg = graft.operators.VectorOps.knnGraph(
-        embs(s, d), "vec_id", "embedding", KnnGraphK, LshTables, LshBits, EmbDims)
+      // Persisted: the triangle census and the wedge count both consume
+      // the ranked graph — one LSH build, not two.
+      val kg = graft.core.Caches.persistTracked(
+        graft.operators.VectorOps.knnGraph(
+          embs(s, d), "vec_id", "embedding", KnnGraphK, LshTables, LshBits, EmbDims))
       val tri = graft.operators.GraphOps.triangles(
         kg.select(col("qid").as("src"), col("nid").as("dst")))
       val ue = kg.select(least(col("qid"), col("nid")).as("a"),
