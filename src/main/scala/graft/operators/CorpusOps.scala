@@ -142,6 +142,47 @@ object CorpusOps {
     }
   }
 
+  /** Per-group HyperLogLog REGISTER sketch over word-`n`-gram shingles —
+    * the register table itself (Flajolet et al. 2007), not the float
+    * estimate: register index = the hash's first byte mod `m`, register
+    * value = max over hashes of (leading zeros of the next 48 hash bits
+    * + 1). Output: (groupCol, reg, max_rho) — registers no shingle ever
+    * hit are absent (their implied value is 0).
+    *
+    * Why registers and not the estimate: the registers ARE the mergeable
+    * sketch (pairwise max — a union of corpora is a union of register
+    * tables re-maxed), they are integer-exact (the oracle replays them
+    * bit-for-bit; the harmonic-mean estimate is float post-processing any
+    * consumer can apply), and they are the thing a pipeline STORES per
+    * shard/day to answer later union-cardinality questions. Complements
+    * [[kmvDistinct]]: KMV gives an integer estimate directly but keeps k
+    * hashes; HLL keeps m 6-bit registers — the smaller, union-friendlier
+    * state. Scale: one explode + one (group, reg) aggregation, map-side
+    * combined; state per group is exactly m longs.
+    *
+    * rho arithmetic (engine-neutral): the 48-bit value v = hex chars 3..14
+    * of md5; Spark `bin(v)` and DuckDB `bin(v::BIGINT)` both render v
+    * without leading zeros, so rho = 49 − length(bin(v)), with v = 0
+    * (probability 2⁻⁴⁸) pinned to the max rho 49. */
+  def hllRegisters(docs: DataFrame, groupCol: String, n: Int,
+                   m: Int = 64): DataFrame = {
+    require(m >= 16 && m <= 256 && (m & (m - 1)) == 0,
+      s"m must be a power of two in 16..256: $m")
+    val h = docs
+      .select(col(groupCol),
+        explode(DedupOps.shingles(col("text"), n)).as("s"))
+      .select(col(groupCol), md5(col("s")).as("h"))
+      .select(col(groupCol),
+        pmod(conv(substring(col("h"), 1, 2), 16, 10).cast("long"), lit(m))
+          .as("reg"),
+        conv(substring(col("h"), 3, 12), 16, 10).cast("long").as("v"))
+    h.select(col(groupCol), col("reg"),
+        when(col("v") === 0L, lit(49L))
+          .otherwise(lit(49L) - length(bin(col("v")))).as("rho"))
+      .groupBy(col(groupCol), col("reg"))
+      .agg(max(col("rho")).as("max_rho"))
+  }
+
   /** Per-group repeated-span statistics — the cross-document contamination
     * signal (boilerplate, licence headers, benchmark leakage) a curation
     * pipeline monitors: word-`n`-gram span instances per group, instances of

@@ -1,0 +1,42 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Data-quality profiling — the per-column expectations readout (row count,
+  * null count, distinct count, min/max) an ingestion pipeline computes on
+  * every batch before publishing it, and diffs against the previous batch to
+  * catch schema rot / null storms / cardinality explosions.
+  *
+  * Scale shape: ONE pass over the input — all per-column measures are
+  * aggregates of a single global `agg(...)`, then the one result row is
+  * unpivoted driver-free with `stack`. Min/max are emitted as strings so one
+  * long-form schema covers heterogeneous column types. The distinct counts
+  * are EXACT here (Spark plans n distinct aggregates as one Expand ×(n+1)
+  * pass — acceptable at gate scale and oracle-replayable); the production
+  * swap for a 100 TB batch is `approx_count_distinct` per column, which
+  * collapses the Expand back to one streaming HLL pass, same output schema.
+  */
+object ProfileOps {
+
+  /** Long-form profile of `cols`: one output row per column —
+    * (column, n_rows, n_null, n_distinct, min_s, max_s). */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profile of zero columns")
+    val aggs = cols.flatMap { c =>
+      Seq(count(col(c)).as(s"${c}__nn"),
+        countDistinct(col(c)).as(s"${c}__nd"),
+        min(col(c)).cast("string").as(s"${c}__mn"),
+        max(col(c)).cast("string").as(s"${c}__mx"))
+    } :+ count(lit(1)).as("__n")
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = cols.map(c =>
+      s"'$c', `${c}__nn`, `${c}__nd`, `${c}__mn`, `${c}__mx`").mkString(", ")
+    row.selectExpr(
+      s"stack(${cols.size}, $stackArgs) AS (column, _nn, n_distinct, min_s, max_s)",
+      "__n AS n_rows")
+      .select(col("column"), col("n_rows"),
+        (col("n_rows") - col("_nn")).as("n_null"),
+        col("n_distinct"), col("min_s"), col("max_s"))
+  }
+}

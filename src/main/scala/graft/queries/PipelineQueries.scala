@@ -20,13 +20,24 @@ object PipelineQueries {
   private[queries] def embs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
 
-  /** The events table carries TIMESTAMP(NANOS) parquet (unsupported by
-    * Spark's reader natively): read `ts` as raw nanos via the legacy conf.
-    * DuckDB truncates ns→µs on read, so `ts div 1000` reproduces its
-    * `epoch_us` exactly. */
+  /** The events table's `ts` physical type has varied across testdata
+    * generations (TIMESTAMP(NANOS) — unsupported by Spark's reader natively —
+    * vs plain TIMESTAMP(MICROS), with or without UTC adjustment). Normalize
+    * to ONE logical contract every consumer relies on: `ts` = epoch NANOS as
+    * BIGINT, so `ts div 1000` is epoch micros and matches DuckDB's
+    * `epoch_us(ts)` exactly (DuckDB reads both generations at µs precision;
+    * naive timestamps are interpreted as UTC on both sides — the session
+    * timezone is pinned here so the NTZ cast cannot drift with the host). */
   private[queries] def events(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampType}
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.read.parquet(s"$dir/events.parquet")
+    s.conf.set("spark.sql.session.timeZone", "UTC")
+    val df = s.read.parquet(s"$dir/events.parquet")
+    df.schema("ts").dataType match {
+      case LongType => df // TIMESTAMP(NANOS) read as raw nanos via the conf
+      case _ => df.withColumn("ts",
+        unix_micros(col("ts").cast(TimestampType)) * lit(1000L))
+    }
   }
 
   import graft.operators.TextOps
@@ -863,6 +874,96 @@ object PipelineQueries {
         .groupBy("r_band", "f_band", "m_band")
         .agg(count(lit(1)).as("n_cust"))
     }),
+
+    // ----------------------------------------------------------------- cdc
+    // CDC upsert compaction: the events log read as a keyed changelog
+    // (user = entity, (us, event_id) = change sequence) compacted to its
+    // current state — one row per user, latest event's type and cent
+    // value. WindowGroupLimit keeps the shuffle at ~|users| rows.
+    "cdc_snapshot" -> ((s, d) =>
+      graft.operators.CdcOps.latestSnapshot(
+        events(s, d).select(col("user_id"), col("event_id"),
+          expr("ts div 1000").as("us"), col("event_type"),
+          expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("v100")),
+        "user_id", "us", "event_id", Seq("event_type", "v100"))),
+
+    // SCD2 history: per-user validity intervals of the tracked attribute
+    // (event_type), consecutive runs collapsed, half-open [from, to)
+    // bounds with a null-open current interval.
+    "cdc_scd2" -> ((s, d) =>
+      graft.operators.CdcOps.scd2(
+        events(s, d).select(col("user_id"), col("event_id"),
+          expr("ts div 1000").as("us"), col("event_type")),
+        "user_id", "us", "event_id", "event_type")),
+
+    // ---------------------------------------------------------------- join
+    // Salted skew join: lineitem⋈orders revenue per order priority with
+    // the orderkey shuffle spread over 8 salt buckets — row-identical to
+    // the plain inner join (the oracle IS the plain join), demonstrating
+    // the explicit hot-key treatment for distributions AQE can't re-split
+    // (hash-agg shuffles, deliberate strategy pins).
+    "skew_join" -> ((s, d) => {
+      val li = s.read.parquet(s"$d/lineitem.parquet")
+        .select(col("l_orderkey").as("okey"),
+          expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)").as("cents"))
+      val ord = s.read.parquet(s"$d/orders.parquet")
+        .select(col("o_orderkey").as("okey"), col("o_orderpriority"))
+      graft.operators.JoinOps.saltedJoin(li, ord, "okey", 8)
+        .groupBy("o_orderpriority")
+        .agg(sum("cents").as("rev_cents"), count(lit(1)).as("n_items"))
+    }),
+
+    // ------------------------------------------------------------ quality
+    // Batch data-quality profile: per-column row/null/distinct counts and
+    // stringified min/max over lineitem — the publish-gate expectations
+    // readout, one input pass, unpivoted via stack.
+    "dq_profile" -> ((s, d) =>
+      graft.operators.ProfileOps.profile(
+        s.read.parquet(s"$d/lineitem.parquet"),
+        Seq("l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus"))),
+
+    // HyperLogLog register table per source over word-3-gram shingles —
+    // the union-mergeable distinct sketch (m=64 six-bit registers vs
+    // corp_kmv's k=64 hashes), integer-exact and oracle-replayed
+    // bit-for-bit.
+    "corp_hll" -> ((s, d) =>
+      graft.operators.CorpusOps.hllRegisters(docs(s, d), "source", 3, 64)),
+
+    // C4-style heuristic curation funnel: sequential drop rules (too
+    // short < 20 words → token-repetition ratio < 40% → fewer than two
+    // stopword hits → non-English metadata) with per-stage accounting —
+    // the rule-attribution readout a filter-tuning pass reads. One scan,
+    // one tiny aggregation.
+    "curate_rules" -> ((s, d) => {
+      import graft.operators.TextOps
+      val m = docs(s, d).select(col("lang"),
+          TextOps.tokens(col("text")).as("w"))
+        .select(col("lang"), size(col("w")).as("nw"),
+          size(array_distinct(col("w"))).as("ndw"),
+          TextOps.hitCount(col("w"), Seq("the", "a")).as("stop"))
+      m.select(
+          when(col("nw") < 20, "short")
+            .when(col("ndw") * 100 < col("nw") * 40, "repetitive")
+            .when(col("stop") < 2, "no_stopwords")
+            .when(col("lang") =!= "en", "non_english")
+            .otherwise("kept").as("stage"))
+        .groupBy("stage").agg(count(lit(1)).as("n_docs"))
+    }),
+
+    // --------------------------------------------------------------- index
+    // Inverted-index statistics: per-token document/collection frequency
+    // and a rank-window-capped posting sample (WindowGroupLimit — hot
+    // tokens never materialize unbounded lists), tokens with df >= 300.
+    "idx_postings" -> ((s, d) =>
+      graft.operators.IndexOps.postings(docs(s, d), "doc_id", 300L, 5)),
+
+    // Conjunctive retrieval: documents containing ALL of three probe terms
+    // each at least twice — the contamination/audit lookup as one
+    // filtered-posting aggregation (filter pushed to the scan), never a
+    // per-term join chain.
+    "idx_search" -> ((s, d) =>
+      graft.operators.IndexOps.conjunctive(docs(s, d), "doc_id",
+        Seq("spark", "vector", "hash"), minTf = 2L)),
 
     // ------------------------------------------------------------ layout
     // Z-order clustering readout: lineitem quantized to a 1024×1024
@@ -2109,6 +2210,92 @@ object PipelineQueries {
          |  CAST(COUNT(*) AS BIGINT) AS n_cust
          |FROM base, qr, qf, qm GROUP BY 1, 2, 3""".stripMargin
     },
+
+    // cdc_snapshot: latest change per user by (us desc, event_id desc).
+    "cdc_snapshot" ->
+      """WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS us, event_type,
+        |  CAST(floor(value * 100 + 0.5) AS BIGINT) AS v100 FROM events)
+        |SELECT user_id, event_type, v100 FROM ev
+        |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY us DESC, event_id DESC) = 1""".stripMargin,
+
+    // cdc_scd2: lag change-marker + cumulative run id + run bounds + lead.
+    "cdc_scd2" ->
+      """WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS us, event_type FROM events),
+        |c AS (SELECT user_id, us, event_id, event_type,
+        |  CASE WHEN lag(event_type) OVER w IS NULL
+        |         OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg
+        |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |r AS (SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY us, event_id) AS run FROM c),
+        |iv AS (SELECT user_id, run, event_type, MIN(us) AS valid_from,
+        |  CAST(COUNT(*) AS BIGINT) AS n_changes FROM r GROUP BY 1, 2, 3)
+        |SELECT user_id, event_type, valid_from,
+        |  lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from) AS valid_to,
+        |  n_changes FROM iv""".stripMargin,
+
+    // skew_join: the oracle IS the unsalted join — salting must be
+    // row-invisible.
+    "skew_join" ->
+      """SELECT o_orderpriority,
+        |  CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS rev_cents,
+        |  CAST(COUNT(*) AS BIGINT) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1""".stripMargin,
+
+    "dq_profile" ->
+      Seq("l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus").map(c =>
+        s"""SELECT '$c' AS "column", CAST(COUNT(*) AS BIGINT) AS n_rows,
+           |  CAST(COUNT(*) - COUNT($c) AS BIGINT) AS n_null,
+           |  CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct,
+           |  CAST(MIN($c) AS VARCHAR) AS min_s, CAST(MAX($c) AS VARCHAR) AS max_s
+           |FROM lineitem""".stripMargin).mkString("\nUNION ALL\n"),
+
+    // corp_hll: replays the register table — index from the first md5
+    // byte mod 64, rho from the bit length of the next 48 bits (DuckDB's
+    // bin() renders without leading zeros, same as Spark's).
+    "corp_hll" -> {
+      val reg = s"(${hexvalSql("substr(h,1,1)")} * 16 + ${hexvalSql("substr(h,2,1)")}) % 64"
+      val v = (3 to 14).map(j =>
+        s"${hexvalSql(s"substr(h,$j,1)")} * CAST(${BigInt(16).pow(14 - j)} AS BIGINT)")
+        .mkString(" + ")
+      s"""WITH sh AS (SELECT source, md5(s) AS h FROM
+         |  (SELECT source, unnest([array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)]) AS s
+         |   FROM (SELECT source, string_split(text, ' ') AS w FROM documents))),
+         |rv AS (SELECT source, CAST($reg AS BIGINT) AS reg, CAST($v AS BIGINT) AS v FROM sh)
+         |SELECT source, reg,
+         |  CAST(MAX(CASE WHEN v = 0 THEN 49 ELSE 49 - length(bin(v)) END) AS BIGINT) AS max_rho
+         |FROM rv GROUP BY 1, 2""".stripMargin
+    },
+
+    "curate_rules" ->
+      """WITH m AS (SELECT lang, len(w) AS nw, len(list_distinct(w)) AS ndw,
+        |  len(list_filter(w, x -> x IN ('the', 'a'))) AS stop
+        |  FROM (SELECT lang, string_split(text, ' ') AS w FROM documents))
+        |SELECT CASE WHEN nw < 20 THEN 'short'
+        |  WHEN ndw * 100 < nw * 40 THEN 'repetitive'
+        |  WHEN stop < 2 THEN 'no_stopwords'
+        |  WHEN lang <> 'en' THEN 'non_english'
+        |  ELSE 'kept' END AS stage, CAST(COUNT(*) AS BIGINT) AS n_docs
+        |FROM m GROUP BY 1""".stripMargin,
+
+    "idx_postings" ->
+      """WITH td AS (SELECT t, doc_id, CAST(COUNT(*) AS BIGINT) AS tf FROM
+        |  (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+        |  WHERE len(t) > 0 GROUP BY 1, 2),
+        |capped AS (SELECT t, string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS sample_docs
+        |  FROM (SELECT t, doc_id FROM td
+        |        QUALIFY row_number() OVER (PARTITION BY t ORDER BY doc_id) <= 5)
+        |  GROUP BY 1),
+        |st AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS df, CAST(SUM(tf) AS BIGINT) AS cf
+        |  FROM td GROUP BY 1)
+        |SELECT st.t, df, cf, sample_docs FROM st JOIN capped USING (t) WHERE df >= 300""".stripMargin,
+
+    "idx_search" ->
+      """WITH td AS (SELECT t, doc_id, COUNT(*) AS tf FROM
+        |  (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+        |  WHERE len(t) > 0 GROUP BY 1, 2)
+        |SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS total_tf FROM td
+        |WHERE t IN ('spark', 'vector', 'hash') AND tf >= 2
+        |GROUP BY 1 HAVING COUNT(*) = 3""".stripMargin,
 
     // evt_outliers: histogram+cumsum exact quartiles of the cent value,
     // integer Tukey fence, recount over the event scan.

@@ -472,6 +472,37 @@ class CorpusOpsSpec extends AnyFunSuite with PropHelpers {
     assert(CorpusOps.prioritySample(docs, "doc_id", 1000).count() == 60L)
   }
 
+  test("hllRegisters: union-mergeable — re-max of parts equals the whole") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = (1 to 40).map(i =>
+      (i.toLong, (1 to 12).map(j => s"w${(i * 7 + j * 3) % 19}").mkString(" "),
+        if (i <= 20) "p1" else "p2")).toDF("doc_id", "text", "part")
+    // Whole-corpus sketch under one group label...
+    val whole = CorpusOps.hllRegisters(docs.withColumn("g", lit("all")), "g", 3)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toMap
+    // ...must equal the per-part sketches merged by register max.
+    val merged = CorpusOps.hllRegisters(docs, "part", 3)
+      .groupBy("reg").agg(max("max_rho").as("m"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(whole == merged)
+    assert(whole.values.forall(r => r >= 1L && r <= 49L))
+  }
+
+  test("hllRegisters: identical corpora produce identical registers (set semantics)") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val base = (1 to 15).map(i => (i.toLong, s"a b c d${i % 5} e f", "g1"))
+    val doubled = base ++ base.map { case (id, t, _) => (id + 100L, t, "g2") }
+    val regs = CorpusOps.hllRegisters(
+        doubled.toDF("doc_id", "text", "g"), "g", 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val g1 = regs.filter(_._1 == "g1").map(t => (t._2, t._3)).toSet
+    val g2 = regs.filter(_._1 == "g2").map(t => (t._2, t._3)).toSet
+    assert(g1 == g2 && g1.nonEmpty)
+  }
+
   test("stratifiedSample uses a salted bucket (not the split bucket)") {
     val spark = TestSpark.spark
     val df = docsDF((1 to 100).map(i =>
