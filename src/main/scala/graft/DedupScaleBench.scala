@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale envelope for the fuzzy-dedup family: MinHash banding →
+  * candidate pairs → Jaccard verify → cluster collapse over synthetic
+  * corpora at 1M and 10M documents — the evidence that the banded
+  * (never all-pairs) candidate generation and the pointer-doubled
+  * component collapse hold at 10×.
+  *
+  * The corpus is generated distributedly from `spark.range` arithmetic:
+  * every document is 24 words drawn deterministically from a 4k-word
+  * vocabulary; one document in 10 is a near-duplicate of a base document
+  * (same word stream, last 2 words perturbed — shingle Jaccard well above
+  * the 1/2 verify threshold), so planted pair/cluster structure EXISTS
+  * and its volume is known to scale linearly with n. A degenerate corpus
+  * (all docs identical, or no dups at all) would measure the wrong
+  * regime. WALL-CLOCK envelope only — correctness of the same operators
+  * is oracle-gated at sf0.01 (`dedup_minhash`, `dedup_clusters`).
+  *
+  * Run: `sbt -batch "runMain graft.DedupScaleBench"` (env knobs:
+  * SPARK_GRAFT_CPUS, SPARK_GRAFT_SCALE_NS="1000000,10000000",
+  * SPARK_GRAFT_SCALE_OUT=SCALE_DEDUP_out.json).
+  */
+object DedupScaleBench {
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val ns = sys.env.getOrElse("SPARK_GRAFT_SCALE_NS", "1000000,10000000")
+      .split(",").map(_.trim.toLong).toSeq
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val cells = ns.map { n =>
+      // doc i < 0.9n: 24 words seeded from i. doc i >= 0.9n: a near-dup of
+      // base doc (i - 0.9n) * 9 — word stream re-seeded from the base id,
+      // positions 22..23 perturbed (shared shingle Jaccard 20/24, well
+      // above the 1/2 verify threshold). Word w(seed, j) =
+      // vocab[xxhash64(seed, j) % 4096]: hash-distinct streams per seed —
+      // a linear form in seed would alias whole documents mod the vocab
+      // size and plant n²-scale accidental duplicates, measuring the
+      // wrong regime entirely.
+      val nBase = (n * 9) / 10
+      val docs = spark.range(0, n, 1, cpus.toInt * 4).select(
+          col("id").as("doc_id"),
+          when(col("id") < nBase, col("id"))
+            .otherwise((col("id") - nBase) * 9L).as("seed"),
+          (col("id") >= nBase).as("isdup"))
+        .select(col("doc_id"), concat_ws(" ",
+          (0 until 24).map { j =>
+            val base = concat(lit("w"),
+              pmod(xxhash64(col("seed"), lit(j)), lit(4096L)).cast("string"))
+            if (j >= 22)
+              when(col("isdup"),
+                concat(lit("p"), pmod(col("doc_id"), lit(97L)).cast("string")))
+                .otherwise(base)
+            else base
+          }: _*).as("text"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val t0 = System.nanoTime()
+      docs.count()
+      val genSec = (System.nanoTime() - t0) / 1e9
+
+      // Full chain, the dedup_clusters shape: banding (b=12, r=3) →
+      // verified pairs (Jaccard >= 1/2 over 3-shingles) → components.
+      val t1 = System.nanoTime()
+      val pairs = graft.operators.DedupOps.minhashNearDups(
+        docs, "doc_id", 3, 12, 3, 1, 2)
+      val nPairs = pairs.count()
+      val pairSec = (System.nanoTime() - t1) / 1e9
+
+      val t2 = System.nanoTime()
+      val labels = graft.operators.DedupOps.nearDupClusters(
+        docs, "doc_id", pairs)
+      val nClustered = labels.filter(col("cluster") =!= col("doc_id")).count()
+      val clusterSec = (System.nanoTime() - t2) / 1e9
+
+      graft.operators.DedupOps.unpersistPipelines()
+      docs.unpersist(blocking = true)
+      f"""{"n":$n,"gen_sec":$genSec%.2f,"pairs_sec":$pairSec%.2f,"n_pairs":$nPairs,"cluster_sec":$clusterSec%.2f,"n_clustered":$nClustered}"""
+    }
+
+    val line =
+      s"""{"metric":"scale_dedup","cells":${cells.mkString("[", ",", "]")},"planted_dup_share":0.1}"""
+    println(line)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "SCALE_DEDUP_out.json")), line)
+    spark.stop()
+  }
+}

@@ -454,6 +454,22 @@ object PipelineQueries {
         kg.select(col("qid").as("src"), col("nid").as("dst")))
     }),
 
+    // Connected-component SIZE census of the kNN graph — the coverage
+    // readout of similarity clustering (how much of the corpus sits in
+    // one giant near-dup blob vs isolated points). Labels come from the
+    // same pointer-doubled min-label engine as dedup_clusters (O(log d)
+    // checkpointed rounds over the edge list); vectors off the graph are
+    // their own singleton component via the left join.
+    "graph_components" -> ((s, d) => {
+      val kg = graft.operators.VectorOps.knnGraph(
+        embs(s, d), "vec_id", "embedding", KnnGraphK, LshTables, LshBits, EmbDims)
+      graft.operators.DedupOps.nearDupClusters(
+          embs(s, d).select(col("vec_id")), "vec_id",
+          kg.select(col("qid").as("id_a"), col("nid").as("id_b")))
+        .groupBy("cluster").agg(count(lit(1)).as("sz"))
+        .groupBy("sz").agg(count(lit(1)).as("n_components"))
+    }),
+
     // IVF (inverted-file) top-5: 16 deterministic corpus-vector centroids
     // (vec_id 8..23), nearest-cell assignment, 3 probed cells per query,
     // exact re-rank. The oracle replays the identical index in SQL.
@@ -2486,6 +2502,23 @@ object PipelineQueries {
          |SELECT CAST(tri.t AS BIGINT) AS n_triangles, CAST(wg.w AS BIGINT) AS n_wedges,
          |  CAST((3 * tri.t * 1000) // wg.w AS BIGINT) AS cc_permille
          |FROM tri, wg""".stripMargin,
+
+    // graph_components: the kNN-graph replay + recursive reachability
+    // min-label (the dedup_clusters pattern), singletons recovered off
+    // the embeddings table, reduced to the size census.
+    "graph_components" ->
+      s"""WITH RECURSIVE $knnGraphCtes,
+         |ge AS (SELECT qid AS a, nid AS b FROM kg
+         |  UNION ALL SELECT nid, qid FROM kg),
+         |reach(id, r) AS (
+         |  SELECT a, a FROM ge
+         |  UNION
+         |  SELECT re.id, e.b FROM reach re JOIN ge e ON e.a = re.r),
+         |lbl AS (SELECT id, MIN(r) AS cluster FROM reach GROUP BY id),
+         |lblfull AS (SELECT v.vec_id, COALESCE(l.cluster, v.vec_id) AS cluster
+         |  FROM embeddings v LEFT JOIN lbl l ON v.vec_id = l.id),
+         |cs AS (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS sz FROM lblfull GROUP BY 1)
+         |SELECT sz, CAST(COUNT(*) AS BIGINT) AS n_components FROM cs GROUP BY 1""".stripMargin,
 
     // graph_triangles: undirect kg canonically (a<b), close wedges.
     "graph_triangles" ->

@@ -118,4 +118,31 @@ class PlanShapeSpec extends AnyFunSuite {
       s"funnel scan reads beyond (user, ts, type): $meta")
     graft.core.Caches.releaseAll()
   }
+
+  test("cdc_snapshot's per-key top-1 plans as WindowGroupLimit (shuffle carries ~|keys| rows)") {
+    val spark = TestSpark.spark
+    val df = graft.queries.PipelineQueries.queries("cdc_snapshot")(spark, sf)
+    val plan = df.queryExecution.sparkPlan.treeString
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank filter not rewritten to a group limit:\n$plan")
+  }
+
+  test("idx_postings' posting cap plans as WindowGroupLimit (hot tokens stay bounded)") {
+    val spark = TestSpark.spark
+    val df = graft.queries.PipelineQueries.queries("idx_postings")(spark, sf)
+    val plan = df.queryExecution.sparkPlan.treeString
+    assert(plan.contains("WindowGroupLimit"),
+      s"posting cap not rewritten to a group limit:\n$plan")
+  }
+
+  test("dq_profile reads exactly its profiled columns in one scan") {
+    val spark = TestSpark.spark
+    val df = graft.queries.PipelineQueries.queries("dq_profile")(spark, sf)
+    val scans = fileScans(df.queryExecution.sparkPlan)
+    assert(scans.length == 1, s"expected one lineitem scan, got ${scans.length}")
+    val meta = scanMeta(df)
+    assert(meta.contains("l_orderkey") && !meta.contains("l_comment") &&
+      !meta.contains("l_extendedprice"),
+      s"profile scan not pruned to its columns: $meta")
+  }
 }
