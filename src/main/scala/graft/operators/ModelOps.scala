@@ -108,4 +108,56 @@ object ModelOps {
         when(col(feat) >= thr, 1L).otherwise(-1L).as("pred"))
       .groupBy("y", "pred").agg(count(lit(1)).as("n"))
   }
+
+  /** BATCH perceptron training over integer features — the iterative
+    * supervised twin of the k-means loop (bounded rounds × one
+    * partial-aggregated scan per round; model state lives on the driver
+    * and enters each scan as literals): per round, sum the
+    * misclassified rows' `y·x` contributions in ONE aggregate and apply
+    * them as a single batch update (never per-row sequential updates —
+    * those are order-dependent and undistributable).
+    *
+    * The batch variant need not converge on non-separable data (the
+    * oscillation noted on [[stumpTrain]]); rounds are therefore FIXED
+    * and the gated artifact is the whole deterministic TRAJECTORY —
+    * per-round weights, bias, and the update's misclassified count —
+    * which doubles as the training-quality readout (n_upd falling =
+    * learning; flat = capacity reached). Integer end-to-end; the oracle
+    * replays every round. sign(0) = −1 (an untrained all-zero model
+    * predicts the negative class).
+    *
+    * Output: (round 1..rounds, one weight column per feature, b, n_upd)
+    * where the weights/bias are AFTER the round's update and n_upd is
+    * the misclassified count BEFORE it. */
+  def perceptronTrain(feats: DataFrame, featCols: Seq[String],
+                      labelCol: String, rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 64, s"rounds must be in 1..64: $rounds")
+    val spark = feats.sparkSession
+    val k = featCols.length
+    val w = Array.fill(k)(0L)
+    var b = 0L
+    val traj = Seq.newBuilder[(Int, Seq[Long], Long, Long)]
+    for (t <- 1 to rounds) {
+      val margin = featCols.zipWithIndex
+        .map { case (c, i) => col(c) * lit(w(i)) }
+        .reduceOption(_ + _).getOrElse(lit(0L)) + lit(b)
+      val mis = when(margin > 0, 1L).otherwise(-1L) =!= col(labelCol)
+      val aggs = featCols.map(c =>
+        sum(when(mis, col(labelCol) * col(c)).otherwise(0L))) ++ Seq(
+        sum(when(mis, col(labelCol)).otherwise(0L)),
+        sum(when(mis, 1L).otherwise(0L)))
+      val r = feats.agg(aggs.head, aggs.tail: _*).collect()(0)
+      def at(i: Int) = if (r.isNullAt(i)) 0L else r.getLong(i)
+      (0 until k).foreach(i => w(i) += at(i))
+      b += at(k)
+      traj += ((t, w.toSeq, b, at(k + 1)))
+    }
+    import spark.implicits._
+    traj.result()
+      .map { case (t, ws, bb, n) => (t.toLong, ws, bb, n) }
+      .toDF("round", "ws", "b", "n_upd")
+      .select(Seq(col("round")) ++
+        featCols.indices.map(i => element_at(col("ws"), i + 1).as(s"w${i + 1}")) ++
+        Seq(col("b"), col("n_upd")): _*)
+  }
 }

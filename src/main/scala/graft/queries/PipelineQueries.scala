@@ -289,6 +289,21 @@ object PipelineQueries {
     "model_confusion" -> ((s, d) =>
       graft.operators.ModelOps.stumpConfusion(docs(s, d))),
 
+    // Batch perceptron over the four quality flags, label = is-English:
+    // 3 fixed rounds, one partial-aggregated scan each, model state on
+    // the driver — the iterative supervised twin of the k-means loop.
+    // The gate hashes the whole per-round trajectory (weights, bias,
+    // misclassified count), which the oracle replays round by round.
+    "model_perceptron" -> ((s, d) => {
+      val flags = TextOps.qualityFlags(col("text"))
+      val feats = docs(s, d).select(
+        flags.zipWithIndex.map { case (f, i) =>
+          when(f, 1L).otherwise(0L).as(s"f${i + 1}")
+        } :+ when(col("lang") === "en", 1L).otherwise(-1L).as("y"): _*)
+      graft.operators.ModelOps.perceptronTrain(
+        feats, Seq("f1", "f2", "f3", "f4"), "y", 3)
+    }),
+
     "dedup_exact" -> ((s, d) => TextOps.dedupExact(docs(s, d))),
 
     // MinHash+LSH near-dup pairs: word-3-gram shingles, 12 bands × 3 rows,
@@ -2405,6 +2420,41 @@ object PipelineQueries {
          |    THEN 1 ELSE -1 END AS BIGINT) AS pred,
          |  CAST(COUNT(*) AS BIGINT) AS n
          |FROM f CROSS JOIN b GROUP BY 1, 2""".stripMargin,
+
+    // model_perceptron: unrolled batch-update replay — round t's CTE
+    // cross-joins round t−1's one-row weight table, recomputes the
+    // margin/misclassification per document, and adds the summed
+    // update. sign(0) = −1 matches the Spark side.
+    "model_perceptron" -> {
+      def roundCte(t: Int): String = {
+        // Previous-round weights enter as scalar subqueries (r_{t-1} is a
+        // one-row table) — a cross-joined column would trip DuckDB's
+        // aggregate binder.
+        def pw(i: Int) = if (t == 1) "0" else s"(SELECT w$i FROM r${t - 1})"
+        val pb = if (t == 1) "0" else s"(SELECT b FROM r${t - 1})"
+        val margin = (1 to 4).map(i => s"${pw(i)} * f$i").mkString(" + ") +
+          s" + $pb"
+        val mis = s"(CASE WHEN $margin > 0 THEN 1 ELSE -1 END) <> y"
+        val ws = (1 to 4).map(i =>
+          s"${pw(i)} + COALESCE(SUM(CASE WHEN $mis THEN y * f$i ELSE 0 END), 0) AS w$i")
+          .mkString(",\n  ")
+        s"""r$t AS (SELECT $ws,
+           |  $pb + COALESCE(SUM(CASE WHEN $mis THEN y ELSE 0 END), 0) AS b,
+           |  COALESCE(SUM(CASE WHEN $mis THEN 1 ELSE 0 END), 0) AS n_upd
+           |  FROM t)""".stripMargin
+      }
+      val selects = (1 to 3).map(t =>
+        s"SELECT CAST($t AS BIGINT) AS round, CAST(w1 AS BIGINT) AS w1, " +
+          s"CAST(w2 AS BIGINT) AS w2, CAST(w3 AS BIGINT) AS w3, " +
+          s"CAST(w4 AS BIGINT) AS w4, CAST(b AS BIGINT) AS b, " +
+          s"CAST(n_upd AS BIGINT) AS n_upd FROM r$t")
+        .mkString("\nUNION ALL\n")
+      s"""WITH base AS (SELECT lang, string_split(text, ' ') AS w, len(text) AS nc FROM documents),
+         |t AS (SELECT ${flagSqls.zipWithIndex.map { case (f, i) => s"($f) AS f${i + 1}" }.mkString(",\n  ")},
+         |  CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y FROM base),
+         |${(1 to 3).map(roundCte).mkString(",\n")}
+         |$selects""".stripMargin
+    },
 
     "evt_topk" ->
       """WITH c AS (SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS cnt

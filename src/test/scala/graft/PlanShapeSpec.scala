@@ -135,6 +135,15 @@ class PlanShapeSpec extends AnyFunSuite {
       s"posting cap not rewritten to a group limit:\n$plan")
   }
 
+  test("evt_outliers' fence table joins back by broadcast, not shuffle") {
+    val spark = TestSpark.spark
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = graft.queries.PipelineQueries.queries("evt_outliers")(spark, sf)
+    val plan = df.queryExecution.sparkPlan.treeString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"fence join not broadcast:\n$plan")
+  }
+
   test("dq_profile reads exactly its profiled columns in one scan") {
     val spark = TestSpark.spark
     val df = graft.queries.PipelineQueries.queries("dq_profile")(spark, sf)

@@ -70,4 +70,37 @@ class ModelOpsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(1), r.getLong(2))).head
     assert(got == ((3L, 0L)))
   }
+
+  test("perceptronTrain: hand-computed trajectory converges on separable data") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // y = +1 iff f1 = 1. Batch rounds: (w1,b,n_upd) =
+    // r1: sign(0)=-1 → 3 positives misclassified → (3, 3, 3)
+    // r2: f1=0 rows score b=3>0 → 2 negatives wrong → (3, 1, 2)
+    // r3: f1=0 rows score 1>0 → still wrong      → (3, -1, 2)
+    // r4: margins 2 / -1 → all correct            → (3, -1, 0)
+    val feats = (Seq.fill(3)((1L, 1L)) ++ Seq.fill(2)((0L, -1L)))
+      .toDF("f1", "y")
+    val got = ModelOps.perceptronTrain(feats, Seq("f1"), "y", 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (1L, 3L, 3L, 3L), (2L, 3L, 1L, 2L),
+      (3L, 3L, -1L, 2L), (4L, 3L, -1L, 0L)))
+  }
+
+  test("perceptronTrain is partition-invariant (batch updates, not sequential)") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val rows = (1 to 80).map { i =>
+      (i.toLong % 2, (i * 7 % 5).toLong, if (i % 3 == 0) 1L else -1L)
+    }
+    val a = ModelOps.perceptronTrain(
+      rows.toDF("f1", "f2", "y").repartition(1), Seq("f1", "f2"), "y", 3)
+      .collect().toSeq
+    val b = ModelOps.perceptronTrain(
+      rows.reverse.toDF("f1", "f2", "y").repartition(7), Seq("f1", "f2"), "y", 3)
+      .collect().toSeq
+    assert(a.map(_.toSeq) == b.map(_.toSeq))
+  }
 }
