@@ -57,7 +57,11 @@ object CdcOps {
       .withColumn("_run", sum(col("_chg")).over(w))
     val iv = runs.groupBy(col(key), col("_run"), col(tracked))
       .agg(min(col(seq)).as("valid_from"), count(lit(1)).as("n_changes"))
-    val wk = Window.partitionBy(key).orderBy(col("valid_from"))
+    // Interval chaining orders by (valid_from, _run): two runs of a key can
+    // share valid_from when a seq tie lands on a run boundary, and valid_from
+    // alone would leave lead() nondeterministic there. _run is unique per key
+    // and monotone in (seq, tie), so the composite order is total.
+    val wk = Window.partitionBy(key).orderBy(col("valid_from"), col("_run"))
     iv.withColumn("valid_to", lead(col("valid_from"), 1).over(wk))
       .select(col(key), col(tracked), col("valid_from"), col("valid_to"),
         col("n_changes"))

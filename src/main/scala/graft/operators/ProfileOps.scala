@@ -23,6 +23,12 @@ object ProfileOps {
     * (column, n_rows, n_null, n_distinct, min_s, max_s). */
   def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "profile of zero columns")
+    // Names are interpolated into a selectExpr stack() string below; a quote
+    // or backtick in a name would parse as SQL rather than fail clearly.
+    cols.foreach { c =>
+      require(!c.exists(ch => ch == '`' || ch == '\'' || ch == '\n'),
+        s"profile: column name contains a quote/backtick/newline: $c")
+    }
     val aggs = cols.flatMap { c =>
       Seq(count(col(c)).as(s"${c}__nn"),
         countDistinct(col(c)).as(s"${c}__nd"),

@@ -26,12 +26,16 @@ object PipelineQueries {
     * to ONE logical contract every consumer relies on: `ts` = epoch NANOS as
     * BIGINT, so `ts div 1000` is epoch micros and matches DuckDB's
     * `epoch_us(ts)` exactly (DuckDB reads both generations at µs precision;
-    * naive timestamps are interpreted as UTC on both sides — the session
-    * timezone is pinned here so the NTZ cast cannot drift with the host). */
+    * naive timestamps are interpreted as UTC on both sides.
+    *
+    * SESSION CONTRACT (set at session construction, NOT here — a reader must
+    * not mutate shared session state as a side effect): every entry point
+    * that can reach an event-family query (Bench, Verify, Smoke, Explain,
+    * TestSpark) builds its session with
+    * `spark.sql.session.timeZone=UTC` and
+    * `spark.sql.legacy.parquet.nanosAsLong=true`. */
   private[queries] def events(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types.{LongType, TimestampType}
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.conf.set("spark.sql.session.timeZone", "UTC")
     val df = s.read.parquet(s"$dir/events.parquet")
     df.schema("ts").dataType match {
       case LongType => df // TIMESTAMP(NANOS) read as raw nanos via the conf
@@ -2260,7 +2264,7 @@ object PipelineQueries {
         |iv AS (SELECT user_id, run, event_type, MIN(us) AS valid_from,
         |  CAST(COUNT(*) AS BIGINT) AS n_changes FROM r GROUP BY 1, 2, 3)
         |SELECT user_id, event_type, valid_from,
-        |  lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from) AS valid_to,
+        |  lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from, run) AS valid_to,
         |  n_changes FROM iv""".stripMargin,
 
     // skew_join: the oracle IS the unsalted join — salting must be

@@ -8,6 +8,8 @@ object TestSpark {
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[8]")
     .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.ui.enabled", "false")
     .appName("graft-tests")
     .getOrCreate()

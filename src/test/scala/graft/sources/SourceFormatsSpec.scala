@@ -30,10 +30,16 @@ class SourceFormatsSpec extends AnyFunSuite {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val want = fingerprint(docs)
 
-    docs.write.option("header", "true").csv(s"$dir/csv")
+    docs.write.option("header", "true").option("escape", "\"").csv(s"$dir/csv")
     docs.write.json(s"$dir/jsonl")
 
+    // multiLine + explicit quote/escape: the round-trip contract must hold
+    // even if a testdata regeneration introduces embedded newlines in text —
+    // without these options the reader would split quoted records at the
+    // newline and the assertion would fail for a reader-option reason, not
+    // an ingestion-contract one.
     val csv = spark.read.schema(schema).option("header", "true")
+      .option("multiLine", "true").option("quote", "\"").option("escape", "\"")
       .csv(s"$dir/csv")
     val jsonl = spark.read.schema(schema).json(s"$dir/jsonl")
     assert(fingerprint(csv) == want, "CSV round-trip diverged")
