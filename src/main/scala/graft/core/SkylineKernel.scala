@@ -40,16 +40,32 @@ object SkylineKernel {
     * equal points merged. The workhorse behind [[SkyBuffer]]. */
   def skylineCounted(points: ArrayBuffer[Array[Double]], counts: ArrayBuffer[Long])
       : (ArrayBuffer[Array[Double]], ArrayBuffer[Long]) = {
+    val (p, _, c) = skylineCountedTagged(points,
+      ArrayBuffer.fill(points.length)(0), counts)
+    (p, c)
+  }
+
+  /** [[skylineCounted]] with an opaque Int tag riding on every entry
+    * (origin-partition lineage in the streaming global merge — reference
+    * `FlinkSkyline.java:593-608`): dominance ignores the tag, equal points
+    * with DIFFERENT tags stay separate entries (equal vectors never
+    * dominate, so both survive), and only (point, tag)-equal entries merge
+    * their counts. This is what lets the global phase hold its merged
+    * skyline in counted form — quadratic in DISTINCT (point, origin)
+    * entries, not in the duplicate-heavy expanded multiset. */
+  def skylineCountedTagged(points: ArrayBuffer[Array[Double]],
+                           tags: ArrayBuffer[Int], counts: ArrayBuffer[Long])
+      : (ArrayBuffer[Array[Double]], ArrayBuffer[Int], ArrayBuffer[Long]) = {
     val n = points.length
-    if (n == 0) return (points.clone(), counts.clone())
+    if (n == 0) return (points.clone(), tags.clone(), counts.clone())
     val sums = new Array[Double](n)
     var i = 0
     while (i < n) { sums(i) = Dominance.coordSum(points(i)); i += 1 }
-    // (sum asc, coords lexicographic) — equal points become adjacent.
-    // All comparisons via Double.compare: a TOTAL order (NaN sorts last,
-    // consistently), so sortWith's strict-weak-order contract holds for
-    // any input — a plain `<` comparator violates it under NaN and TimSort
-    // may throw mid-aggregation.
+    // (sum asc, coords lexicographic, tag) — equal (point, tag) entries
+    // become adjacent. All comparisons via Double.compare: a TOTAL order
+    // (NaN sorts last, consistently), so sortWith's strict-weak-order
+    // contract holds for any input — a plain `<` comparator violates it
+    // under NaN and TimSort may throw mid-aggregation.
     val order = points.indices.toArray.sortWith { (a, b) =>
       val c = java.lang.Double.compare(sums(a), sums(b))
       if (c != 0) c < 0
@@ -60,10 +76,11 @@ object SkylineKernel {
         while (r == 0 && k < pa.length) {
           r = java.lang.Double.compare(pa(k), pb(k)); k += 1
         }
-        r < 0
+        if (r != 0) r < 0 else tags(a) < tags(b)
       }
     }
     val accP = new ArrayBuffer[Array[Double]](math.min(64, n))
+    val accT = new ArrayBuffer[Int](math.min(64, n))
     val accC = new ArrayBuffer[Long](math.min(64, n))
     val accS = new ArrayBuffer[Double](math.min(64, n))
     var s = 0
@@ -76,6 +93,7 @@ object SkylineKernel {
       // each distinct dominated point still costs only one scan group.
       if (accP.nonEmpty &&
           java.lang.Double.compare(accS(accP.length - 1), ps) == 0 &&
+          accT(accT.length - 1) == tags(id) &&
           java.util.Arrays.equals(accP(accP.length - 1), p)) {
         accC(accC.length - 1) += counts(id)
       } else {
@@ -96,11 +114,13 @@ object SkylineKernel {
           if (Dominance.dominates(accP(j), p)) dominated = true
           j += 1
         }
-        if (!dominated) { accP += p; accC += counts(id); accS += ps }
+        if (!dominated) {
+          accP += p; accT += tags(id); accC += counts(id); accS += ps
+        }
       }
       s += 1
     }
-    (accP, accC)
+    (accP, accT, accC)
   }
 
   /** Re-expand a counted skyline to its flat multiset form. */

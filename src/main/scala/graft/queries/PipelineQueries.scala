@@ -407,6 +407,24 @@ object PipelineQueries {
         e)
     }),
 
+    // Recall-TUNING sweep: recall@5 at three (tables × bits) LSH settings
+    // from the same corpus/query family — the surface a deployment actually
+    // reads when sizing its index (more tables → more candidates → higher
+    // recall; more bits → smaller buckets → fewer candidates). The exact
+    // baseline is computed once per setting from the same plan subtree
+    // (AQE reuses the broadcast query side); all counts integer-exact.
+    "ann_recall_sweep" -> ((s, d) => {
+      val e = embs(s, d)
+      LshSweep.map { case (t, b) =>
+        annRecall(
+          graft.operators.VectorOps.knnLsh(
+            e, "vec_id", "embedding", col("vec_id") < 8, 5, t, b, EmbDims),
+          e)
+          .select(lit(t.toLong).as("tables"), lit(b.toLong).as("bits"),
+            col("qid"), col("n_true"), col("n_hit"))
+      }.reduce(_ unionAll _)
+    }),
+
     // Recall@5 of the TRAINED-quantizer IVF path — the number that gauges
     // the probes-per-query trade (IvfProbes of KmCentHi-KmCentLo+1 cells).
     "ann_recall_ivf" -> ((s, d) => {
@@ -1169,6 +1187,9 @@ object PipelineQueries {
   private val EmbDims   = 64
   private val LshTables = 4
   private val LshBits   = 4
+  /** (tables, bits) settings of the `ann_recall_sweep` gate — the default
+    * operating point plus one cheaper and one finer-bucketed neighbor. */
+  private val LshSweep  = Seq((2, 4), (4, 4), (4, 6))
   private val KnnGraphK = 3
   private val IvfCentLo = 8
   private val IvfCentHi = 23
@@ -1202,14 +1223,17 @@ object PipelineQueries {
   }
 
   /** VALUES rows of the deterministic hyperplanes (table, bit, components)
-    * — shared by every LSH-replaying oracle. */
-  private def planesValuesSql: String =
-    (for { t <- 0 until LshTables; b <- 0 until LshBits } yield {
+    * for a given (tables, bits) setting — shared by every LSH-replaying
+    * oracle; the sweep oracle instantiates one per setting. */
+  private def planesValuesSqlFor(tables: Int, bits: Int): String =
+    (for { t <- 0 until tables; b <- 0 until bits } yield {
       val vals = (0 until EmbDims)
-        .map(i => graft.operators.VectorOps.planeText((t * LshBits + b) * EmbDims + i))
+        .map(i => graft.operators.VectorOps.planeText((t * bits + b) * EmbDims + i))
         .mkString(", ")
       s"($t, $b, [$vals])"
     }).mkString(",\n")
+
+  private def planesValuesSql: String = planesValuesSqlFor(LshTables, LshBits)
 
   /** DuckDB double-precision cosine with the same sequential fold and the
     * same float→double casts as [[graft.operators.VectorOps.cosine]]. */
@@ -2526,6 +2550,45 @@ object PipelineQueries {
          |  CAST(SUM(CASE WHEN lt.nid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
          |FROM bt LEFT JOIN lt ON bt.qid = lt.qid AND bt.nid = lt.nid
          |GROUP BY 1""".stripMargin
+    },
+
+    // ann_recall_sweep: the ann_recall replay once per (tables, bits)
+    // setting — per-setting planes CTE, shared brute-force baseline,
+    // UNION ALL with the setting as literal columns.
+    "ann_recall_sweep" -> {
+      val bcos = cosSql("q.v", "x.v")
+      val lcos = cosSql("a.v", "b.v")
+      val pdot = s"list_sum([CAST(e.v[i] AS DOUBLE) * pl.p[i] for i in range(1, ${EmbDims + 1})])"
+      val settingCtes = LshSweep.zipWithIndex.map { case ((t, b), i) =>
+        s"""p$i(t, b, p) AS (VALUES
+           |${planesValuesSqlFor(t, b)}),
+           |buck$i AS (SELECT e.vec_id AS id, pl.t,
+           |  CAST(SUM(CASE WHEN $pdot >= 0 THEN (1 << pl.b) ELSE 0 END) AS INTEGER) AS bucket
+           |  FROM e, p$i pl GROUP BY 1, 2),
+           |cand$i AS (SELECT q.id AS qid, x.id AS nid
+           |  FROM buck$i q JOIN buck$i x ON q.t = x.t AND q.bucket = x.bucket AND x.id != q.id
+           |  WHERE q.id < 8 GROUP BY 1, 2),
+           |ls$i AS (SELECT c.qid, c.nid, $lcos AS sim
+           |  FROM cand$i c JOIN e a ON a.vec_id = c.qid JOIN e b ON b.vec_id = c.nid),
+           |lt$i AS (SELECT qid, nid FROM (
+           |  SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rnk FROM ls$i)
+           |  WHERE rnk <= 5),
+           |r$i AS (SELECT CAST($t AS BIGINT) AS tables, CAST($b AS BIGINT) AS bits,
+           |  bt.qid, CAST(COUNT(*) AS BIGINT) AS n_true,
+           |  CAST(SUM(CASE WHEN lt$i.nid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+           |  FROM bt LEFT JOIN lt$i ON bt.qid = lt$i.qid AND bt.nid = lt$i.nid
+           |  GROUP BY 1, 2, 3)""".stripMargin
+      }.mkString(",\n")
+      val selects = LshSweep.indices.map(i => s"SELECT * FROM r$i")
+        .mkString("\nUNION ALL\n")
+      s"""WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+         |bs AS (SELECT q.vec_id AS qid, x.vec_id AS nid, $bcos AS sim
+         |  FROM e q, e x WHERE q.vec_id < 8 AND x.vec_id != q.vec_id),
+         |bt AS MATERIALIZED (SELECT qid, nid FROM (
+         |  SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rnk FROM bs)
+         |  WHERE rnk <= 5),
+         |$settingCtes
+         |$selects""".stripMargin
     },
 
     // knn_graph: the knn_lsh replay with NO query predicate — candidates

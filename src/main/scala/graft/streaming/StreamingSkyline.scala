@@ -6,7 +6,7 @@ import org.apache.spark.sql.{Dataset, Encoder, Encoders}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
-import graft.core.{Dominance, SkylineKernel}
+import graft.core.{SkyBuffer, SkylineKernel}
 
 /** Streaming parity mode: the reference's two-phase streaming skyline
   * topology re-expressed as Structured Streaming stateful operators.
@@ -52,15 +52,24 @@ object StreamingSkyline {
   case class LocalResult(payload: String, pid: Int, dispatchMs: Long,
                          startMs: Long, sky: Array[Array[Double]], cpuMs: Long)
 
-  /** Per-partition state: cumulative skyline, id high-water mark, parked
-    * triggers, first-element wall time, accumulated BNL cpu nanos. */
-  case class LocalState(sky: List[Array[Double]], maxSeenId: Long,
+  /** Per-partition state: cumulative skyline in COUNTED form (the
+    * [[graft.core.SkyBuffer]] representation — (distinct point,
+    * multiplicity) with amortized SFS compaction; the expanded multiset a
+    * raw BNL list would hold is quadratic in DUPLICATES, which the
+    * anti-correlated integer workload mass-produces), id high-water mark,
+    * parked triggers, first-element wall time, accumulated kernel cpu
+    * nanos. */
+  case class LocalState(sky: List[Array[Double]], counts: List[Long],
+                        compactAt: Int, maxSeenId: Long,
                         pending: List[(String, Long)], startMs: Long,
                         cpuNanos: Long)
 
-  /** Per-query global state: merged (point, originPid) skyline, latch
-    * count, per-partition local sizes, timing water marks. */
-  case class GlobalState(points: List[(Array[Double], Int)], arrived: Int,
+  /** Per-query global state: merged skyline as COUNTED
+    * (point, originPid, multiplicity) entries (dominance ignores the
+    * origin tag; equal points from different origins stay separate — see
+    * [[graft.core.SkylineKernel.skylineCountedTagged]]), latch count,
+    * per-partition local sizes, timing water marks. */
+  case class GlobalState(entries: List[(Array[Double], Int, Long)], arrived: Int,
                          localSizes: Map[Int, Int], minStartMs: Long,
                          lastArrivalMs: Long, maxLocalCpuMs: Long)
 
@@ -88,19 +97,21 @@ object StreamingSkyline {
   def localFn(clock: () => Long)(
       pid: Int, events: Iterator[SkyEvent],
       state: GroupState[LocalState]): Iterator[LocalResult] = {
-    val st = state.getOption.getOrElse(LocalState(Nil, -1L, Nil, 0L, 0L))
+    val st = state.getOption.getOrElse(
+      LocalState(Nil, Nil, SkyBuffer.MinCompact, -1L, Nil, 0L, 0L))
     val evs = events.toArray
     val points = evs.filter(!_.isTrigger).sortBy(_.id)
     val triggers = evs.filter(_.isTrigger).map(e => (e.payload, e.dispatchMs)).toList
 
     val startMs = if (st.maxSeenId < 0 && points.nonEmpty && st.startMs == 0L) clock()
                   else st.startMs
-    val buf = ArrayBuffer(st.sky: _*)
+    val buf = new SkyBuffer(ArrayBuffer(st.sky: _*),
+      ArrayBuffer(st.counts: _*), st.compactAt)
     var maxId = st.maxSeenId
     val t0 = System.nanoTime()
     points.foreach { p =>
       if (p.id > maxId) maxId = p.id
-      SkylineKernel.insert(buf, p.values)
+      buf.add(p.values)
     }
     val cpuNanos = st.cpuNanos + (System.nanoTime() - t0)
 
@@ -109,12 +120,15 @@ object StreamingSkyline {
       val barrierMet = maxId >= requiredCount(payload)
       val untouched  = maxId == -1L // -1 fast-path: empty partition answers now
       if (barrierMet || untouched) {
+        // result() compacts, then re-expands multiplicities: the emitted
+        // snapshot is the same duplicate-preserving multiset as before.
         out += LocalResult(payload, pid, dispatchMs, startMs,
-          buf.map(_.clone()).toArray, cpuNanos / 1000000L)
+          buf.result(), cpuNanos / 1000000L)
         false
       } else true
     }
-    state.update(LocalState(buf.toList, maxId, stillPending, startMs, cpuNanos))
+    state.update(LocalState(buf.points.toList, buf.counts.toList,
+      buf.compactAt, maxId, stillPending, startMs, cpuNanos))
     out.iterator
   }
 
@@ -126,28 +140,48 @@ object StreamingSkyline {
       state: GroupState[GlobalState]): Iterator[String] = {
     var st = state.getOption.getOrElse(
       GlobalState(Nil, 0, Map.empty, Long.MaxValue, 0L, 0L))
+    // Counted tagged merge: accumulate this invoke's arrivals (run-length
+    // compressing each snapshot — expanded duplicates arrive adjacent from
+    // SkyBuffer.result()), then ONE SFS pass re-establishes the merged
+    // skyline. Cost is sort + scan over DISTINCT (point, origin) entries —
+    // the raw per-point BNL list this replaces was quadratic in the
+    // duplicate-heavy expanded multiset (249k points at 2D×10M).
+    val pts  = ArrayBuffer.empty[Array[Double]]
+    val tags = ArrayBuffer.empty[Int]
+    val cnts = ArrayBuffer.empty[Long]
+    st.entries.foreach { case (p, t, c) => pts += p; tags += t; cnts += c }
+    var absorbed = false
     results.foreach { r =>
-      val merged = ArrayBuffer(st.points: _*)
-      r.sky.foreach { v =>
-        // BNL insert on values; origin rides along for the optimality metric
-        if (!merged.exists { case (q, _) => Dominance.dominates(q, v) }) {
-          merged.filterInPlace { case (q, _) => !Dominance.dominates(v, q) }
-          merged += ((v, r.pid))
-        }
+      absorbed = true
+      var i = 0
+      while (i < r.sky.length) {
+        var j = i + 1
+        // Duplicates are adjacent (SkyBuffer.result() expands counted runs);
+        // value equality, not `eq` — the shuffle re-materializes arrays.
+        while (j < r.sky.length && java.util.Arrays.equals(r.sky(j), r.sky(i))) j += 1
+        pts += r.sky(i); tags += r.pid; cnts += (j - i).toLong
+        i = j
       }
       st = GlobalState(
-        merged.toList,
+        st.entries,
         st.arrived + 1,
         st.localSizes + (r.pid -> r.sky.length),
         math.min(st.minStartMs, if (r.startMs == 0L) Long.MaxValue else r.startMs),
         clock(),
         math.max(st.maxLocalCpuMs, r.cpuMs))
     }
+    if (absorbed) {
+      val (mp, mt, mc) = SkylineKernel.skylineCountedTagged(pts, tags, cnts)
+      st = st.copy(entries =
+        mp.indices.map(i => (mp(i), mt(i), mc(i))).toList)
+    }
     if (st.arrived >= totalPartitions) {
       val finishMs = clock()
-      val survivors = st.points.groupBy(_._2).view.mapValues(_.size).toMap
+      val skySize = st.entries.iterator.map(_._3).sum
+      val survivors = st.entries.groupBy(_._2).view
+        .mapValues(_.iterator.map(_._3).sum).toMap
       val sumRatios = st.localSizes.collect {
-        case (p, size) if size > 0 => survivors.getOrElse(p, 0).toDouble / size
+        case (p, size) if size > 0 => survivors.getOrElse(p, 0L).toDouble / size
       }.sum
       val optimality = sumRatios / totalPartitions
       val mapWall    = if (st.minStartMs == Long.MaxValue) 0L
@@ -165,7 +199,7 @@ object StreamingSkyline {
           "\"optimality\": %.4f, \"ingestion_time_ms\": %d, " +
           "\"local_processing_time_ms\": %d, \"global_processing_time_ms\": %d, " +
           "\"total_processing_time_ms\": %d}",
-        qId, recCount, Int.box(st.points.size), Double.box(optimality),
+        qId, recCount, Long.box(skySize), Double.box(optimality),
         Long.box(ingestion), Long.box(st.maxLocalCpuMs), Long.box(globalMs),
         Long.box(totalMs)))
     } else {
