@@ -125,4 +125,51 @@ class SkylineKernelSpec extends AnyFunSuite with PropHelpers {
     assert(asSets(b2.result().toSeq) ==
       asSets((0 until 1000).map(i => distinct(i % 40))))
   }
+
+  test("tagged counted SFS: per-tag multiset equals brute force per tag") {
+    // Property: the tagged merge (the streaming global phase's
+    // representation — dominance ignores the tag, equal points with
+    // different tags stay separate entries) expands, per tag, to exactly
+    // the points of that tag that survive the UNION's skyline.
+    val taggedGen: Gen[List[(Array[Double], Int)]] =
+      Gen.listOf(for {
+        p <- pointGen
+        t <- Gen.choose(0, 3)
+      } yield (p, t))
+    forAll(taggedGen) { pts =>
+      val (p, t, c) = SkylineKernel.skylineCountedTagged(
+        ArrayBuffer(pts.map(_._1): _*),
+        ArrayBuffer(pts.map(_._2): _*),
+        ArrayBuffer.fill(pts.length)(1L))
+      // Counted invariants: merged entries are (point, tag)-distinct and
+      // total multiplicity equals the surviving multiset size.
+      val keys = p.indices.map(i => (p(i).toSeq, t(i)))
+      assert(keys.distinct.size == keys.size, "entries not (point, tag)-distinct")
+      val all = pts.map(_._1)
+      val surviving = pts.filter { case (q, _) =>
+        !all.exists(r => Dominance.dominates(r, q)) }
+      assert(c.sum == surviving.size.toLong)
+      // Per-tag expansion matches brute force over the union.
+      (0 to 3).foreach { tag =>
+        val got = p.indices.collect {
+          case i if t(i) == tag => (p(i).toSeq, c(i)) }
+          .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+        val want = surviving.collect { case (q, `tag`) => q.toSeq }
+          .groupBy(identity).view.mapValues(_.size.toLong).toMap
+        assert(got == want, s"tag $tag multiset diverged")
+      }
+    }
+  }
+
+  test("tagged counted SFS: equal points under different tags both survive") {
+    val (p, t, c) = SkylineKernel.skylineCountedTagged(
+      ArrayBuffer(Array(1.0, 1.0), Array(1.0, 1.0), Array(1.0, 1.0), Array(2.0, 2.0)),
+      ArrayBuffer(0, 1, 0, 2),
+      ArrayBuffer(1L, 5L, 2L, 9L))
+    val entries = p.indices.map(i => (p(i).toSeq, t(i), c(i))).toSet
+    // (1,1) never dominated by its equals; (2,2) dominated and dropped;
+    // same-tag copies merge counts, cross-tag copies stay separate.
+    assert(entries == Set(
+      (Seq(1.0, 1.0), 0, 3L), (Seq(1.0, 1.0), 1, 5L)))
+  }
 }

@@ -30,4 +30,17 @@ class ProfileOpsSpec extends AnyFunSuite {
     assert(row.getLong(1) == 2L && row.getLong(2) == 2L && // n_rows, n_null
       row.getLong(3) == 0L && row.isNullAt(4) && row.isNullAt(5))
   }
+
+  test("column names that would break the stack() interpolation are rejected") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val df = Seq((1L, "x")).toDF("ok", "with`tick")
+    val e = intercept[IllegalArgumentException] {
+      ProfileOps.profile(df, Seq("ok", "with`tick"))
+    }
+    assert(e.getMessage.contains("with`tick"))
+    intercept[IllegalArgumentException] {
+      ProfileOps.profile(df, Seq("has'quote"))
+    }
+  }
 }
