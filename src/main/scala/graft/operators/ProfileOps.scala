@@ -16,6 +16,15 @@ import org.apache.spark.sql.functions._
   * pass — acceptable at gate scale and oracle-replayable); the production
   * swap for a 100 TB batch is `approx_count_distinct` per column, which
   * collapses the Expand back to one streaming HLL pass, same output schema.
+  *
+  * Plan note (why `.explain` shows SortAggregate, not HashAggregate):
+  * min/max over STRING columns carry immutable string aggregation buffers,
+  * which Spark's hash aggregate cannot hold in its fixed-width row — the
+  * whole aggregate falls back to sort-based, so the Expand output is sorted
+  * per grouping instance (~5 s at sf0.1, the dominant cost). This is the
+  * price of numerically-correct min/max (aggregating the native type, THEN
+  * casting — stringifying first would make "9" > "10"). The approx swap
+  * above also drops the Expand sort volume 5×.
   */
 object ProfileOps {
 
