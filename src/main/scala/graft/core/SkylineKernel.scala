@@ -4,12 +4,12 @@ import scala.collection.mutable.ArrayBuffer
 
 /** Skyline (Pareto frontier / maximal vector) kernels.
   *
-  * Two algorithms:
+  * Algorithms:
   *
-  *   - [[skylineCounted]] / [[skylineOf]] — sort-filter-skyline (SFS,
-  *     Chomicki et al., ICDE'03): sort by coordinate sum ascending, then a
-  *     single forward pass. Because domination implies a STRICTLY smaller
-  *     coordinate sum, a candidate can only be dominated by an
+  *   - [[skylineCounted]] / [[skylineOf]] for d ≥ 4 — sort-filter-skyline
+  *     (SFS, Chomicki et al., ICDE'03): sort by coordinate sum ascending,
+  *     then a single forward pass. Because domination implies a STRICTLY
+  *     smaller coordinate sum, a candidate can only be dominated by an
   *     already-accepted point with a smaller sum, so (a) accepted points
   *     are never evicted and (b) the dominance scan stops at the first
   *     accepted point whose sum reaches the candidate's (equal-sum points
@@ -23,6 +23,19 @@ import scala.collection.mutable.ArrayBuffer
   *     half-hour single task at 1M×2D); the counted buffer is quadratic
   *     only in DISTINCT frontier points, which the integer domain bounds.
   *
+  *   - [[skylineCounted]] for d ≤ 3 — LEXICOGRAPHIC sweep with a Pareto
+  *     staircase: a dominator is lexicographically strictly smaller than
+  *     what it dominates (≤ in every coordinate, < in one), so processing
+  *     in lex order also never evicts, and "is the candidate dominated?"
+  *     becomes a staircase query over the trailing two coordinates —
+  *     O(log f) per distinct point instead of the SFS sum-prefix scan,
+  *     which degenerates to O(f) per SURVIVOR on anti-correlated data
+  *     (sums concentrate in a narrow band exactly where frontiers are
+  *     big, and ~99% of candidates survive, so there is no early exit to
+  *     save the scan). This is the regime the reference's own blow-up
+  *     experiments live in: the 3D×10M frontier is 135k distinct points,
+  *     where f² scans cost minutes and the staircase costs the sort.
+  *
   *   - [[insert]] — incremental block-nested-loop (BNL) insert, the
   *     reference's streaming-state update (reference:
   *     `java/org.main/FlinkSkyline.java:417-444`): drop a dominated
@@ -30,8 +43,11 @@ import scala.collection.mutable.ArrayBuffer
   *     Used by the streaming state function where points arrive one at a
   *     time.
   *
-  * Both preserve duplicates of skyline points (equal vectors never dominate —
-  * SURVEY §1.2) and are insensitive to input order in their final result.
+  * All preserve duplicates of skyline points (equal vectors never dominate —
+  * SURVEY §1.2) and are insensitive to input order in their final result,
+  * which is a MULTISET: output order (sum-ascending for d ≥ 4, lex for
+  * d ≤ 3) is an implementation detail callers must not rely on, beyond
+  * equal points being adjacent.
   */
 object SkylineKernel {
 
@@ -58,6 +74,18 @@ object SkylineKernel {
       : (ArrayBuffer[Array[Double]], ArrayBuffer[Int], ArrayBuffer[Long]) = {
     val n = points.length
     if (n == 0) return (points.clone(), tags.clone(), counts.clone())
+    // Lex-staircase fast path for d <= 3, but only on NaN-free input: the
+    // reference comparator treats a NaN coordinate as a wildcard (IEEE >
+    // and < are both false, so it neither blocks domination nor confers
+    // strictness), under which NaN points can both dominate and be
+    // dominated — a non-lattice relation that ALSO breaks sum-monotonicity
+    // (a NaN-sum dominator sorts after its victim), so NaN-bearing inputs
+    // have legacy best-effort semantics on the SFS path (fixture-pinned),
+    // not a brute-force guarantee. The data plane never produces NaN; this
+    // gate exists so exotic inputs keep their historical behavior
+    // bit-for-bit rather than silently changing shape.
+    if (points(0).length <= 3 && !points.exists(hasNaN))
+      return skylineCountedTaggedLex(points, tags, counts)
     val sums = new Array[Double](n)
     var i = 0
     while (i < n) { sums(i) = Dominance.coordSum(points(i)); i += 1 }
@@ -121,6 +149,114 @@ object SkylineKernel {
       s += 1
     }
     (accP, accT, accC)
+  }
+
+  /** d ≤ 3 staircase sweep (see the object scaladoc). Processing order is
+    * (coords lex, tag) via Double.compare — a total order, NaN last. A
+    * dominator is lex-strictly-smaller, so accepted entries are final and
+    * every accepted point q has q.x ≤ candidate.x. The candidate is
+    * dominated iff some accepted q covers its trailing coordinates
+    * (q.y ≤ y, q.z ≤ z) and is not the exact equal point:
+    *
+    *   - staircase = TreeMap y → z over accepted (y, z) pairs, z strictly
+    *     decreasing in y (Pareto-minimal pairs), so `floorEntry(y).z` IS
+    *     min z among accepted with y' ≤ y;
+    *   - floor.z < z  → dominated (z-strict cover);
+    *   - floor.z == z → dominated if the floor sits at y' < y (y-strict
+    *     cover; an exact-(y, z) accepted at a SMALLER y' cannot coexist
+    *     with one at y — the earlier would have dominated the later), else
+    *     dominated iff the first accepted with exactly (y, z) has a
+    *     strictly smaller x (`firstX`; equal x = the equal point, possibly
+    *     under another tag — never a dominator);
+    *   - floor.z > z or no floor → not dominated.
+    *
+    * Input is NaN-free by the caller's gate (NaN's wildcard comparator
+    * semantics route to the SFS path). */
+  private def skylineCountedTaggedLex(points: ArrayBuffer[Array[Double]],
+                                      tags: ArrayBuffer[Int], counts: ArrayBuffer[Long])
+      : (ArrayBuffer[Array[Double]], ArrayBuffer[Int], ArrayBuffer[Long]) = {
+    val n = points.length
+    // -0.0 → 0.0 before EVERY ordered comparison: dominance is IEEE (where
+    // the two zeros are equal) but Double.compare is bitwise-ordered (where
+    // -0.0 < 0.0) — an uncanonicalized sort can place a victim carrying
+    // -0.0 BEFORE its 0.0-carrying dominator, breaking the no-eviction
+    // property the sweep rests on. Raw bits are the FINAL tiebreak so
+    // bit-identical (point, tag) copies still sort adjacent for the merge.
+    def canon(v: Double): Double = if (v == 0.0) 0.0 else v
+    val order = points.indices.toArray.sortWith { (a, b) =>
+      val pa = points(a); val pb = points(b)
+      var k = 0
+      var r = 0
+      while (r == 0 && k < pa.length) {
+        r = java.lang.Double.compare(canon(pa(k)), canon(pb(k))); k += 1
+      }
+      if (r != 0) r < 0
+      else if (tags(a) != tags(b)) tags(a) < tags(b)
+      else {
+        var k2 = 0
+        var r2 = 0
+        while (r2 == 0 && k2 < pa.length) {
+          r2 = java.lang.Long.compare(
+            java.lang.Double.doubleToLongBits(pa(k2)),
+            java.lang.Double.doubleToLongBits(pb(k2)))
+          k2 += 1
+        }
+        r2 < 0
+      }
+    }
+    val accP = new ArrayBuffer[Array[Double]](math.min(64, n))
+    val accT = new ArrayBuffer[Int](math.min(64, n))
+    val accC = new ArrayBuffer[Long](math.min(64, n))
+    val stair = new java.util.TreeMap[java.lang.Double, java.lang.Double]()
+    val firstX = new java.util.HashMap[(Double, Double), Double]()
+    // Staircase/map coordinates are canonicalized for the same reason as
+    // the sort: a -0.0 TreeMap/tuple key would shadow the 0.0 tie lookup
+    // and misclassify IEEE-equal points.
+    def yOf(p: Array[Double]): Double = if (p.length > 1) canon(p(1)) else 0.0
+    def zOf(p: Array[Double]): Double = if (p.length > 2) canon(p(2)) else 0.0
+    var s = 0
+    while (s < order.length) {
+      val id = order(s)
+      val p = points(id)
+      if (accP.nonEmpty && accT(accT.length - 1) == tags(id) &&
+          java.util.Arrays.equals(accP(accP.length - 1), p)) {
+        accC(accC.length - 1) += counts(id)
+      } else {
+        val py = yOf(p); val pz = zOf(p)
+        val fe = stair.floorEntry(py)
+        val dominated =
+          if (fe == null) false
+          else if (fe.getValue < pz) true
+          else if (fe.getValue == pz) {
+            if (fe.getKey < py) true
+            else firstX.get((py, pz)) < canon(p(0))
+          } else false
+        if (!dominated) {
+          accP += p; accT += tags(id); accC += counts(id)
+          if (!firstX.containsKey((py, pz))) firstX.put((py, pz), canon(p(0)))
+          val cur = stair.floorEntry(py)
+          if (cur == null || cur.getValue > pz) {
+            // Drop entries this one covers: keys ≥ py hold z values that
+            // strictly decrease, so removal stops at the first z < pz.
+            val it = stair.tailMap(py, true).entrySet().iterator()
+            var go = true
+            while (go && it.hasNext) {
+              if (it.next().getValue >= pz) it.remove() else go = false
+            }
+            stair.put(py, pz)
+          }
+        }
+      }
+      s += 1
+    }
+    (accP, accT, accC)
+  }
+
+  /** Any coordinate NaN? (Routes to the SFS path — see the fast-path gate.) */
+  private def hasNaN(p: Array[Double]): Boolean = {
+    var i = 0
+    while (i < p.length) { if (p(i).isNaN) return true; i += 1 }
+    false
   }
 
   /** Re-expand a counted skyline to its flat multiset form. */

@@ -14,8 +14,13 @@ class SkylineKernelSpec extends AnyFunSuite with PropHelpers {
   private def bruteForce(pts: Seq[Array[Double]]): Seq[Array[Double]] =
     pts.filter(p => !pts.exists(q => Dominance.dominates(q, p)))
 
-  private def asSets(pts: Seq[Array[Double]]): Map[Seq[Double], Int] =
-    pts.groupBy(_.toSeq).view.mapValues(_.size).toMap
+  // Multiset keys via raw bits, not Seq[Double]: primitive == is IEEE, so
+  // ArraySeq(NaN) never equals itself and a NaN-keyed groupBy map can never
+  // compare equal — bits make NaN self-equal and ±0.0 distinct, the exact
+  // identity the kernel's duplicate handling uses (Arrays.equals).
+  private def asSets(pts: Seq[Array[Double]]): Map[Seq[Long], Int] =
+    pts.groupBy(_.toSeq.map(java.lang.Double.doubleToLongBits))
+      .view.mapValues(_.size).toMap
 
   private val pointGen: Gen[Array[Double]] =
     for {
@@ -158,6 +163,36 @@ class SkylineKernelSpec extends AnyFunSuite with PropHelpers {
           .groupBy(identity).view.mapValues(_.size.toLong).toMap
         assert(got == want, s"tag $tag multiset diverged")
       }
+    }
+  }
+
+  test("lex staircase path: 2D and special values (±0.0, ±∞) match brute force") {
+    // The d <= 3 kernel path is a lexicographic staircase sweep; pin it
+    // against brute force on the adversarial inputs for that structure:
+    // heavy coordinate ties (small int lattice), IEEE-equal-but-bitwise-
+    // distinct zeros, and infinities. NaN is deliberately absent from the
+    // pool: the comparator mirrors the reference's IEEE wildcard
+    // (ServiceTuple.java:53-77 — NaN neither blocks domination nor confers
+    // strictness), under which sum-monotonicity fails and NO sorted
+    // algorithm here (including the legacy SFS path) is brute-force-exact
+    // on NaN + ∞ mixtures; the data plane never produces NaN, and the NaN
+    // fixture test below pins the pragmatic behavior that IS guaranteed.
+    def check(pts: List[Array[Double]]): Unit = {
+      val (p, c) = SkylineKernel.skylineCounted(
+        ArrayBuffer(pts: _*), ArrayBuffer.fill(pts.length)(1L))
+      val got = p.indices.flatMap(i => Seq.fill(c(i).toInt)(p(i)))
+      assert(asSets(got) == asSets(bruteForce(pts)),
+        s"diverged on ${pts.map(_.mkString("(", ",", ")")).mkString(" ")}")
+    }
+    val flat2d: Gen[List[Array[Double]]] = Gen.listOf(
+      Gen.listOfN(2, Gen.choose(0, 9).map(_.toDouble)).map(_.toArray))
+    forAll(flat2d)(check)
+    val special = Gen.oneOf[Double](-0.0, 0.0, 1.0, 2.0,
+      Double.PositiveInfinity, Double.NegativeInfinity)
+    (1 to 3).foreach { d =>
+      val gen: Gen[List[Array[Double]]] =
+        Gen.listOf(Gen.listOfN(d, special).map(_.toArray))
+      forAll(gen, n = 200)(check)
     }
   }
 
