@@ -40,8 +40,10 @@ import scala.collection.mutable.ArrayBuffer
   *     reference's streaming-state update (reference:
   *     `java/org.main/FlinkSkyline.java:417-444`): drop a dominated
   *     candidate, evict incumbents the candidate dominates, else append.
-  *     Used by the streaming state function where points arrive one at a
-  *     time.
+  *     The reference-parity primitive; the streaming state functions now
+  *     hold [[SkyBuffer]]s instead (same multiset result, duplicate- and
+  *     distinct-bounded cost), so this remains for small frontiers and
+  *     as the executable spec of the reference's update rule.
   *
   * All preserve duplicates of skyline points (equal vectors never dominate —
   * SURVEY §1.2) and are insensitive to input order in their final result,

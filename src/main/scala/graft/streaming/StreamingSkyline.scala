@@ -132,9 +132,10 @@ object StreamingSkyline {
     out.iterator
   }
 
-  /** Global phase (`FlinkSkyline.java:460-660`): BNL-merge arriving local
-    * skylines (tracking origin lineage), latch on totalPartitions, then
-    * emit the reference's JSON record and clear state (D6 reset). */
+  /** Global phase (`FlinkSkyline.java:460-660`): merge arriving local
+    * skylines (tracking origin lineage; counted tagged SFS — same result
+    * multiset as the reference's BNL merge), latch on totalPartitions,
+    * then emit the reference's JSON record and clear state (D6 reset). */
   def globalFn(totalPartitions: Int, clock: () => Long)(
       payload: String, results: Iterator[LocalResult],
       state: GroupState[GlobalState]): Iterator[String] = {
