@@ -723,4 +723,72 @@ object CorpusOps {
       .limit(k)
       .select(col(idCol), col("w"))
   }
+
+  /** Count-min bucket of a token under sketch row `r`: 16 bits of the
+    * salted md5 (hex chars 29–32 — disjoint salts make the rows
+    * independent) folded mod `width`. Engine-neutral: DuckDB replays the
+    * same four hex chars with per-char arithmetic. */
+  private def cmsBucketCol(t: Column, r: Int, width: Int): Column =
+    (conv(substring(md5(concat(lit(s"cms$r:"), t)), 29, 4), 16, 10)
+      .cast("int") % width)
+
+  /** Token occurrence stream (one row per token, multiplicity kept). */
+  private def tokenStream(docs: DataFrame): DataFrame =
+    docs.select(explode(split(coalesce(col("text"), lit("")), " ")).as("t"))
+
+  /** COUNT-MIN SKETCH of the corpus token stream: `depth` independent
+    * hash rows × `width` buckets of exact occurrence counts — the
+    * bounded-state frequency summary that answers "how often does token t
+    * appear?" with a one-sided error (estimate = min over rows of t's
+    * bucket counts ≥ truth, overshoot ≤ εN with probability 1−δ at
+    * width = ⌈e/ε⌉, depth = ⌈ln 1/δ⌉). This is the mergeable sketch a
+    * streaming/partitioned pipeline keeps where the exact vocabulary
+    * would be billions of keys: sketch state is depth × width cells
+    * REGARDLESS of corpus size.
+    *
+    * Output: (r, bucket, cnt) — the sketch matrix itself.
+    *
+    * Scale shape: one token scan; each occurrence fans out into `depth`
+    * (row, bucket) cells that partial-aggregate map-side, so the shuffle
+    * carries at most depth × width rows per map task. Union-merging two
+    * corpora's sketches is cell-wise addition of this output. */
+  def cmSketch(docs: DataFrame, depth: Int = 3, width: Int = 256): DataFrame = {
+    require(depth >= 1 && depth <= 16, s"depth out of range: $depth")
+    require(width >= 2 && width <= 65536, s"width out of range: $width")
+    tokenStream(docs)
+      .select(explode(array((0 until depth).map(r =>
+        struct(lit(r).as("r"), cmsBucketCol(col("t"), r, width).as("bucket"))): _*)).as("rb"))
+      .groupBy(col("rb.r").as("r"), col("rb.bucket").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Count-min point queries for the `k` highest-frequency tokens:
+    * (token, true_cnt, est_cnt) with est = min over sketch rows of the
+    * token's bucket count — always ≥ true_cnt, equal when none of the
+    * token's `depth` buckets collides with other mass. Gating the
+    * ESTIMATES (not just the sketch) hashes the whole build + probe
+    * chain, including the overshoot the collisions actually produce on
+    * this corpus.
+    *
+    * Scale shape: the sketch (depth × width rows) broadcasts to the probe
+    * join; the probe set is k tokens from a TakeOrdered top-k (no global
+    * sort). The exact top-k here is corpus-derived for the gate; a pure
+    * sketch deployment would probe its candidate stream instead. */
+  def cmsHeavyEstimates(docs: DataFrame, depth: Int = 3, width: Int = 256,
+                        k: Int = 20): DataFrame = {
+    require(k >= 1, s"k out of range: $k")
+    val cells = cmSketch(docs, depth, width)
+    val probe = tokenStream(docs)
+      .groupBy("t").agg(count(lit(1)).as("true_cnt"))
+      .orderBy(col("true_cnt").desc, col("t"))
+      .limit(k)
+    probe
+      .select(col("t"), col("true_cnt"),
+        explode(array((0 until depth).map(r =>
+          struct(lit(r).as("r"), cmsBucketCol(col("t"), r, width).as("bucket"))): _*)).as("rb"))
+      .join(broadcast(cells),
+        col("rb.r") === cells("r") && col("rb.bucket") === cells("bucket"))
+      .groupBy(col("t").as("token"), col("true_cnt"))
+      .agg(min(col("cnt")).as("est_cnt"))
+  }
 }

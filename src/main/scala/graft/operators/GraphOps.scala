@@ -154,4 +154,57 @@ object GraphOps {
     val ne = ue.agg(count(lit(1)).as("n_edges"))
     nodes.crossJoin(ne).crossJoin(tri)
   }
+
+  /** k-core of the undirected graph induced by a directed edge list: the
+    * maximal subgraph in which every vertex has degree ≥ k — the standard
+    * "dense similarity neighborhood" extractor (a near-dup blob survives
+    * the peel; chains and stars dissolve). Peeling runs `rounds` FIXED
+    * iterations (degree → drop < k vertices → restrict edges); a fixpoint
+    * round is a no-op, so the output IS the exact k-core whenever the
+    * peel converges within `rounds` (property-tested against a
+    * run-to-fixpoint brute force; the fixed count is what lets a SQL
+    * oracle replay the identical computation without data-dependent
+    * recursion). Production callers loop to fixpoint — each round's
+    * survivor count is monotone decreasing, so convergence is detectable
+    * with one `count()` per round; the fixed-round form keeps the gate
+    * engine-exact.
+    *
+    * Output: one row per surviving vertex `(vec_id, core_deg)` with its
+    * degree inside the surviving subgraph.
+    *
+    * Scale shape: each round is one partial-aggregated degree count over
+    * the surviving edge list plus two semi-joins keyed on single vertex
+    * ids — never anything quadratic; the edge list only shrinks. Rounds
+    * re-root through eager `localCheckpoint`s with the superseded round's
+    * blocks freed immediately (the [[pageRank]] lifecycle), so plan size
+    * and executor storage stay CONSTANT in the round count. */
+  def kCore(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 1 && k <= 1000, s"k out of range: $k")
+    require(rounds >= 1 && rounds <= 64, s"rounds out of range: $rounds")
+    var ue = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") < col("b")).distinct()
+      .localCheckpoint()
+    var ueRdd = graft.core.Caches.checkpointRdd(ue)
+    var t = 0
+    while (t < rounds) {
+      val deg = ue.select(col("a").as("v")).unionAll(ue.select(col("b").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("deg"))
+      val keep = deg.filter(col("deg") >= k).select("v")
+      val next = ue
+        .join(keep.select(col("v").as("a")), Seq("a"), "left_semi")
+        .join(keep.select(col("v").as("b")), Seq("b"), "left_semi")
+        .select("a", "b")
+        .localCheckpoint()
+      ueRdd.foreach(_.unpersist(blocking = false)) // superseded round
+      ue = next
+      ueRdd = graft.core.Caches.checkpointRdd(ue)
+      t += 1
+    }
+    ueRdd.foreach(graft.core.Caches.trackRdd)
+    ue.select(col("a").as("v")).unionAll(ue.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("core_deg"))
+      .select(col("v").as("vec_id"), col("core_deg"))
+  }
 }

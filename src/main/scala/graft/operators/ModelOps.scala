@@ -160,4 +160,79 @@ object ModelOps {
         featCols.indices.map(i => element_at(col("ws"), i + 1).as(s"w${i + 1}")) ++
         Seq(col("b"), col("n_upd")): _*)
   }
+
+  /** Fixed-point surprisal scale of the naive-Bayes scorer (2¹⁶ — the
+    * quotient keeps ~16 fractional bits before quantization). */
+  private[graft] val NbScale = 65536L
+
+  /** ⌊log₂ x⌋ for a positive integer column — ENGINE-NEUTRAL quantized
+    * logarithm: the bit length of x (`length(bin(x)) − 1`; both Spark and
+    * DuckDB print BIGINT binary without leading zeros). This is what makes
+    * an additive log-likelihood model replayable: float `ln` differs in
+    * the last ulp across engines, bit length never does. */
+  private def qlog2(x: Column): Column =
+    (length(bin(x)) - 1).cast("long")
+
+  /** MULTINOMIAL NAIVE BAYES language classifier, trained and evaluated on
+    * the corpus itself (the learned upgrade of the profile-heuristic
+    * [[TextOps]] lang-id): per-class Laplace-smoothed token likelihoods,
+    * scored in QUANTIZED log space —
+    *
+    *   w(t,c)  = ⌊log₂( (Tc + V)·2¹⁶ div (cnt(t,c) + 1) )⌋   (token surprisal, bits)
+    *   prior(c)= ⌊log₂( (N·2¹⁶) div Nc )⌋
+    *   predict(d) = argmin_c prior(c) + Σ_{t ∈ d} w(t,c)      (ties → class asc)
+    *
+    * with Tc = class token total, V = corpus vocabulary size, cnt the
+    * class-token count, N/Nc doc counts. Quantizing log₂ to whole bits
+    * ([[qlog2]]) costs < 1 bit per token against exact NB scores but
+    * makes training AND scoring integer-exact end to end, so the SQL
+    * oracle replays the full model — the same determinism trade as the
+    * int8 k-means trainer ([[graft.operators.VectorOps.kmeansAssign]]).
+    *
+    * Output: the self-evaluation confusion matrix (actual, predicted, n)
+    * — hashing it pins training counts, every smoothed weight, and every
+    * doc's argmin.
+    *
+    * Scale shape: training is two partial-aggregated token-scan groupBys
+    * (class-token counts + class totals); the weight table is
+    * vocabulary × classes rows — MODEL-sized, not corpus-sized — and
+    * scoring is one equi-join of the token stream to it on the token key
+    * (AQE broadcasts it while it fits; the Σ partial-aggregates
+    * map-side on (doc, class) before the shuffle). No driver-side data,
+    * no per-row UDFs, no training loop. */
+  def nbConfusion(docs: DataFrame, idCol: String = "doc_id",
+                  classCol: String = "lang"): DataFrame = {
+    val toks = graft.core.Caches.persistTracked(
+      docs.select(col(idCol).as("id"), col(classCol).as("cls"),
+        explode(split(coalesce(col("text"), lit("")), " ")).as("t")))
+    val vocabSize = toks.agg(countDistinct(col("t")).as("vsz"))
+    val classTok = toks.groupBy("cls").agg(count(lit(1)).as("tc"))
+    val tokCls = toks.groupBy("cls", "t").agg(count(lit(1)).as("cnt"))
+    val weights =
+      toks.select("t").distinct()
+        .crossJoin(broadcast(classTok.crossJoin(vocabSize)))
+        .join(tokCls, Seq("cls", "t"), "left")
+        .withColumn("num", (col("tc") + col("vsz")) * lit(NbScale))
+        .withColumn("den", coalesce(col("cnt"), lit(0L)) + lit(1L))
+        .select(col("cls"), col("t"), qlog2(expr("num div den")).as("wbits"))
+    val priors = docs.groupBy(col(classCol).as("cls"))
+      .agg(count(lit(1)).as("nc"))
+      .crossJoin(docs.agg(count(lit(1)).as("n")))
+      .withColumn("pnum", col("n") * lit(NbScale))
+      .select(col("cls"), qlog2(expr("pnum div nc")).as("pbits"))
+    val scores = toks
+      .select(col("id"), col("t"))
+      .join(weights.withColumnRenamed("cls", "cand"), "t")
+      .groupBy("id", "cand").agg(sum("wbits").as("sbits"))
+      .join(broadcast(priors.select(col("cls").as("cand"), col("pbits"))), "cand")
+      .select(col("id"), col("cand"), (col("sbits") + col("pbits")).as("score"))
+    val predicted = scores
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("id").orderBy(col("score"), col("cand"))))
+      .filter(col("rn") === 1)
+      .select(col("id"), col("cand").as("predicted"))
+    docs.select(col(idCol).as("id"), col(classCol).as("actual"))
+      .join(predicted, "id")
+      .groupBy("actual", "predicted").agg(count(lit(1)).as("n"))
+  }
 }

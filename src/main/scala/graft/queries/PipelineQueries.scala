@@ -893,6 +893,47 @@ object PipelineQueries {
           expr("(3 * n_triangles * 1000) div n_wedges").as("cc_permille"))
     }),
 
+    // k-CORE of the cosine-threshold similarity graph (LSH candidates,
+    // exact cosine ≥ KcoreMinCos — the emb_neardup build at a looser
+    // cutoff): the dense-neighborhood extractor — every surviving vector
+    // keeps ≥ KcoreK surviving neighbors, so dense regions survive the
+    // peel while chains and sparse fringe dissolve (a real partial
+    // cascade, unlike the kNN graph whose degrees are uniform by
+    // construction). Fixed 8-round peel; the oracle replays every round.
+    "graph_kcore" -> ((s, d) => {
+      val pairs = graft.operators.VectorOps.cosNearDups(
+        embs(s, d), "vec_id", "embedding", LshTables, LshBits, EmbDims,
+        KcoreMinCos)
+      graft.operators.GraphOps.kCore(
+        pairs.select(col("id_a").as("src"), col("id_b").as("dst")),
+        KcoreK, KcoreRounds)
+    }),
+
+    // COUNT-MIN SKETCH estimates for the 20 highest-frequency tokens:
+    // (token, true_cnt, est_cnt ≥ true_cnt) — hashes the full sketch
+    // build (3 rows × 256 md5-derived buckets, bounded state) plus the
+    // min-over-rows probe, including the collision overshoot this
+    // corpus actually produces.
+    "corp_cms" -> ((s, d) =>
+      graft.operators.CorpusOps.cmsHeavyEstimates(
+        docs(s, d), CmsDepth, CmsWidth, CmsTopK)),
+
+    // Multinomial naive-Bayes language classifier, trained on the corpus
+    // and self-evaluated: Laplace-smoothed per-(class, token) likelihoods
+    // quantized to whole log2 bits (integer-exact — the oracle re-trains
+    // the identical model and replays every doc's argmin). Output:
+    // confusion matrix vs the labeled lang.
+    "model_nb" -> ((s, d) =>
+      graft.operators.ModelOps.nbConfusion(docs(s, d))),
+
+    // Per-label integer centroids over the int8-quantized embedding
+    // space (the class-prototype build): one row per (label, dim) with
+    // the round-half-away integer mean — engine-exact, every component
+    // hashed.
+    "emb_centroids" -> ((s, d) =>
+      graft.operators.VectorOps.groupCentroids(
+        embs(s, d), "embedding", "label")),
+
     // RFM customer segmentation: recency (days since last order, vs the
     // corpus max day), frequency (order count), monetary (cents summed
     // exactly, then $100-quantized so the quantile histogram's value
@@ -1205,6 +1246,20 @@ object PipelineQueries {
   private val SemMinCos = 0.35
   private val PrIters   = 5
   private val PrScale   = 1000000000000L
+  /** k-core peel: coreness bound, the FIXED peel-round count (a fixpoint
+    * round is a no-op, so any rounds ≥ the data's peel depth yields the
+    * exact k-core — property-tested in GraphOpsSpec), and the cosine
+    * cutoff of the similarity graph it peels. The kNN graph is the wrong
+    * substrate here (every node has ≥ K neighbors by construction, so
+    * peels are all-or-nothing); the THRESHOLD graph's degrees follow
+    * local density, which is what gives the peel a real partial cascade
+    * (measured at sf0.01: 305/500 survive, convergence in 5 rounds). */
+  private val KcoreK      = 4
+  private val KcoreRounds = 8
+  private val KcoreMinCos = 0.25
+  private val CmsDepth    = 3
+  private val CmsWidth    = 256
+  private val CmsTopK     = 20
 
   /** Per-query recall@5 of an ANN `method` result (qid, nid, …) against
     * the exact-cosine baseline over the same query set: n_true = baseline
@@ -2619,6 +2674,111 @@ object PipelineQueries {
          |SELECT CAST(tri.t AS BIGINT) AS n_triangles, CAST(wg.w AS BIGINT) AS n_wedges,
          |  CAST((3 * tri.t * 1000) // wg.w AS BIGINT) AS cc_permille
          |FROM tri, wg""".stripMargin,
+
+    // graph_kcore: the emb_neardup chain at KcoreMinCos (planes → buckets
+    // → candidates → verified cosine pairs) + KcoreRounds unrolled peel
+    // rounds (degree → keep ≥ k → restrict edges), then degrees of the
+    // surviving subgraph. Every round MATERIALIZED — inlined CTEs would
+    // re-expand each prior round at every reference (exponential plan
+    // growth across 8 rounds).
+    "graph_kcore" -> {
+      val pdot = s"list_sum([CAST(e.v[i] AS DOUBLE) * pl.p[i] for i in range(1, ${EmbDims + 1})])"
+      val cos  = cosSql("a.v", "b.v")
+      val rounds = (1 to KcoreRounds).map { r =>
+        s"""d$r AS MATERIALIZED (SELECT v, COUNT(*) AS deg FROM
+           |  (SELECT a AS v FROM ue${r - 1} UNION ALL SELECT b FROM ue${r - 1}) GROUP BY 1),
+           |k$r AS MATERIALIZED (SELECT v FROM d$r WHERE deg >= $KcoreK),
+           |ue$r AS MATERIALIZED (SELECT e.a, e.b FROM ue${r - 1} e
+           |  JOIN k$r x ON x.v = e.a JOIN k$r y ON y.v = e.b)"""
+      }.mkString(",\n")
+      s"""WITH planes(t, b, p) AS (VALUES
+         |$planesValuesSql),
+         |e AS (SELECT vec_id, embedding AS v FROM embeddings),
+         |buck AS (SELECT e.vec_id AS id, pl.t,
+         |  CAST(SUM(CASE WHEN $pdot >= 0 THEN (1 << pl.b) ELSE 0 END) AS INTEGER) AS bucket
+         |  FROM e, planes pl GROUP BY 1, 2),
+         |cand AS (SELECT x.id AS id_a, y.id AS id_b
+         |  FROM buck x JOIN buck y ON x.t = y.t AND x.bucket = y.bucket AND x.id < y.id
+         |  GROUP BY 1, 2),
+         |ue0 AS MATERIALIZED (SELECT c.id_a AS a, c.id_b AS b FROM cand c
+         |  JOIN e a ON a.vec_id = c.id_a JOIN e b ON b.vec_id = c.id_b
+         |  WHERE $cos >= $KcoreMinCos),
+         |$rounds
+         |SELECT v AS vec_id, CAST(COUNT(*) AS BIGINT) AS core_deg FROM
+         |  (SELECT a AS v FROM ue$KcoreRounds UNION ALL SELECT b FROM ue$KcoreRounds)
+         |GROUP BY 1""".stripMargin
+    },
+
+    // corp_cms: sketch build (salted-md5 16-bit fold mod width, depth
+    // rows) + top-k true counts + min-over-rows estimates.
+    "corp_cms" -> {
+      def hv(j: Int) = hexvalSql(s"substr(hx,$j,1)")
+      val bucketFromHx =
+        s"((${hv(29)})*4096 + (${hv(30)})*256 + (${hv(31)})*16 + (${hv(32)})) % $CmsWidth"
+      val salts = (0 until CmsDepth).map(r => s"($r, 'cms$r:')").mkString(", ")
+      s"""WITH toks AS (SELECT unnest(string_split(coalesce(text, ''), ' ')) AS t FROM documents),
+         |salts(r, salt) AS (VALUES $salts),
+         |hx0 AS (SELECT s.r, md5(s.salt || tk.t) AS hx FROM toks tk CROSS JOIN salts s),
+         |cells AS (SELECT r, $bucketFromHx AS bucket, COUNT(*) AS cnt FROM hx0 GROUP BY 1, 2),
+         |tru AS (SELECT t, COUNT(*) AS true_cnt FROM toks GROUP BY 1
+         |  ORDER BY true_cnt DESC, t LIMIT $CmsTopK),
+         |probe AS (SELECT tru.t, tru.true_cnt, s.r, md5(s.salt || tru.t) AS hx
+         |  FROM tru CROSS JOIN salts s),
+         |pb AS (SELECT t, true_cnt, r, $bucketFromHx AS bucket FROM probe)
+         |SELECT pb.t AS token, CAST(pb.true_cnt AS BIGINT) AS true_cnt,
+         |  CAST(MIN(c.cnt) AS BIGINT) AS est_cnt
+         |FROM pb JOIN cells c ON c.r = pb.r AND c.bucket = pb.bucket
+         |GROUP BY 1, 2""".stripMargin
+    },
+
+    // model_nb: re-train the quantized-log2 naive-Bayes model (class
+    // token counts, vocabulary, Laplace-smoothed bit weights, priors)
+    // and replay every doc's argmin — bin() prints BIGINT without
+    // leading zeros in both engines, so length(bin(x))-1 IS floor(log2).
+    "model_nb" ->
+      s"""WITH toks AS (SELECT doc_id, lang AS cls,
+         |    unnest(string_split(coalesce(text, ''), ' ')) AS t FROM documents),
+         |vsz AS (SELECT COUNT(DISTINCT t) AS v FROM toks),
+         |ct AS (SELECT cls, COUNT(*) AS tc FROM toks GROUP BY 1),
+         |tcnt AS (SELECT cls, t, COUNT(*) AS cnt FROM toks GROUP BY 1, 2),
+         |vocab AS (SELECT DISTINCT t FROM toks),
+         |w AS (SELECT ct.cls, vocab.t,
+         |    length(bin(((ct.tc + vsz.v) * ${graft.operators.ModelOps.NbScale}) //
+         |      (COALESCE(tcnt.cnt, 0) + 1))) - 1 AS wbits
+         |  FROM vocab CROSS JOIN ct CROSS JOIN vsz
+         |  LEFT JOIN tcnt ON tcnt.cls = ct.cls AND tcnt.t = vocab.t),
+         |pri AS (SELECT c.cls,
+         |    length(bin((n.n * ${graft.operators.ModelOps.NbScale}) // c.nc)) - 1 AS pbits
+         |  FROM (SELECT lang AS cls, COUNT(*) AS nc FROM documents GROUP BY 1) c
+         |  CROSS JOIN (SELECT COUNT(*) AS n FROM documents) n),
+         |sc AS (SELECT tk.doc_id, w.cls AS cand, SUM(w.wbits) AS sbits
+         |  FROM toks tk JOIN w ON w.t = tk.t GROUP BY 1, 2),
+         |tot AS (SELECT sc.doc_id, sc.cand, sc.sbits + pri.pbits AS score
+         |  FROM sc JOIN pri ON pri.cls = sc.cand),
+         |pred AS (SELECT doc_id, cand AS predicted FROM (
+         |  SELECT doc_id, cand,
+         |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score, cand) AS rn FROM tot)
+         |  WHERE rn = 1)
+         |SELECT d.lang AS actual, p.predicted, CAST(COUNT(*) AS BIGINT) AS n
+         |FROM documents d JOIN pred p ON p.doc_id = d.doc_id
+         |GROUP BY 1, 2""".stripMargin,
+
+    // emb_centroids: quantize (the emb_quant pipeline keyed by label),
+    // per-(label, dim) integer sums, round-half-away integer mean.
+    "emb_centroids" ->
+      s"""WITH e AS (SELECT label, [CAST(x AS DOUBLE) for x in embedding] AS ev FROM embeddings),
+         |sc AS (SELECT label, ev, list_max([abs(x) for x in ev]) / 127.0 AS scale FROM e),
+         |q AS (SELECT label,
+         |    CASE WHEN scale > 0 THEN [CAST(FLOOR(x / scale + 0.5) AS BIGINT) for x in ev]
+         |         ELSE [CAST(0 AS BIGINT) for x in ev] END AS qv FROM sc),
+         |x AS (SELECT label, t.i AS dim, qv[t.i] AS v
+         |  FROM q CROSS JOIN range(1, ${EmbDims + 1}) t(i)),
+         |g AS (SELECT label, dim, SUM(v) AS s, COUNT(*) AS n FROM x GROUP BY 1, 2)
+         |SELECT label AS grp, CAST(dim AS BIGINT) AS dim,
+         |  CAST(CASE WHEN s < 0 THEN -((2 * (-s) + n) // (2 * n))
+         |       ELSE (2 * s + n) // (2 * n) END AS BIGINT) AS c,
+         |  CAST(n AS BIGINT) AS n
+         |FROM g""".stripMargin,
 
     // graph_components: the kNN-graph replay + recursive reachability
     // min-label (the dedup_clusters pattern), singletons recovered off

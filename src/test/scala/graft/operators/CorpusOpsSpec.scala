@@ -513,4 +513,67 @@ class CorpusOpsSpec extends AnyFunSuite with PropHelpers {
       CorpusOps.sampleBucketCol(col("text"), "sample:").as("b")).collect().map(_.getInt(0))
     assert(unsalted.toSeq != salted.toSeq, "sample bucket must differ from split bucket")
   }
+
+  // ------------------------------------------------------ count-min sketch
+
+  /** The operator's exact bucket recipe in sequential Scala: 16 bits of
+    * the salted md5 (hex chars 29–32) mod width. */
+  private def refCmsBucket(t: String, r: Int, width: Int): Int = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+    val hx = d.digest(s"cms$r:$t".getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    Integer.parseInt(hx.substring(28, 32), 16) % width
+  }
+
+  test("cmSketch: cell count bounded by depth x width; total mass = depth x occurrences") {
+    val rnd = new scala.util.Random(23)
+    val docs = docsDF((1 to 40).map(i =>
+      (i.toLong, "s", (1 to 20).map(_ => s"w${rnd.nextInt(30)}").mkString(" "))): _*)
+    val cells = CorpusOps.cmSketch(docs, 3, 16).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    assert(cells.length <= 3 * 16)
+    assert(cells.forall { case (r, b, _) => r >= 0 && r < 3 && b >= 0 && b < 16 })
+    assert(cells.filter(_._1 == 0).map(_._3).sum == 40L * 20L)
+    assert(cells.map(_._3).sum == 3L * 40L * 20L)
+  }
+
+  test("cmsHeavyEstimates matches a sequential sketch replay; estimates dominate truth") {
+    val rnd = new scala.util.Random(29)
+    // Skewed vocabulary over a deliberately tiny width so collisions occur.
+    val docs = docsDF((1 to 60).map(i =>
+      (i.toLong, "s",
+        (1 to 15).map(_ => s"tok${(math.pow(rnd.nextDouble(), 2) * 40).toInt}")
+          .mkString(" "))): _*)
+    val (depth, width, k) = (3, 16, 10)
+    val got = CorpusOps.cmsHeavyEstimates(docs, depth, width, k).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // Sequential replay.
+    val toks = docs.collect().flatMap(_.getString(2).split(" ", -1))
+    val cnt = toks.groupBy(identity).map { case (t, ts) => t -> ts.size.toLong }
+    val cells = (0 until depth).map { r =>
+      toks.groupBy(t => refCmsBucket(t, r, width))
+        .map { case (b, ts) => b -> ts.size.toLong }
+    }
+    val probe = cnt.toSeq.sortBy { case (t, c) => (-c, t) }.take(k)
+    val ref = probe.map { case (t, c) =>
+      (t, c, (0 until depth).map(r => cells(r)(refCmsBucket(t, r, width))).min)
+    }.toSet
+    assert(got.toSet == ref)
+    assert(got.forall { case (_, tru, est) => est >= tru })
+  }
+
+  test("cmsHeavyEstimates is exact when the sketch is collision-free") {
+    // 4 distinct tokens into a 64-bucket sketch: no collisions (verified
+    // by the replayed buckets), so every estimate equals the true count.
+    val docs = docsDF(
+      (1L, "s", "a a a b"), (2L, "s", "b c d a"), (3L, "s", "a b c c"))
+    val got = CorpusOps.cmsHeavyEstimates(docs, 3, 64, 4).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val buckets = Seq("a", "b", "c", "d")
+      .map(t => (0 until 3).map(r => refCmsBucket(t, r, 64)))
+    assert((0 until 3).forall(r => buckets.map(_(r)).distinct.size == 4),
+      "fixture must be collision-free; pick different tokens")
+    assert(got.forall { case (_, tru, est) => est == tru })
+    assert(got.map(_._1).toSet == Set("a", "b", "c", "d"))
+  }
 }

@@ -147,4 +147,64 @@ class GraphOpsSpec extends AnyFunSuite {
       assert(runTrianglesDeg(es) == refTriangles(es), s"trial $trial")
     }
   }
+
+  private def runKcore(edges: Seq[(Long, Long)], k: Int,
+                       rounds: Int): Map[Long, Long] = {
+    val spark = graft.TestSpark.spark
+    import spark.implicits._
+    val got = GraphOps.kCore(edges.toDF("src", "dst"), k, rounds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    graft.core.Caches.releaseAll()
+    got
+  }
+
+  /** Run-to-FIXPOINT brute-force peel (the k-core definition itself). */
+  private def refKcore(edges: Seq[(Long, Long)], k: Int): Map[Long, Long] = {
+    var ue = edges.map { case (s, d) => (math.min(s, d), math.max(s, d)) }
+      .filter { case (a, b) => a < b }.toSet
+    var changed = true
+    while (changed) {
+      val deg = ue.toSeq.flatMap { case (a, b) => Seq(a, b) }
+        .groupBy(identity).map { case (v, vs) => v -> vs.size }
+      val keep = deg.filter(_._2 >= k).keySet
+      val next = ue.filter { case (a, b) => keep(a) && keep(b) }
+      changed = next != ue
+      ue = next
+    }
+    ue.toSeq.flatMap { case (a, b) => Seq(a, b) }
+      .groupBy(identity).map { case (v, vs) => v -> vs.size.toLong }
+  }
+
+  test("kCore: clique with pendant chain — the chain peels, the clique survives") {
+    // K4 on {1..4} + chain 4-5-6: every chain vertex has degree ≤ 2, so a
+    // 3-core peel removes 5 then 6 (two cascade rounds), keeping K4 intact.
+    val k4 = for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)
+    val edges = k4 ++ Seq((4L, 5L), (5L, 6L))
+    val got = runKcore(edges, 3, 8)
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    assert(got == refKcore(edges, 3))
+  }
+
+  test("kCore: fixed-round peel equals the run-to-fixpoint k-core on random graphs") {
+    val rnd = new scala.util.Random(17)
+    for (trial <- 0 until 5) {
+      val n = 20 + 3 * trial
+      val edges = (0 until 3 * n).map { _ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)
+      }.filter { case (s, d) => s != d }
+      for (k <- Seq(2, 3, 4)) {
+        // rounds = n is a trivially safe peel-depth bound (each
+        // non-fixpoint round removes ≥ 1 vertex).
+        assert(runKcore(edges, k, math.min(n, 64)) == refKcore(edges, k),
+          s"trial $trial k $k")
+      }
+    }
+  }
+
+  test("kCore: a peel that empties the graph returns zero rows") {
+    // A pure chain has no 2-core.
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L))
+    assert(runKcore(chain, 3, 8).isEmpty)
+    assert(refKcore(chain, 3).isEmpty)
+  }
 }

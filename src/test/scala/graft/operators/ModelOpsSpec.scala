@@ -103,4 +103,68 @@ class ModelOpsSpec extends AnyFunSuite {
       .collect().toSeq
     assert(a.map(_.toSeq) == b.map(_.toSeq))
   }
+
+  // ---------------------------------------------------------- naive Bayes
+
+  /** Reference replay of the quantized-log2 NB (the operator's exact
+    * recursion, sequential Scala): Laplace-smoothed bit weights, bit-length
+    * floor-log2, argmin with class-asc tie-break. */
+  private def refNb(docs: Seq[(Long, String, String)]): Map[(String, String), Long] = {
+    def qlog2(x: Long): Long = 63L - java.lang.Long.numberOfLeadingZeros(x)
+    val toks = docs.flatMap { case (id, text, cls) =>
+      Option(text).getOrElse("").split(" ", -1).map(t => (id, cls, t)) }
+    val vocab = toks.map(_._3).distinct
+    val v = vocab.size.toLong
+    val classes = docs.map(_._3).distinct.sorted
+    val tc = toks.groupBy(_._2).map { case (c, ts) => c -> ts.size.toLong }
+    val cnt = toks.groupBy(t => (t._2, t._3)).map { case (k, ts) => k -> ts.size.toLong }
+    val nc = docs.groupBy(_._3).map { case (c, ds) => c -> ds.size.toLong }
+    val n = docs.size.toLong
+    val pri = classes.map(c => c -> qlog2((n * ModelOps.NbScale) / nc(c))).toMap
+    val pred = docs.map { case (id, text, cls) =>
+      val ts = Option(text).getOrElse("").split(" ", -1).toSeq
+      val best = classes.map { c =>
+        val s = ts.map { t =>
+          qlog2(((tc(c) + v) * ModelOps.NbScale) / (cnt.getOrElse((c, t), 0L) + 1L))
+        }.sum + pri(c)
+        (s, c)
+      }.min
+      (cls, best._2)
+    }
+    pred.groupBy(identity).map { case (k, ps) => k -> ps.size.toLong }
+  }
+
+  private def nbDocs = Seq(
+    // Two separable "languages" + one doc of mixed vocabulary.
+    (1L, "der hund ist gut", "de"), (2L, "der gute hund", "de"),
+    (3L, "ist der hund da", "de"),
+    (4L, "the dog is good", "en"), (5L, "the good dog", "en"),
+    (6L, "is the dog here", "en"), (7L, "the dog der hund", "en"))
+
+  test("nbConfusion matches the sequential reference replay") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val got = ModelOps.nbConfusion(nbDocs.toDF("doc_id", "text", "lang"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    graft.core.Caches.releaseAll()
+    assert(got == refNb(nbDocs))
+    // Sanity: the separable majority classifies correctly.
+    assert(got.getOrElse(("de", "de"), 0L) == 3L)
+    assert(got.getOrElse(("en", "en"), 0L) >= 3L)
+  }
+
+  test("nbConfusion is partition-invariant and null-text-safe") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val docs = nbDocs :+ (8L, null.asInstanceOf[String], "en")
+    val a = ModelOps.nbConfusion(docs.toDF("doc_id", "text", "lang").repartition(1))
+      .collect().map(_.toSeq).toSet
+    graft.core.Caches.releaseAll()
+    val b = ModelOps.nbConfusion(
+        docs.reverse.toDF("doc_id", "text", "lang").repartition(5))
+      .collect().map(_.toSeq).toSet
+    graft.core.Caches.releaseAll()
+    assert(a == b)
+    assert(a == refNb(docs).map { case ((ac, pr), n) => Seq(ac, pr, n) }.toSet)
+  }
 }

@@ -472,4 +472,42 @@ class VectorOpsSpec extends AnyFunSuite {
         s"LSH order disagrees with exact cosine order for query $q")
     }
   }
+
+  test("groupCentroids matches the sequential quantize-sum-round replay") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val rows = (0L until 30L).map(id =>
+      (id, (id % 3).toInt, Array.fill(4)((rnd.nextFloat() - 0.5f) * 3f)))
+    val got = VectorOps.groupCentroids(
+        rows.toDF("vec_id", "label", "embedding"), "embedding", "label")
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    def roundDiv(s: Long, n: Long): Long = {
+      val a = (2L * math.abs(s) + n) / (2L * n)
+      if (s < 0) -a else a
+    }
+    val expect = rows.groupBy(_._2).flatMap { case (lbl, rs) =>
+      val qs = rs.map { case (_, _, v) =>
+        val scale = v.map(x => math.abs(x.toDouble)).max / 127.0
+        if (scale > 0) v.map(x => math.floor(x / scale + 0.5).toLong)
+        else v.map(_ => 0L)
+      }
+      (0 until 4).map { d =>
+        (lbl, (d + 1).toLong) ->
+          ((roundDiv(qs.map(_(d)).sum, qs.size.toLong), qs.size.toLong))
+      }
+    }
+    assert(got == expect)
+  }
+
+  test("groupCentroids: an all-zero group centroids to zeros with its count") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val rows = Seq((1L, 7, Array(0f, 0f)), (2L, 7, Array(0f, 0f)))
+    val got = VectorOps.groupCentroids(
+        rows.toDF("vec_id", "label", "embedding"), "embedding", "label")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSet == Set((7, 1L, 0L, 2L), (7, 2L, 0L, 2L)))
+  }
 }
