@@ -158,6 +158,99 @@ object MultimodalOps {
       floor(frames * 1000 / sr).cast("long").as("duration_ms")))
   }
 
+  /** PIXEL-LEVEL access into an uncompressed 24bpp bottom-up BMP: the sum
+    * of all channel bytes over a `grid`×`grid` nearest-neighbor sample
+    * lattice (xᵢ = ⌊i·(w−1)/(grid−1)⌋, same for y) — the downsample-
+    * and-featurize step after [[decodeBmp]]'s header parse, and the gate
+    * that proves the ROW ADDRESSING is right: every sampled byte goes
+    * through the 4-byte-aligned row stride, the bottom-up row flip, and
+    * the 3-byte pixel offset, so a stride or orientation bug changes the
+    * sum. Returns `struct<pix_sum:long, n_bytes:long>`, NULL for
+    * non-BMPs; bytes addressed beyond a truncated pixel array count 0
+    * (the [[bmpBlob]] zero-fill contract). Pure unrolled column
+    * arithmetic — 3·grid² byte reads per row, no codec, no UDF. */
+  def bmpPixelGridSum(bin: Column, grid: Int): Column = {
+    require(grid >= 2 && grid <= 16, s"grid out of range: $grid")
+    val hx = hex(bin)
+    def byteAt(off: Int) = hx.substr(lit(off * 2 + 1), lit(2))
+    def leU(off: Int, n: Int): Column =
+      conv(concat((0 until n).reverse.map(i => byteAt(off + i)): _*), 16, 10)
+        .cast("long")
+    val ok = length(bin) >= 54 && hx.substr(1, 4) === "424D" &&
+      leU(14, 4) === 40 && leU(28, 2) === 24 && leU(22, 4) < 2147483648L
+    val w = leU(18, 4)
+    val h = leU(22, 4)
+    val dataOff = leU(10, 4)
+    val rowSize = floor((w * 3 + lit(3)) / 4).cast("long") * 4
+    // ONE fold over the flat lattice index (k → (c, i, j)), not 3·grid²
+    // unrolled terms: the unrolled form grows the surrounding whole-stage-
+    // codegen method past javac's 64 KB limit and forces an interpreted
+    // fallback of the whole aggregate stage; the fold keeps codegen alive
+    // and only the small lambda is interpreted. Exact for dims < 2^26:
+    // the products stay inside double's 2^53 integer range, so
+    // floor(·/k) is floor division.
+    val pixSum = aggregate(
+      sequence(lit(0L), lit(3L * grid * grid - 1)), lit(0L), (acc, k) => {
+        val c = k % 3
+        val rest = floor(k / 3).cast("long")
+        val i = rest % grid
+        val j = floor(rest / grid).cast("long")
+        val x = floor((w - 1) * i / (grid - 1)).cast("long")
+        val y = floor((h - 1) * j / (grid - 1)).cast("long")
+        val p = dataOff + rowSize * (h - 1 - y) + x * 3 + c
+        acc + coalesce(
+          conv(hx.substr((p * 2 + 1).cast("int"), lit(2)), 16, 10).cast("long"),
+          lit(0L))
+      })
+    when(ok, struct(
+      pixSum.as("pix_sum"),
+      lit(3L * grid * grid).as("n_bytes")))
+  }
+
+  /** WINDOWED PCM ENERGY over an 8-bit mono WAV ([[wavBlob]] layout): per
+    * full window of `win` samples, Σ (sample − 128)² — the
+    * silence/clipping localization signal an audio curation pass keys on
+    * (8-bit PCM is unsigned, 128 = zero amplitude). Partial tail windows
+    * are dropped, so the windowing itself is under test, not just the
+    * total. Returns `struct<n_windows:long, sum_energy:long,
+    * max_energy:long>` (max 0 when no full window), NULL for anything
+    * that is not 8-bit mono PCM.
+    *
+    * Cost shape: one hex pass; the per-window fold runs as nested
+    * higher-order aggregates over index sequences (interpreted lambdas —
+    * fine at fixture scale; a production decoder runs the same windowing
+    * over raw bytes in `mapInPartitions`, which is the documented swap
+    * point for compressed codecs too). */
+  def wavWindowEnergy8(bin: Column, win: Int): Column = {
+    require(win >= 1 && win <= 65536, s"win out of range: $win")
+    val hx = hex(bin)
+    def byteAt(off: Int) = hx.substr(lit(off * 2 + 1), lit(2))
+    def leU(off: Int, n: Int): Column =
+      conv(concat((0 until n).reverse.map(i => byteAt(off + i)): _*), 16, 10)
+        .cast("long")
+    val ok = length(bin) >= 44 &&
+      hx.substr(1, 8) === "52494646" &&
+      hx.substr(17, 16) === "57415645666D7420" &&
+      hx.substr(73, 8) === "64617461" &&
+      leU(20, 2) === 1 && leU(22, 2) === 1 && leU(34, 2) === 8
+    val nSamp = leU(40, 4) // 8-bit mono: 1 byte per sample, data at 44
+    val nWin = floor(nSamp / win).cast("long")
+    def sampleSq(idx: Column): Column = {
+      val v = conv(hx.substr(((lit(44L) + idx) * 2 + 1).cast("int"), lit(2)),
+        16, 10).cast("long") - 128L
+      v * v
+    }
+    val energies = when(nWin > 0,
+      transform(sequence(lit(0L), nWin - 1), wi =>
+        aggregate(sequence(lit(0L), lit(win.toLong - 1)), lit(0L),
+          (acc, k) => acc + sampleSq(wi * win + k))))
+      .otherwise(array().cast("array<bigint>"))
+    when(ok, struct(
+      nWin.as("n_windows"),
+      coalesce(aggregate(energies, lit(0L), _ + _), lit(0L)).as("sum_energy"),
+      coalesce(array_max(energies), lit(0L)).as("max_energy")))
+  }
+
   /** Aspect-preserving fit of decoded metadata into a boxW×boxH bounding
     * box, integer milli-scale arithmetic (no floats → exact oracles). */
   def resizeFit(meta: Column, boxW: Int, boxH: Int): Column = {

@@ -387,6 +387,14 @@ object PipelineQueries {
       graft.operators.VectorOps.knnBrute(
         embs(s, d), "vec_id", "embedding", col("vec_id") < 8, 10)),
 
+    // Exact MAXIMUM-INNER-PRODUCT top-10 (MIPS — the retrieval objective
+    // when embedding norm carries signal; differs from cosine NN whenever
+    // corpus norms vary). Ranks directly on the native codegen'd
+    // graft_dot expression.
+    "knn_mips" -> ((s, d) =>
+      graft.operators.VectorOps.knnMips(
+        embs(s, d), "vec_id", "embedding", col("vec_id") < 8, 10)),
+
     // Random-hyperplane LSH top-5: 4 tables × 4 sign bits; candidates via
     // (table, bucket) equi-join, exact re-rank. Oracle replays the same
     // hyperplane constants in SQL.
@@ -1175,6 +1183,42 @@ object PipelineQueries {
         .agg(sum(col("nf")).as("total_frames"),
           sum(col("frame_bytes")).as("total_frame_bytes"),
           sum(when(col("nf") > 0, 1).otherwise(0)).as("docs_with_frames"))
+    }),
+
+    // PIXEL-level BMP addressing: 3×3 nearest-neighbor grid sample summed
+    // per source. The oracle computes the same bytes straight from the
+    // payload with independent stride arithmetic, so a row-stride,
+    // padding, or bottom-up-flip bug in the addressing hash-mismatches.
+    "mm_pixels" -> ((s, d) => {
+      import graft.operators.MultimodalOps._
+      docs(s, d)
+        .select(col("source"),
+          bmpPixelGridSum(bmpBlob(
+            lit(1) + pmod(col("doc_id"), lit(24)),
+            lit(1) + pmod(col("doc_id") * 7, lit(24)),
+            asBlob(col("text"))), 3).as("p"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("p.pix_sum")).as("pix_sum"),
+          sum(col("p.n_bytes")).as("n_bytes"))
+    }),
+
+    // SAMPLE-level audio windowing: per-50-sample energy over 8-bit mono
+    // PCM, max + sum per lang (the silence/clipping localization signal).
+    // Partial tail windows drop, so the windowing arithmetic — not just
+    // the byte total — is hashed.
+    "mm_energy" -> ((s, d) => {
+      import graft.operators.MultimodalOps._
+      docs(s, d)
+        .select(col("lang"),
+          wavWindowEnergy8(
+            wavBlob(lit(8000), lit(1), lit(8), asBlob(col("text"))),
+            50).as("e"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("e.n_windows")).as("n_windows"),
+          sum(col("e.sum_energy")).as("sum_energy"),
+          max(col("e.max_energy")).as("max_energy"))
     }),
 
     // Feature extraction over the blob column (REAL, codec-free): per-source
@@ -2103,6 +2147,56 @@ object PipelineQueries {
         |  CAST(SUM(CASE WHEN nf > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_frames
         |FROM f GROUP BY lang""".stripMargin,
 
+    // mm_pixels: independent stride arithmetic from doc_id + payload hex —
+    // byte at PAYLOAD offset p = rowSize·(h−1−y) + 3x + c (the file's
+    // dataOffset=54 cancels because the pixel array IS the payload,
+    // zero-filled past its end). A 3×3×3 lattice per doc via range cross
+    // joins.
+    "mm_pixels" -> {
+      val hv1 = hexvalSql("substr(hx, 2*p + 1, 1)")
+      val hv2 = hexvalSql("substr(hx, 2*p + 2, 1)")
+      s"""WITH m AS (SELECT source, lower(hex(encode(text))) AS hx,
+         |    octet_length(encode(text)) AS n,
+         |    1 + (doc_id % 24) AS w, 1 + ((doc_id * 7) % 24) AS hh
+         |  FROM documents),
+         |g AS (SELECT source, hx, n, w, hh, ((3 * w + 3) // 4) * 4 AS rs FROM m),
+         |pts AS (SELECT source, hx, n,
+         |    rs * (hh - 1 - (j.j * (hh - 1) // 2)) + 3 * (i.i * (w - 1) // 2) + c.c AS p
+         |  FROM g CROSS JOIN range(0, 3) i(i) CROSS JOIN range(0, 3) j(j)
+         |  CROSS JOIN range(0, 3) c(c)),
+         |b AS (SELECT source,
+         |    CASE WHEN p < n THEN $hv1 * 16 + $hv2 ELSE 0 END AS v
+         |  FROM pts)
+         |SELECT source, CAST(COUNT(*) / 27 AS BIGINT) AS n_docs,
+         |  CAST(SUM(v) AS BIGINT) AS pix_sum,
+         |  CAST(COUNT(*) AS BIGINT) AS n_bytes
+         |FROM b GROUP BY source""".stripMargin
+    },
+
+    // mm_energy: same windowing straight from the payload bytes — sample
+    // i = byte i of the text (8-bit mono PCM), window w covers samples
+    // 50w..50w+49, partial tails dropped.
+    "mm_energy" -> {
+      val hv1 = hexvalSql("substr(hx, 2*(50*w + k) + 1, 1)")
+      val hv2 = hexvalSql("substr(hx, 2*(50*w + k) + 2, 1)")
+      s"""WITH m AS (SELECT doc_id, lang, lower(hex(encode(text))) AS hx,
+         |    octet_length(encode(text)) AS n FROM documents),
+         |wl AS (SELECT doc_id, lang, hx, unnest(range(0, n // 50)) AS w
+         |  FROM m),
+         |kl AS (SELECT doc_id, lang, hx, w, unnest(range(0, 50)) AS k FROM wl),
+         |we AS (SELECT doc_id, lang, w,
+         |    SUM(($hv1 * 16 + $hv2 - 128) * ($hv1 * 16 + $hv2 - 128)) AS energy
+         |  FROM kl GROUP BY 1, 2, 3),
+         |per_doc AS (SELECT doc_id, lang, COUNT(*) AS nw,
+         |    SUM(energy) AS se, MAX(energy) AS me FROM we GROUP BY 1, 2)
+         |SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(COALESCE(p.nw, 0)) AS BIGINT) AS n_windows,
+         |  CAST(SUM(COALESCE(p.se, 0)) AS BIGINT) AS sum_energy,
+         |  CAST(MAX(COALESCE(p.me, 0)) AS BIGINT) AS max_energy
+         |FROM documents d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
+         |GROUP BY d.lang""".stripMargin
+    },
+
     // mm_profile: high hex nibble of byte i at position 2i−1; bin b covers
     // nibble digits {2b, 2b+1}.
     "mm_profile" -> {
@@ -2554,6 +2648,16 @@ object PipelineQueries {
          |  FROM e q, e x WHERE q.vec_id < 8 AND x.vec_id != q.vec_id)
          |SELECT qid, nid, CAST(rnk AS BIGINT) AS rnk FROM (
          |  SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rnk FROM s)
+         |WHERE rnk <= 10""".stripMargin
+    },
+
+    "knn_mips" -> {
+      val ip = s"list_sum([CAST(q.v[i] AS DOUBLE) * CAST(x.v[i] AS DOUBLE) for i in range(1, ${EmbDims + 1})])"
+      s"""WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+         |s AS (SELECT q.vec_id AS qid, x.vec_id AS nid, $ip AS ip
+         |  FROM e q, e x WHERE q.vec_id < 8 AND x.vec_id != q.vec_id)
+         |SELECT qid, nid, CAST(rnk AS BIGINT) AS rnk FROM (
+         |  SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY ip DESC, nid) AS rnk FROM s)
          |WHERE rnk <= 10""".stripMargin
     },
 

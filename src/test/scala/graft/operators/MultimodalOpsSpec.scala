@@ -133,4 +133,82 @@ class MultimodalOpsSpec extends AnyFunSuite {
       .select(col("r.width"), col("r.height")).head()
     assert((r.getInt(0), r.getInt(1)) == ((224, 56)))
   }
+
+  test("bmpPixelGridSum: hand-computed lattice through stride, padding, and bottom-up rows") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // 2×2 image, rowSize = ceil(6/4)·4 = 8 (2 pad bytes per row), payload
+    // = bytes 1..16 (imgSize = 16). Bottom-up: file row 0 is IMAGE row
+    // y=1. grid=2 lattice = the 4 corners; pixel (x, y) starts at file
+    // byte 8·(1−y) + 3x:
+    //   (0,0)→off 8  : 9,10,11   (0,1)→off 0 : 1,2,3
+    //   (1,0)→off 11 : 12,13,14  (1,1)→off 3 : 4,5,6
+    // sum = 30+6+39+15 = 90. A stride of 6 (no padding) or top-down rows
+    // would give a different sum — that is the point of the fixture.
+    val payload = (1 to 16).map(_.toChar).mkString
+    val got = Seq(payload).toDF("text")
+      .select(MultimodalOps.bmpPixelGridSum(
+        MultimodalOps.bmpBlob(lit(2), lit(2),
+          MultimodalOps.asBlob(col("text"))), 2).as("p"))
+      .select(col("p.pix_sum"), col("p.n_bytes")).head()
+    assert((got.getLong(0), got.getLong(1)) == ((90L, 12L)))
+    // Truncated payload: bytes past the text zero-fill (bmpBlob contract).
+    val short = Seq("").toDF("text")
+      .select(MultimodalOps.bmpPixelGridSum(
+        MultimodalOps.bmpBlob(lit(2), lit(2),
+          MultimodalOps.asBlob(col("text"))), 2).as("p"))
+      .select(col("p.pix_sum")).head().getLong(0)
+    assert(short == 0L, "an empty payload zero-fills the whole pixel array")
+    // Non-BMP rejects to null.
+    val bad = Seq("xx").toDF("text")
+      .select(MultimodalOps.bmpPixelGridSum(
+        MultimodalOps.asBlob(col("text")), 2).as("p"))
+      .head().isNullAt(0)
+    assert(bad)
+  }
+
+  test("wavWindowEnergy8: window fold, tail drop, and format rejection") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // 7 samples, win=3 → 2 full windows (tail sample dropped).
+    // Samples: 'A'=65 → (65-128)² = 3969; window energy = 3·3969.
+    val payload = "A" * 7
+    val got = Seq(payload).toDF("text")
+      .select(MultimodalOps.wavWindowEnergy8(
+        MultimodalOps.wavBlob(lit(8000), lit(1), lit(8),
+          MultimodalOps.asBlob(col("text"))), 3).as("e"))
+      .select(col("e.n_windows"), col("e.sum_energy"), col("e.max_energy"))
+      .head()
+    assert((got.getLong(0), got.getLong(1), got.getLong(2)) ==
+      ((2L, 2L * 3L * 3969L, 3L * 3969L)))
+    // Mixed amplitudes: max picks the hot window deterministically.
+    // Window 1 = "~~~" (126 → 4), window 2 = "   " (32 → 9216).
+    val mixed = Seq("~~~   ").toDF("text")
+      .select(MultimodalOps.wavWindowEnergy8(
+        MultimodalOps.wavBlob(lit(8000), lit(1), lit(8),
+          MultimodalOps.asBlob(col("text"))), 3).as("e"))
+      .select(col("e.n_windows"), col("e.sum_energy"), col("e.max_energy"))
+      .head()
+    assert((mixed.getLong(0), mixed.getLong(1), mixed.getLong(2)) ==
+      ((2L, 3L * 4L + 3L * 9216L, 3L * 9216L)))
+    // Stereo and 16-bit inputs reject (the operator is 8-bit mono only).
+    val rejects = Seq(
+      MultimodalOps.wavBlob(lit(8000), lit(2), lit(8),
+        MultimodalOps.asBlob(lit("AAAA"))),
+      MultimodalOps.wavBlob(lit(8000), lit(1), lit(16),
+        MultimodalOps.asBlob(lit("AAAA"))))
+      .map(b => Seq(1).toDF("x")
+        .select(MultimodalOps.wavWindowEnergy8(b, 3).as("e"))
+        .head().isNullAt(0))
+    assert(rejects.forall(identity))
+    // Empty payload: zero windows, zero energies.
+    val empty = Seq("").toDF("text")
+      .select(MultimodalOps.wavWindowEnergy8(
+        MultimodalOps.wavBlob(lit(8000), lit(1), lit(8),
+          MultimodalOps.asBlob(col("text"))), 3).as("e"))
+      .select(col("e.n_windows"), col("e.sum_energy"), col("e.max_energy"))
+      .head()
+    assert((empty.getLong(0), empty.getLong(1), empty.getLong(2)) ==
+      ((0L, 0L, 0L)))
+  }
 }

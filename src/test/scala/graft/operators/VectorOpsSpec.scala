@@ -473,6 +473,35 @@ class VectorOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("knnMips matches brute-force inner products and differs from cosine NN on varied norms") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    // Norms drawn from [0.5, 3): MIPS and cosine orders must diverge.
+    val rows = (0L until 25L).map { id =>
+      val dir = Array.fill(4)(rnd.nextFloat() - 0.5f)
+      val n = math.sqrt(dir.map(x => x * x.toDouble).sum)
+      val scale = (0.5 + 2.5 * rnd.nextDouble()) / n
+      (id, dir.map(x => (x * scale).toFloat))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val got = VectorOps.knnMips(df, "vec_id", "embedding", col("vec_id") < 3, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val expect = (0L until 3L).flatMap { q =>
+      val qv = rows(q.toInt)._2.map(_.toDouble)
+      rows.filter(_._1 != q)
+        .map { case (id, v) =>
+          (id, (0 until 4).map(i => qv(i) * v(i).toDouble).sum) }
+        .sortBy { case (id, ip) => (-ip, id) }
+        .take(5).zipWithIndex
+        .map { case ((id, _), i) => (q, id, (i + 1).toLong) }
+    }.toSet
+    assert(got == expect)
+    val cosTop = VectorOps.knnBrute(df, "vec_id", "embedding", col("vec_id") < 3, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got != cosTop, "fixture must separate MIPS from cosine NN")
+  }
+
   test("groupCentroids matches the sequential quantize-sum-round replay") {
     val spark = TestSpark.spark
     import spark.implicits._
