@@ -158,53 +158,84 @@ object GraphOps {
   /** k-core of the undirected graph induced by a directed edge list: the
     * maximal subgraph in which every vertex has degree ≥ k — the standard
     * "dense similarity neighborhood" extractor (a near-dup blob survives
-    * the peel; chains and stars dissolve). Peeling runs `rounds` FIXED
-    * iterations (degree → drop < k vertices → restrict edges); a fixpoint
-    * round is a no-op, so the output IS the exact k-core whenever the
-    * peel converges within `rounds` (property-tested against a
-    * run-to-fixpoint brute force; the fixed count is what lets a SQL
+    * the peel; chains and stars dissolve). Peeling runs up to `rounds`
+    * FIXED iterations of the synchronous peel (drop every vertex whose
+    * current degree is < k, then discount the dropped vertices' edges);
+    * a fixpoint round is a no-op, so the output IS the exact k-core
+    * whenever the peel converges within `rounds` (property-tested against
+    * a run-to-fixpoint brute force; the fixed count is what lets a SQL
     * oracle replay the identical computation without data-dependent
-    * recursion). Production callers loop to fixpoint — each round's
-    * survivor count is monotone decreasing, so convergence is detectable
-    * with one `count()` per round; the fixed-round form keeps the gate
-    * engine-exact.
+    * recursion). Convergence is detected per round (the drop set is
+    * empty) and the remaining rounds — provably no-ops — are skipped, so
+    * a generous round budget costs nothing after the cascade settles.
     *
     * Output: one row per surviving vertex `(vec_id, core_deg)` with its
     * degree inside the surviving subgraph.
     *
-    * Scale shape: each round is one partial-aggregated degree count over
-    * the surviving edge list plus two semi-joins keyed on single vertex
-    * ids — never anything quadratic; the edge list only shrinks. Rounds
-    * re-root through eager `localCheckpoint`s with the superseded round's
-    * blocks freed immediately (the [[pageRank]] lifecycle), so plan size
-    * and executor storage stay CONSTANT in the round count. */
+    * Scale shape — INCREMENTAL DECREMENT peel, not edge-list rewriting.
+    * Restricting the edge list every round re-shuffles and re-materializes
+    * O(|E|) rows × rounds; instead the original adjacency is cached ONCE
+    * and each round touches only what changed: the vertices dropped this
+    * round (disjoint across rounds, total ≤ |V|) join against the cached
+    * adjacency to count, per surviving neighbor, how many of its edges
+    * just disappeared — exactly the edges incident to the drop set, since
+    * an edge is removed in the round its first endpoint drops. The
+    * survivor table `(v, deg)` applies the decrements and re-roots through
+    * an eager `localCheckpoint` (the [[pageRank]] lifecycle — plan size
+    * and storage constant in the round count). Per-round cost is one
+    * cached-adjacency scan + a shuffle of the INCIDENT edges only (the
+    * drop side broadcasts while small); nothing is ever quadratic, and
+    * nothing linear in |E| is re-materialized per round. Equivalence to
+    * the restrict-the-edge-list formulation: a survivor's degree in the
+    * restricted list equals its original degree minus neighbors dropped
+    * so far (drop sets are disjoint, and an alive–dropped edge is
+    * necessarily still live when the drop happens), and vertices whose
+    * degree reaches 0 leave the restricted list's degree table — hence
+    * the final `deg >= 1` filter. */
   def kCore(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
     require(k >= 1 && k <= 1000, s"k out of range: $k")
     require(rounds >= 1 && rounds <= 64, s"rounds out of range: $rounds")
-    var ue = edges
+    val ue = edges
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .filter(col("a") < col("b")).distinct()
+    // Both directions, keyed by the endpoint that may DROP (u): one scan
+    // per round probes it with the round's drop set.
+    val adj = graft.core.Caches.persistTracked(
+      ue.select(col("a").as("v"), col("b").as("u"))
+        .unionAll(ue.select(col("b").as("v"), col("a").as("u"))))
+    var alive = adj.groupBy("v").agg(count(lit(1)).as("deg"))
       .localCheckpoint()
-    var ueRdd = graft.core.Caches.checkpointRdd(ue)
+    var aliveRdd = graft.core.Caches.checkpointRdd(alive)
     var t = 0
-    while (t < rounds) {
-      val deg = ue.select(col("a").as("v")).unionAll(ue.select(col("b").as("v")))
-        .groupBy("v").agg(count(lit(1)).as("deg"))
-      val keep = deg.filter(col("deg") >= k).select("v")
-      val next = ue
-        .join(keep.select(col("v").as("a")), Seq("a"), "left_semi")
-        .join(keep.select(col("v").as("b")), Seq("b"), "left_semi")
-        .select("a", "b")
-        .localCheckpoint()
-      ueRdd.foreach(_.unpersist(blocking = false)) // superseded round
-      ue = next
-      ueRdd = graft.core.Caches.checkpointRdd(ue)
-      t += 1
+    var converged = false
+    while (t < rounds && !converged) {
+      val dropped = alive.filter(col("deg") < k).select(col("v").as("u"))
+      val nDropped = dropped.count()
+      if (nDropped == 0) {
+        converged = true // every later round is a no-op — skip them
+      } else {
+        // Edges lost by each survivor this round = its adjacency rows
+        // whose OTHER endpoint is in the drop set. Broadcast the drop set
+        // while it is small (the common case after the first round); fall
+        // back to a shuffled join for a pathological mass-drop round.
+        val probe =
+          if (nDropped <= 4000000L) broadcast(dropped) else dropped
+        val delta = adj.join(probe, "u")
+          .groupBy("v").agg(count(lit(1)).as("dec"))
+        val next = alive.filter(col("deg") >= k)
+          .join(delta, Seq("v"), "left")
+          .select(col("v"),
+            (col("deg") - coalesce(col("dec"), lit(0L))).as("deg"))
+          .localCheckpoint()
+        aliveRdd.foreach(_.unpersist(blocking = false)) // superseded round
+        alive = next
+        aliveRdd = graft.core.Caches.checkpointRdd(alive)
+        t += 1
+      }
     }
-    ueRdd.foreach(graft.core.Caches.trackRdd)
-    ue.select(col("a").as("v")).unionAll(ue.select(col("b").as("v")))
-      .groupBy("v").agg(count(lit(1)).as("core_deg"))
-      .select(col("v").as("vec_id"), col("core_deg"))
+    aliveRdd.foreach(graft.core.Caches.trackRdd)
+    alive.filter(col("deg") >= 1)
+      .select(col("v").as("vec_id"), col("deg").as("core_deg"))
   }
 }

@@ -50,6 +50,65 @@ object IndexOps {
       .join(capped, "t")
   }
 
+  /** BM25-scored ranked retrieval: the top `topN` documents for a probe
+    * term set under Okapi BM25 with the standard k1 = 1.2, b = 0.75 —
+    * the relevance-ranked counterpart of [[conjunctive]] (docs matching
+    * ANY probe term, ranked; rare terms weigh more, term-frequency
+    * saturates, long documents are normalized).
+    *
+    * INTEGER-EXACT scoring so a SQL oracle replays every rank: with
+    * N = |docs|, T = total tokens, dl = doc length, clearing the
+    * k1/b fractions and the avgdl = T/N division gives the per-term
+    * tf-saturation factor as the integer ratio
+    *
+    *   tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))
+    *     = 44·T·tf / (20·T·tf + 6·T + 18·dl·N)
+    *
+    * and the idf is the bit-length quantized floor(log2(4N/(2df+1)))
+    * (positive and monotone in df, sidestepping exact-BM25's negative
+    * weights at df > N/2 — the Lucene-style floor). Each term's
+    * contribution is one floor division at `Scale` precision; the sum is
+    * an integer, so ranking replays bit-for-bit in any engine. The
+    * integer numerators stay < 2⁶³ through corpus scale ~10⁹ tokens; a
+    * larger deployment swaps the quantized score for plain doubles (the
+    * ordering this gate pins is the same).
+    *
+    * Scale shape: the probe-term filter is pushed to the posting scan, so
+    * everything after the one explode+shuffle every text operator pays is
+    * sized by MATCHED postings; N/T enter as a broadcast one-row
+    * aggregate, per-term df as a term-count-sized broadcast join, and the
+    * final top-N is one TakeOrderedAndProject-style window over matched
+    * docs. Output: (doc_id, score, rnk) ranked (score desc, doc_id). */
+  def bm25(docs: DataFrame, idCol: String, terms: Seq[String],
+           topN: Int): DataFrame = {
+    require(terms.nonEmpty && terms.distinct.size == terms.size,
+      "terms must be non-empty and distinct")
+    require(topN >= 1 && topN <= 10000, s"topN out of range: $topN")
+    val td = graft.core.Caches.persistTracked(postingsBase(docs, idCol))
+    val dl = td.groupBy("doc_id").agg(sum("tf").as("dl"))
+    val stats = docs.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(td.agg(sum("tf").as("t_total")))
+    val matched = td.filter(col("t").isin(terms: _*))
+    val dfreq = matched.groupBy("t").agg(count(lit(1)).as("df"))
+    val scored = matched
+      .join(dl, "doc_id")
+      .join(broadcast(dfreq), "t")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        (length(bin(expr("(4 * n_docs) div (2 * df + 1)"))) - 1).cast("long"))
+      .withColumn("contrib",
+        expr("(idf * 44 * t_total * tf * 1000) div " +
+          "(20 * t_total * tf + 6 * t_total + 18 * dl * n_docs)"))
+      .groupBy("doc_id").agg(sum("contrib").as("score"))
+    // Top-N FIRST (plans as TakeOrderedAndProject — per-partition heads,
+    // never a single-partition window over all matched docs), then the
+    // rank window runs over topN rows only.
+    scored.orderBy(col("score").desc, col("doc_id")).limit(topN)
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id"))))
+      .select(col("doc_id"), col("score"), col("rnk").cast("long").as("rnk"))
+  }
+
   /** Documents containing ALL probe `terms`, each with per-document
     * frequency >= `minTf`. Output: (doc_id, total_tf) — total occurrences
     * of probe terms in the matched document. */

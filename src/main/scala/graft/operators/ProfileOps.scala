@@ -54,4 +54,51 @@ object ProfileOps {
         (col("n_rows") - col("_nn")).as("n_null"),
         col("n_distinct"), col("min_s"), col("max_s"))
   }
+
+  /** Join-key skew profile — the readout a pipeline consults BEFORE
+    * choosing a join strategy (plain / AQE skew-join / explicit salting
+    * via [[JoinOps.saltedJoin]]): per-key row counts summarized as one
+    * row of integer-exact statistics.
+    *
+    *   (n_rows, n_keys, max_cnt, hot_key, p50_cnt, p90_cnt, p99_cnt,
+    *    skew_x1000)
+    *
+    * `hot_key` is the heaviest key (smallest value on ties, emitted as a
+    * string so one schema covers any key type); percentiles are exact
+    * count-quantiles over the count-of-counts histogram (the
+    * [[CorpusOps.discQuantiles]] cumsum shape — state is |distinct count
+    * values|, never |keys|); `skew_x1000` = max_cnt·n_keys·1000 div
+    * n_rows, i.e. the hot key's multiple of the mean in thousandths —
+    * the number AQE's skew threshold and a salt factor are sized from.
+    *
+    * Scale shape: one partial-aggregated groupBy(key) — the same shuffle
+    * the prospective join would pay — then everything downstream operates
+    * on the count-of-counts histogram: |distinct counts| rows, a one-row
+    * sort-free cumsum window over it, and broadcast one-row joins. Null
+    * keys count as a key (they hash-collide in a real join too — the
+    * classic null-skew hazard this profile exists to expose). */
+  def keySkew(df: DataFrame, keyCol: String): DataFrame = {
+    val perKey = graft.core.Caches.persistTracked(
+      df.groupBy(col(keyCol).as("k")).agg(count(lit(1)).as("cnt")))
+    val hist = perKey.groupBy("cnt").agg(count(lit(1)).as("nk"))
+    val cum = hist
+      .withColumn("cum",
+        sum("nk").over(org.apache.spark.sql.expressions.Window.orderBy("cnt")))
+      .crossJoin(broadcast(hist.agg(sum("nk").as("n_keys"),
+        sum(expr("cnt * nk")).as("n_rows"), max("cnt").as("max_cnt"))))
+    val quants = cum.agg(
+      min(when(col("cum") * 100 >= col("n_keys") * 50, col("cnt"))).as("p50_cnt"),
+      min(when(col("cum") * 100 >= col("n_keys") * 90, col("cnt"))).as("p90_cnt"),
+      min(when(col("cum") * 100 >= col("n_keys") * 99, col("cnt"))).as("p99_cnt"))
+    val hot = perKey
+      .orderBy(col("cnt").desc, col("k").cast("string").asc).limit(1)
+      .select(col("k").cast("string").as("hot_key"))
+    perKey.agg(count(lit(1)).as("n_keys"), sum("cnt").as("n_rows"),
+        max("cnt").as("max_cnt"))
+      .crossJoin(broadcast(hot))
+      .crossJoin(broadcast(quants))
+      .select(col("n_rows"), col("n_keys"), col("max_cnt"), col("hot_key"),
+        col("p50_cnt"), col("p90_cnt"), col("p99_cnt"),
+        expr("(max_cnt * n_keys * 1000) div n_rows").as("skew_x1000"))
+  }
 }

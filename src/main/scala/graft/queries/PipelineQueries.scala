@@ -403,6 +403,24 @@ object PipelineQueries {
         embs(s, d), "vec_id", "embedding", col("vec_id") < 8, 5,
         LshTables, LshBits, EmbDims)),
 
+    // Scalar-quantized (SQ8) top-10: integer-dot candidate ranking over
+    // the int8-quantized index (4× compression, no codebook training),
+    // top-30 candidates re-ranked by exact cosine. The quantization and
+    // the integer candidate ranking replay bit-for-bit in the oracle.
+    "knn_sq8" -> ((s, d) =>
+      graft.operators.VectorOps.knnSq8(
+        embs(s, d), "vec_id", "embedding", col("vec_id") < 8, 10, 30)),
+
+    // Recall@5 of the SQ8 re-rank path vs the exact baseline — isolates
+    // candidate-selection loss (the only loss SQ8 re-rank has).
+    "ann_recall_sq8" -> ((s, d) => {
+      val e = embs(s, d)
+      annRecall(
+        graft.operators.VectorOps.knnSq8(
+          e, "vec_id", "embedding", col("vec_id") < 8, 5, 20),
+        e)
+    }),
+
     // ANN quality evaluation: per-query recall@5 of the LSH path against
     // the exact baseline — the metric an ANN deployment monitors when
     // tuning tables × bits. Integer counts, engine-exact.
@@ -1024,6 +1042,14 @@ object PipelineQueries {
         s.read.parquet(s"$d/lineitem.parquet"),
         Seq("l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus"))),
 
+    // Join-key skew profile of lineitem.l_suppkey (the supplier-join key):
+    // per-key counts → exact count-percentiles + hot key + the
+    // max-over-mean skew ratio — the readout that sizes a salt factor or
+    // an AQE skew threshold BEFORE paying the join.
+    "dq_skew" -> ((s, d) =>
+      graft.operators.ProfileOps.keySkew(
+        s.read.parquet(s"$d/lineitem.parquet"), "l_suppkey")),
+
     // HyperLogLog register table per source over word-3-gram shingles —
     // the union-mergeable distinct sketch (m=64 six-bit registers vs
     // corp_kmv's k=64 hashes), integer-exact and oracle-replayed
@@ -1066,6 +1092,14 @@ object PipelineQueries {
     "idx_search" -> ((s, d) =>
       graft.operators.IndexOps.conjunctive(docs(s, d), "doc_id",
         Seq("spark", "vector", "hash"), minTf = 2L)),
+
+    // BM25 ranked retrieval: top-20 documents for the probe terms under
+    // integer-quantized Okapi BM25 (k1=1.2, b=0.75, bit-length idf) —
+    // the relevance-ranked counterpart of idx_search; every rank and
+    // quantized score replays bit-for-bit in the oracle.
+    "idx_bm25" -> ((s, d) =>
+      graft.operators.IndexOps.bm25(docs(s, d), "doc_id",
+        Seq("spark", "vector", "hash"), 20)),
 
     // ------------------------------------------------------------ layout
     // Z-order clustering readout: lineitem quantized to a 1024×1024
@@ -1333,6 +1367,25 @@ object PipelineQueries {
     }).mkString(",\n")
 
   private def planesValuesSql: String = planesValuesSqlFor(LshTables, LshBits)
+
+  /** CTE chain ending in `e` (raw float vectors) and `sqtop(qid, nid)` —
+    * the SQ8 candidate set: int8 quantization (the emb_quant replay),
+    * INTEGER dot products against the 8 query vectors, deterministic
+    * (dot desc, nid) top-`cand`. Shared by the knn_sq8 and ann_recall_sq8
+    * oracles. */
+  private def sq8Ctes(cand: Int): String =
+    s"""e AS (SELECT vec_id, embedding AS v FROM embeddings),
+       |qz AS (SELECT vec_id, CASE WHEN scale > 0
+       |    THEN [CAST(FLOOR(x / scale + 0.5) AS BIGINT) for x in dv]
+       |    ELSE [CAST(0 AS BIGINT) for x in dv] END AS iv
+       |  FROM (SELECT vec_id, dv, list_max([abs(x) for x in dv]) / 127.0 AS scale
+       |        FROM (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS dv FROM embeddings))),
+       |sqc AS (SELECT a.vec_id AS qid, b.vec_id AS nid,
+       |    list_sum([a.iv[i] * b.iv[i] for i in range(1, ${EmbDims + 1})]) AS idot
+       |  FROM qz a JOIN qz b ON a.vec_id < 8 AND b.vec_id != a.vec_id),
+       |sqtop AS (SELECT qid, nid FROM (
+       |  SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY idot DESC, nid) AS crnk FROM sqc)
+       |  WHERE crnk <= $cand)""".stripMargin
 
   /** DuckDB double-precision cosine with the same sequential fold and the
     * same float→double casts as [[graft.operators.VectorOps.cosine]]. */
@@ -2505,6 +2558,47 @@ object PipelineQueries {
         |WHERE t IN ('spark', 'vector', 'hash') AND tf >= 2
         |GROUP BY 1 HAVING COUNT(*) = 3""".stripMargin,
 
+    // idx_bm25: replay the integer-quantized BM25 — doc lengths, corpus
+    // totals, per-term df, bit-length idf, the cleared-fraction
+    // tf-saturation ratio, floor-division contributions, top-20 ranks.
+    "idx_bm25" ->
+      """WITH td AS (SELECT t, doc_id, CAST(COUNT(*) AS BIGINT) AS tf FROM
+        |  (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+        |  WHERE len(t) > 0 GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM td GROUP BY 1),
+        |st AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_docs,
+        |  (SELECT CAST(SUM(tf) AS BIGINT) FROM td) AS t_total),
+        |m AS (SELECT * FROM td WHERE t IN ('spark', 'vector', 'hash')),
+        |dfq AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS df FROM m GROUP BY 1),
+        |sc AS (SELECT m.doc_id, SUM(
+        |    (CAST(length(bin((4 * n_docs) // (2 * df + 1))) AS BIGINT) - 1)
+        |      * 44 * t_total * tf * 1000
+        |      // (20 * t_total * tf + 6 * t_total + 18 * dl.dl * n_docs)) AS score
+        |  FROM m JOIN dl USING (doc_id) JOIN dfq USING (t) CROSS JOIN st GROUP BY 1)
+        |SELECT doc_id, CAST(score AS BIGINT) AS score, CAST(rnk AS BIGINT) AS rnk FROM (
+        |  SELECT doc_id, score, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rnk FROM sc)
+        |WHERE rnk <= 20""".stripMargin,
+
+    // dq_skew: per-key counts, count-of-counts histogram cumsum
+    // percentiles, string-tie-broken hot key, max-over-mean ratio.
+    "dq_skew" ->
+      """WITH pk AS (SELECT l_suppkey AS k, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM lineitem GROUP BY 1),
+        |h AS (SELECT cnt, CAST(COUNT(*) AS BIGINT) AS nk FROM pk GROUP BY 1),
+        |c AS (SELECT cnt, SUM(nk) OVER (ORDER BY cnt) AS cum,
+        |  (SELECT SUM(nk) FROM h) AS tk FROM h),
+        |q AS (SELECT
+        |  CAST(MIN(CASE WHEN cum * 100 >= tk * 50 THEN cnt END) AS BIGINT) AS p50_cnt,
+        |  CAST(MIN(CASE WHEN cum * 100 >= tk * 90 THEN cnt END) AS BIGINT) AS p90_cnt,
+        |  CAST(MIN(CASE WHEN cum * 100 >= tk * 99 THEN cnt END) AS BIGINT) AS p99_cnt FROM c),
+        |s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+        |  CAST(SUM(cnt) AS BIGINT) AS n_rows, CAST(MAX(cnt) AS BIGINT) AS max_cnt FROM pk),
+        |hot AS (SELECT CAST(k AS VARCHAR) AS hot_key FROM pk
+        |  ORDER BY cnt DESC, CAST(k AS VARCHAR) LIMIT 1)
+        |SELECT n_rows, n_keys, max_cnt, hot_key, p50_cnt, p90_cnt, p99_cnt,
+        |  (max_cnt * n_keys * 1000) // n_rows AS skew_x1000
+        |FROM s CROSS JOIN hot CROSS JOIN q""".stripMargin,
+
     // evt_outliers: histogram+cumsum exact quartiles of the cent value,
     // integer Tukey fence, recount over the event scan.
     "evt_outliers" ->
@@ -2659,6 +2753,39 @@ object PipelineQueries {
          |SELECT qid, nid, CAST(rnk AS BIGINT) AS rnk FROM (
          |  SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY ip DESC, nid) AS rnk FROM s)
          |WHERE rnk <= 10""".stripMargin
+    },
+
+    // knn_sq8 / ann_recall_sq8: replay int8 quantization (the emb_quant
+    // chain), the INTEGER dot-product candidate ranking, and the exact
+    // cosine re-rank of the surviving candidates.
+    "knn_sq8" -> {
+      val cos = cosSql("a.v", "b.v")
+      s"""WITH ${sq8Ctes(30)},
+         |r AS (SELECT t.qid, t.nid, $cos AS sim
+         |  FROM sqtop t JOIN e a ON a.vec_id = t.qid JOIN e b ON b.vec_id = t.nid)
+         |SELECT qid, nid, CAST(rnk AS BIGINT) AS rnk FROM (
+         |  SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rnk FROM r)
+         |WHERE rnk <= 10""".stripMargin
+    },
+
+    "ann_recall_sq8" -> {
+      val bcos = cosSql("q.v", "x.v")
+      val cos = cosSql("a.v", "b.v")
+      s"""WITH ${sq8Ctes(20)},
+         |bs AS (SELECT q.vec_id AS qid, x.vec_id AS nid, $bcos AS sim
+         |  FROM e q, e x WHERE q.vec_id < 8 AND x.vec_id != q.vec_id),
+         |bt AS (SELECT qid, nid FROM (
+         |  SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rnk FROM bs)
+         |  WHERE rnk <= 5),
+         |r AS (SELECT t.qid, t.nid, $cos AS sim
+         |  FROM sqtop t JOIN e a ON a.vec_id = t.qid JOIN e b ON b.vec_id = t.nid),
+         |mt AS (SELECT qid, nid FROM (
+         |  SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rnk FROM r)
+         |  WHERE rnk <= 5)
+         |SELECT bt.qid, CAST(COUNT(*) AS BIGINT) AS n_true,
+         |  CAST(SUM(CASE WHEN mt.nid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+         |FROM bt LEFT JOIN mt ON bt.qid = mt.qid AND bt.nid = mt.nid
+         |GROUP BY 1""".stripMargin
     },
 
     "knn_lsh" -> {

@@ -37,6 +37,38 @@ class IndexOpsSpec extends AnyFunSuite {
     assert(toks == Set("blue"))
   }
 
+  test("bm25: hand-computed integer scores, saturation + length normalization") {
+    // Corpus: dl = 3, 2, 4, 1 (doc5's double space drops the empty token →
+    // dl 2); N = 5, T = 12. Query {red, green}: df(red) = 3 →
+    // idf = bitlen((4·5)//7) − 1 = bitlen(2) − 1 = 1; df(green) = 2 →
+    // idf = bitlen(20//5) − 1 = bitlen(4) − 1 = 2.
+    // contrib = idf·44·T·tf·1000 // (20·T·tf + 6·T + 18·dl·N)
+    def contrib(idf: Long, tf: Long, dl: Long): Long =
+      idf * 44 * 12 * tf * 1000 / (20 * 12 * tf + 6 * 12 + 18 * dl * 5)
+    val exp = Map(
+      1L -> contrib(1, 2, 3),                      // red tf=2
+      2L -> (contrib(2, 1, 2)),                    // green tf=1
+      3L -> contrib(1, 3, 4),                      // red tf=3
+      4L -> contrib(2, 1, 1),                      // green tf=1
+      5L -> contrib(1, 1, 2))                      // red tf=1
+    val got = IndexOps.bm25(corpus(), "doc_id", Seq("red", "green"), 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.map(r => r._1 -> r._2).toMap == exp)
+    // Ranks follow (score desc, doc_id asc) exactly.
+    val order = exp.toSeq.sortBy { case (id, sc) => (-sc, id) }.map(_._1)
+    assert(got.sortBy(_._3).map(_._1).toSeq == order)
+  }
+
+  test("bm25: topN cuts the ranking, rarer term outweighs a common one") {
+    // green (df 2) carries a higher idf than blue (df 4, idf = bitlen(20//9)
+    // − 1 = 1): at equal tf and dl the green doc must outrank the blue one.
+    val top2 = IndexOps.bm25(corpus(), "doc_id", Seq("blue", "green"), 2)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    // doc2 "blue green" holds both terms — rank 1; doc4 "green" (short,
+    // high-idf term) outranks every blue-only doc — rank 2.
+    assert(top2.keySet == Set(2L, 4L) && top2(2L) == 1L && top2(4L) == 2L)
+  }
+
   test("conjunctive: all terms required, per-term tf threshold applies") {
     // red AND blue: docs 1 (2+1), 3 (3+1), 5 (1+1) — doc2 has no red.
     val got = IndexOps.conjunctive(corpus(), "doc_id",

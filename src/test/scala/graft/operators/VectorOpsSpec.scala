@@ -473,6 +473,49 @@ class VectorOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("knnSq8: full-candidate re-rank equals brute force; narrow candidates stay a re-ranked subset") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val rnd = new scala.util.Random(47)
+    val rows = (0L until 30L).map(id =>
+      (id, Array.fill(6)((rnd.nextFloat() - 0.5f) * 2f)))
+    val df = rows.toDF("vec_id", "embedding")
+    // cand = corpus − 1 re-ranks everything → exactly the brute ranking.
+    val full = VectorOps.knnSq8(df, "vec_id", "embedding", col("vec_id") < 3, 5, 29)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val brute = VectorOps.knnBrute(df, "vec_id", "embedding", col("vec_id") < 3, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(full == brute)
+    // Narrow candidate lists: every (qid, nid) the SQ8 path returns came
+    // from the integer-dot top-8, re-ranked in exact-cosine order.
+    val narrow = VectorOps.knnSq8(df, "vec_id", "embedding", col("vec_id") < 3, 5, 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    def quant(v: Array[Float]): Array[Long] = {
+      val s = v.map(x => math.abs(x.toDouble)).max / 127.0
+      if (s > 0) v.map(x => math.floor(x.toDouble / s + 0.5).toLong)
+      else v.map(_ => 0L)
+    }
+    val qz = rows.map { case (id, v) => id -> quant(v) }.toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      def d(x: Array[Double], y: Array[Double]) =
+        x.indices.map(i => x(i) * y(i)).sum
+      val (ad, bd) = (a.map(_.toDouble), b.map(_.toDouble))
+      d(ad, bd) / (math.sqrt(d(ad, ad)) * math.sqrt(d(bd, bd)))
+    }
+    for (q <- 0L until 3L) {
+      val candSet = rows.filter(_._1 != q)
+        .map { case (id, _) =>
+          (id, qz(q).indices.map(i => qz(q)(i) * qz(id)(i)).sum) }
+        .sortBy { case (id, ip) => (-ip, id) }.take(8).map(_._1).toSet
+      val exp = rows.filter { case (id, _) => candSet(id) }
+        .map { case (id, v) => (id, cos(rows(q.toInt)._2, v)) }
+        .sortBy { case (id, s) => (-s, id) }
+        .take(5).zipWithIndex.map { case ((id, _), i) => (q, id, (i + 1).toLong) }
+      assert(narrow.filter(_._1 == q).sortBy(_._3).toSeq == exp,
+        s"query $q")
+    }
+  }
+
   test("knnMips matches brute-force inner products and differs from cosine NN on varied norms") {
     val spark = TestSpark.spark
     import spark.implicits._
