@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale envelope for the similarity-search family: exact brute-force,
+  * hyperplane LSH, IVF, and SQ8 re-rank top-10 over synthetic clustered
+  * embeddings at 1M and 10M vectors — the evidence that the ANN candidate
+  * generation (bucket equi-joins, broadcast probe lists, integer candidate
+  * scans) holds at 10× and that approximate recall stays useful at scale.
+  *
+  * Vectors are generated distributedly from `spark.range` arithmetic:
+  * 1024 hash-derived cluster centers in [-1,1]⁶⁴, vector i = center(i %
+  * 1024) + 0.3-scaled hash noise — CLUSTERED data, because uniform random
+  * high-dimensional vectors have no near neighbors and every ANN method
+  * degenerates to chance (the envelope would measure the wrong regime;
+  * real embedding corpora are locally clustered). Recall@10 of each
+  * approximate path is measured against the exact brute top-10 on the same
+  * 8 queries. WALL-CLOCK + recall envelope only — correctness of the same
+  * operators is oracle-gated at sf0.01 (`knn_*`, `ann_recall*`).
+  *
+  * Run: `sbt -batch "runMain graft.VectorScaleBench"` (env knobs:
+  * SPARK_GRAFT_CPUS, SPARK_GRAFT_SCALE_NS="1000000,10000000",
+  * SPARK_GRAFT_SCALE_OUT=SCALE_ANN_out.json).
+  */
+object VectorScaleBench {
+
+  private val Dims = 64
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val ns = sys.env.getOrElse("SPARK_GRAFT_SCALE_NS", "1000000,10000000")
+      .split(",").map(_.trim.toLong).toSeq
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def recallAt10(method: DataFrame, brute: DataFrame): Long =
+      brute.select(col("qid"), col("nid"))
+        .join(method.select(col("qid"), col("nid")), Seq("qid", "nid"),
+          "left_semi")
+        .count()
+
+    val cells = ns.map { n =>
+      // center(id % 1024) + 0.3 · noise(id), every component hash-derived.
+      def comp(seed: Int, key: Column, i: Column): Column =
+        (pmod(xxhash64(lit(seed), key, i), lit(2001L)).cast("double") /
+          lit(1000.0)) - lit(1.0)
+      val vec = transform(sequence(lit(0), lit(Dims - 1)), i =>
+        (comp(17, pmod(col("id"), lit(1024L)), i) +
+          comp(23, col("id"), i) * lit(0.3)).cast("float"))
+      val embs = spark.range(0, n, 1, cpus.toInt * 4)
+        .select(col("id").as("vec_id"), vec.as("embedding"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val t0 = System.nanoTime()
+      embs.count()
+      val genSec = (System.nanoTime() - t0) / 1e9
+
+      val qp = col("vec_id") < 8
+      val t1 = System.nanoTime()
+      val brute = graft.operators.VectorOps.knnBrute(
+          embs, "vec_id", "embedding", qp, 10)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nBrute = brute.count()
+      val bruteSec = (System.nanoTime() - t1) / 1e9
+
+      val t2 = System.nanoTime()
+      val lsh = graft.operators.VectorOps.knnLsh(
+        embs, "vec_id", "embedding", qp, 10, 4, 12, Dims)
+      val lshHits = recallAt10(lsh, brute)
+      val lshSec = (System.nanoTime() - t2) / 1e9
+      graft.core.Caches.releaseAll()
+
+      val t3 = System.nanoTime()
+      val ivf = graft.operators.VectorOps.knnIvf(
+        embs, "vec_id", "embedding", qp, 10,
+        col("vec_id") >= 1000L && col("vec_id") < 1064L, 8)
+      val ivfHits = recallAt10(ivf, brute)
+      val ivfSec = (System.nanoTime() - t3) / 1e9
+      graft.core.Caches.releaseAll()
+
+      val t4 = System.nanoTime()
+      val sq8 = graft.operators.VectorOps.knnSq8(
+        embs, "vec_id", "embedding", qp, 10, 100)
+      val sq8Hits = recallAt10(sq8, brute)
+      val sq8Sec = (System.nanoTime() - t4) / 1e9
+      graft.core.Caches.releaseAll()
+
+      brute.unpersist(blocking = false)
+      embs.unpersist(blocking = true)
+      f"""{"n":$n,"gen_sec":$genSec%.2f,"brute_sec":$bruteSec%.2f,""" +
+        f""""n_brute":$nBrute,"lsh_sec":$lshSec%.2f,"lsh_hits":$lshHits,""" +
+        f""""ivf_sec":$ivfSec%.2f,"ivf_hits":$ivfHits,""" +
+        f""""sq8_sec":$sq8Sec%.2f,"sq8_hits":$sq8Hits}"""
+    }
+
+    val line =
+      s"""{"metric":"scale_ann","cells":${cells.mkString("[", ",", "]")},""" +
+        s""""dims":$Dims,"k":10,"n_queries":8}"""
+    println(line)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "SCALE_ANN_out.json")), line)
+    spark.stop()
+  }
+}

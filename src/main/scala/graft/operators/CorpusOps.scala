@@ -791,4 +791,46 @@ object CorpusOps {
       .groupBy(col("t").as("token"), col("true_cnt"))
       .agg(min(col("cnt")).as("est_cnt"))
   }
+
+  /** Token-budget MIXTURE ALLOCATION: apportion a global token `budget`
+    * across the values of `groupCol` proportionally to each group's token
+    * mass — the data-mixture design step that turns "2B tokens, weighted
+    * like the corpus" into exact per-source draw sizes feeding
+    * [[stratifiedSample]] / [[prioritySample]] rates.
+    *
+    * Hamilton (largest-remainder) apportionment, integer-exact: each
+    * group gets floor(budget·tokens/total), and the leftover
+    * budget − Σ floors (< #groups by construction) goes to the largest
+    * remainders, ties broken by group name — so Σ alloc == budget always,
+    * bit-for-bit in any engine. Groups are weighted by their share of the
+    * corpus; a budget above the corpus total simply up-scales every group
+    * proportionally (the caller caps at availability if sampling without
+    * replacement).
+    *
+    * Scale shape: one partial-aggregated scan to the per-group token
+    * table; everything after (total, remainder ranking) operates on
+    * #groups rows — the remainder window is a deliberate
+    * single-partition sort over GROUP-count rows, never corpus rows.
+    * Output: (grp, n_tokens, alloc). */
+  def tokenBudgetAlloc(docs: DataFrame, groupCol: String,
+                       budget: Long): DataFrame = {
+    require(budget >= 0, s"negative budget: $budget")
+    val perGroup = docs
+      .groupBy(col(groupCol).as("grp"))
+      .agg(sum(size(filter(TextOps.tokens(coalesce(col("text"), lit(""))),
+        t => length(t) > 0))).as("n_tokens"))
+    val tot = perGroup.agg(sum("n_tokens").as("t_total"))
+    val based = perGroup.crossJoin(broadcast(tot))
+      .select(col("grp"), col("n_tokens"),
+        expr(s"(${budget}L * n_tokens) div t_total").as("base"),
+        expr(s"(${budget}L * n_tokens) % t_total").as("rem"))
+    val extra = based.agg((lit(budget) - sum("base")).as("extra"))
+    based.crossJoin(broadcast(extra))
+      .withColumn("_rr", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("rem").desc, col("grp"))))
+      .select(col("grp"), col("n_tokens"),
+        (col("base") + when(col("_rr") <= col("extra"), 1L).otherwise(0L))
+          .as("alloc"))
+  }
 }

@@ -290,6 +290,41 @@ object DedupOps {
       .filter(col("c_inter") * den >= col("c_union") * num)
   }
 
+  /** Estimator-accuracy readout for a MinHash design point: for every
+    * verified near-dup pair (exact shingle Jaccard ≥ num/den), the number
+    * of AGREEING slots out of `k` independent minhash values next to the
+    * exact intersection/union — the table that validates "matches/k ≈ J"
+    * empirically and sizes a b×r banding choice against the corpus's real
+    * similarity distribution (the theory's miss-rate curve assumes the
+    * estimator is unbiased; this gate measures it).
+    *
+    * The hash family here is the ENGINE-NEUTRAL md5 fold of
+    * [[CorpusOps.hashDrawCol]] (salt `mh<j>:`), not the production
+    * `xxhash64` family of [[minhashNearDups]] — same estimator statistics,
+    * but a SQL oracle can replay every slot bit-for-bit. Same
+    * one-groupBy signature shape as [[minhashAggRow]] (k min-aggregates,
+    * no k× row fanout through the shuffle); the pair set reuses
+    * [[jaccardNearDups]], and the signature join moves one k-slot array
+    * per candidate side. Output: (id_a, id_b, c_inter, c_union,
+    * est_matches ∈ 0..k). */
+  def minhashEstimates(docs: DataFrame, idCol: String, n: Int, k: Int,
+                       num: Int, den: Int): DataFrame = {
+    require(k >= 1 && k <= 128, s"k out of range: $k")
+    val sr = cachePersist(shingleRows(docs, idCol, n))
+    val sigs = sr.groupBy("id")
+      .agg(min(CorpusOps.hashDrawCol(col("s"), "mh0:")).as("g0"),
+        (1 until k).map(j =>
+          min(CorpusOps.hashDrawCol(col("s"), s"mh$j:")).as(s"g$j")): _*)
+      .select(col("id"), array((0 until k).map(j => col(s"g$j")): _*).as("sig"))
+    jaccardNearDups(docs, idCol, n, num, den)
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
+      .select(col("id_a"), col("id_b"), col("c_inter"), col("c_union"),
+        aggregate(zip_with(col("sig_a"), col("sig_b"),
+            (x, y) => when(x === y, 1L).otherwise(0L)),
+          lit(0L), _ + _).as("est_matches"))
+  }
+
   /** Near-duplicate cluster ids: connected components over a near-dup pair
     * graph, each document labeled with the minimum doc id reachable from it
     * (docs in no pair are their own cluster) — the step a dedup pipeline

@@ -150,4 +150,52 @@ object EventOps {
       .agg(count(lit(1)).as("n_gaps"), sum("gap").as("sum_gap_days"),
         max("gap").as("max_gap_days"))
   }
+
+  /** Daily activity series with GAP FILLING: per group, one row for EVERY
+    * calendar day from the group's first to its last active day,
+    * zero-filled where no events landed — the resampling step any
+    * time-series readout over sparse activity (rates, moving averages,
+    * anomaly baselines) needs first, because "no row" and "zero" are
+    * different facts and window functions only see rows.
+    *
+    * Scale shape: events aggregate FIRST (one partial-combined shuffle to
+    * (group, active-day) rows); the fill explodes one `sequence(d0, d1)`
+    * per GROUP, so the output and the join back are sized by
+    * groups × span-days — never event rows. A group whose span is huge
+    * relative to its activity fans out proportionally; that is the
+    * output's own size, not an intermediate blow-up. Output:
+    * (groupCols…, day, n_events). */
+  def dailyFill(events: DataFrame, groupCols: Seq[String],
+                usCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "dailyFill needs at least one group column")
+    val gs = groupCols.map(col)
+    val days = events
+      .select(gs :+ expr(s"$usCol div $UsPerDay").as("day"): _*)
+      .groupBy(groupCols.head, (groupCols.tail :+ "day"): _*)
+      .agg(count(lit(1)).as("n"))
+    val spans = days.groupBy(groupCols.head, groupCols.tail: _*)
+      .agg(min("day").as("d0"), max("day").as("d1"))
+    spans
+      .select(gs :+ explode(sequence(col("d0"), col("d1"))).as("day"): _*)
+      .join(days, groupCols :+ "day", "left")
+      .select(gs :+ col("day") :+
+        coalesce(col("n"), lit(0L)).as("n_events"): _*)
+  }
+
+  /** Rolling `k`-day sum over a GAP-FILLED daily series ([[dailyFill]]
+    * output — the fill is what makes a ROWS frame mean "days"; on a
+    * sparse series ROWS BETWEEN k−1 PRECEDING would silently span months).
+    * The moving-baseline readout under rate monitors and spike detectors;
+    * integer sum, engine-exact.
+    *
+    * Scale shape: one window pass partitioned by group, ordered by day —
+    * partitions are bounded by each group's span, the sort rides the
+    * fill's own (group, day) shuffle when composed directly. */
+  def rollingDailySum(daily: DataFrame, groupCols: Seq[String],
+                      dayCol: String, valCol: String, k: Int): DataFrame = {
+    require(groupCols.nonEmpty && k >= 1, s"bad groups/k: $groupCols/$k")
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col(dayCol)).rowsBetween(-(k - 1), 0)
+    daily.withColumn(s"sum_${k}d", sum(col(valCol)).over(w))
+  }
 }

@@ -238,4 +238,57 @@ object GraphOps {
     alive.filter(col("deg") >= 1)
       .select(col("v").as("vec_id"), col("deg").as("core_deg"))
   }
+
+  /** Community detection by SYNCHRONOUS label propagation (LPA) over the
+    * undirected graph induced by a directed edge list — the cheap
+    * communities pass that groups similarity neighborhoods WITHOUT the
+    * transitive-closure collapse of connected components (CC merges two
+    * dense blobs joined by one accidental edge; LPA keeps them apart
+    * because votes, not reachability, decide membership).
+    *
+    * Labels start as vertex ids; each round every vertex adopts the most
+    * frequent label among its NEIGHBORS, ties broken by the smallest
+    * label — fully deterministic, so a SQL oracle replays every round.
+    * `rounds` is FIXED (synchronous LPA may oscillate on bipartite-ish
+    * structures, so run-to-fixpoint is not well-defined; bounded rounds
+    * is the standard formulation and what keeps the gate engine-exact).
+    *
+    * Scale shape: per round, one equi-join of the cached adjacency with
+    * the |V|-row label table (both keyed on a single vertex id), a
+    * partially-aggregated (v, label) vote count, and a per-vertex top-1
+    * that Spark plans as WindowGroupLimit — map-side pruned, never a full
+    * vote sort. Rounds re-root through eager `localCheckpoint`s with
+    * superseded blocks freed (the [[pageRank]] lifecycle): plan size and
+    * storage constant in the round count. Output: (vec_id, label). */
+  def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 64, s"rounds out of range: $rounds")
+    val ue = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") < col("b")).distinct()
+    val adj = graft.core.Caches.persistTracked(
+      ue.select(col("a").as("v"), col("b").as("u"))
+        .unionAll(ue.select(col("b").as("v"), col("a").as("u"))))
+    var labels = adj.select(col("v")).distinct()
+      .select(col("v"), col("v").as("lbl")).localCheckpoint()
+    var labelsRdd = graft.core.Caches.checkpointRdd(labels)
+    var t = 0
+    while (t < rounds) {
+      val votes = adj
+        .join(labels.select(col("v").as("u"), col("lbl")), "u")
+        .groupBy("v", "lbl").agg(count(lit(1)).as("c"))
+      val next = votes
+        .withColumn("_rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("v").orderBy(col("c").desc, col("lbl"))))
+        .filter(col("_rn") === 1).select(col("v"), col("lbl"))
+        .localCheckpoint()
+      labelsRdd.foreach(_.unpersist(blocking = false)) // superseded round
+      labels = next
+      labelsRdd = graft.core.Caches.checkpointRdd(labels)
+      t += 1
+    }
+    labelsRdd.foreach(graft.core.Caches.trackRdd)
+    labels.select(col("v").as("vec_id"), col("lbl").as("label"))
+  }
 }

@@ -109,6 +109,39 @@ object IndexOps {
       .select(col("doc_id"), col("score"), col("rnk").cast("long").as("rnk"))
   }
 
+  /** Reciprocal-rank fusion (RRF) of ranked retrieval lists — the
+    * standard HYBRID-search combiner (lexical BM25 + embedding ANN, or
+    * any N rankers): each list contributes 1/(c + rank) per item, summed;
+    * items high in ANY list surface, items high in SEVERAL dominate. The
+    * contribution is quantized to `Scale div (c + rank)` integer units
+    * (Scale = 10⁹, exact for ranks ≪ 10⁹), so fused scores and ranks
+    * replay bit-for-bit in any engine — rank-only fusion is what makes
+    * RRF robust to incomparable score scales in the first place, so
+    * quantization loses nothing.
+    *
+    * Scale shape: the inputs are already top-k lists (bounded), so this
+    * is a union of k-sized frames, one partial-aggregated groupBy(id),
+    * and a TakeOrderedAndProject top-`k` — everything after the input
+    * rankers is ranked-list-sized. Output: (id, rrf, n_lists, rnk) ranked
+    * (rrf desc, id); `n_lists` = how many input lists carried the item
+    * (the agreement readout). */
+  def rrfFuse(lists: Seq[DataFrame], idCol: String, rankCol: String,
+              k: Int, c: Int = 60): DataFrame = {
+    require(lists.nonEmpty, "rrfFuse of zero lists")
+    require(k >= 1 && c >= 1, s"bad k/c: $k/$c")
+    val scored = lists
+      .map(_.select(col(idCol).cast("long").as("id"),
+        expr(s"1000000000 div ($c + $rankCol)").as("contrib")))
+      .reduce(_ unionAll _)
+      .groupBy("id")
+      .agg(sum("contrib").as("rrf"), count(lit(1)).as("n_lists"))
+    scored.orderBy(col("rrf").desc, col("id")).limit(k)
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("rrf").desc, col("id"))))
+      .select(col("id"), col("rrf"), col("n_lists"),
+        col("rnk").cast("long").as("rnk"))
+  }
+
   /** Documents containing ALL probe `terms`, each with per-document
     * frequency >= `minTf`. Output: (doc_id, total_tf) — total occurrences
     * of probe terms in the matched document. */

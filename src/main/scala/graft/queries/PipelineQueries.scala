@@ -268,6 +268,14 @@ object PipelineQueries {
           Map("src0" -> 30, "src1" -> 0), 10)
         .select(col("doc_id"), col("source"))),
 
+    // Token-budget mixture allocation: apportion a 10k-token budget
+    // across sources proportional to token mass (Hamilton
+    // largest-remainder — Σ alloc == budget exactly, integer-exact).
+    // The data-mixture design step that sizes per-source draws.
+    "mix_alloc" -> ((s, d) =>
+      graft.operators.CorpusOps.tokenBudgetAlloc(docs(s, d), "source",
+        10000L)),
+
     // Deterministic fixed-size per-source sample: the 7 smallest salted
     // content hashes per stratum — membership and rank both gated.
     "samp_topk" -> ((s, d) =>
@@ -339,6 +347,14 @@ object PipelineQueries {
     // must produce the identical pair set through a different algorithm.
     "dedup_jaccard" -> ((s, d) =>
       graft.operators.DedupOps.jaccardNearDups(docs(s, d), "doc_id", 3, 1, 2)),
+
+    // MinHash estimator accuracy: for every verified near-dup pair, the
+    // agreeing slots out of 36 engine-neutral md5-fold minhash values
+    // next to the exact intersection/union — the empirical "matches/k ≈ J"
+    // readout a b×r banding design is validated against.
+    "minhash_est" -> ((s, d) =>
+      graft.operators.DedupOps.minhashEstimates(docs(s, d), "doc_id", 3,
+        36, 1, 2)),
 
     // Near-dup cluster collapse: connected components over the verified
     // MinHash pair graph, every doc labeled with its cluster's minimum doc
@@ -817,6 +833,27 @@ object PipelineQueries {
         events(s, d).select(col("user_id"), expr("ts div 1000").as("us")),
         "user_id", "us")),
 
+    // Time-series resampling: per (event_type, user) daily counts with
+    // every in-span missing day ZERO-FILLED via a per-group sequence
+    // explode — "no row" and "zero" are different facts, and the fill
+    // is sized by groups × span days, never event rows.
+    "evt_daily_fill" -> ((s, d) =>
+      graft.operators.EventOps.dailyFill(
+        events(s, d).select(col("event_type"), col("user_id"),
+          expr("ts div 1000").as("us")),
+        Seq("event_type", "user_id"), "us")),
+
+    // Rolling 7-day event sum over the gap-filled series — the fill is
+    // what makes the ROWS frame mean "days"; the moving baseline under
+    // rate monitors and spike detectors.
+    "evt_rolling" -> ((s, d) =>
+      graft.operators.EventOps.rollingDailySum(
+        graft.operators.EventOps.dailyFill(
+          events(s, d).select(col("event_type"), col("user_id"),
+            expr("ts div 1000").as("us")),
+          Seq("event_type", "user_id"), "us"),
+        Seq("event_type", "user_id"), "day", "n_events", 7)),
+
     // Inter-order gap cadence per market segment: per-customer lag over
     // (order day, key), gaps aggregated through the broadcastable
     // customer dimension join — integer day arithmetic throughout.
@@ -933,6 +970,20 @@ object PipelineQueries {
       graft.operators.GraphOps.kCore(
         pairs.select(col("id_a").as("src"), col("id_b").as("dst")),
         KcoreK, KcoreRounds)
+    }),
+
+    // Label-propagation communities over the same cosine-threshold graph:
+    // votes (not reachability) decide membership, so dense neighborhoods
+    // joined by a stray edge stay SEPARATE communities where CC would
+    // merge them. Fixed synchronous rounds, min-label tie-break — the
+    // oracle replays every round materialized.
+    "graph_lpa" -> ((s, d) => {
+      val pairs = graft.operators.VectorOps.cosNearDups(
+        embs(s, d), "vec_id", "embedding", LshTables, LshBits, EmbDims,
+        KcoreMinCos)
+      graft.operators.GraphOps.labelPropagation(
+        pairs.select(col("id_a").as("src"), col("id_b").as("dst")),
+        LpaRounds)
     }),
 
     // COUNT-MIN SKETCH estimates for the 20 highest-frequency tokens:
@@ -1100,6 +1151,20 @@ object PipelineQueries {
     "idx_bm25" -> ((s, d) =>
       graft.operators.IndexOps.bm25(docs(s, d), "doc_id",
         Seq("spark", "vector", "hash"), 20)),
+
+    // HYBRID search: reciprocal-rank fusion of the BM25 lexical top-20
+    // and the exact-cosine embedding top-20 (query vector 0) — the
+    // standard two-tower retrieval combiner, integer-quantized so fused
+    // scores and ranks replay exactly.
+    "search_rrf" -> ((s, d) => {
+      val lex = graft.operators.IndexOps.bm25(docs(s, d), "doc_id",
+          Seq("spark", "vector", "hash"), 20)
+        .select(col("doc_id").as("id"), col("rnk"))
+      val sem = graft.operators.VectorOps.knnBrute(embs(s, d), "vec_id",
+          "embedding", col("vec_id") === 0, 20)
+        .select(col("nid").as("id"), col("rnk"))
+      graft.operators.IndexOps.rrfFuse(Seq(lex, sem), "id", "rnk", 10)
+    }),
 
     // ------------------------------------------------------------ layout
     // Z-order clustering readout: lineitem quantized to a 1024×1024
@@ -1335,6 +1400,7 @@ object PipelineQueries {
   private val KcoreK      = 4
   private val KcoreRounds = 8
   private val KcoreMinCos = 0.25
+  private val LpaRounds   = 4
   private val CmsDepth    = 3
   private val CmsWidth    = 256
   private val CmsTopK     = 20
@@ -2116,6 +2182,23 @@ object PipelineQueries {
          |  SELECT doc_id, source, ${bucketSql("'sample:' || text")} AS bkt FROM documents)
          |WHERE bkt < CASE source WHEN 'src0' THEN 30 WHEN 'src1' THEN 0 ELSE 10 END""".stripMargin,
 
+    // mix_alloc: per-source non-empty-token mass, floor-proportional base,
+    // largest-remainder top-up (ties by source name) — Σ alloc = budget.
+    "mix_alloc" ->
+      """WITH tok AS (SELECT source AS grp,
+        |  len([x for x in string_split(coalesce(text, ''), ' ') if len(x) > 0]) AS nt
+        |  FROM documents),
+        |pg AS (SELECT grp, CAST(SUM(nt) AS BIGINT) AS n_tokens FROM tok GROUP BY 1),
+        |tt AS (SELECT SUM(n_tokens) AS t_total FROM pg),
+        |based AS (SELECT grp, n_tokens, (10000 * n_tokens) // t_total AS base,
+        |  (10000 * n_tokens) % t_total AS rem FROM pg CROSS JOIN tt),
+        |ex AS (SELECT 10000 - SUM(base) AS extra FROM based)
+        |SELECT grp, n_tokens,
+        |  CAST(base + CASE WHEN rn <= extra THEN 1 ELSE 0 END AS BIGINT) AS alloc
+        |FROM (SELECT grp, n_tokens, base,
+        |  ROW_NUMBER() OVER (ORDER BY rem DESC, grp) AS rn FROM based)
+        |CROSS JOIN ex""".stripMargin,
+
     // curate_fuzzy: the dedup_exact keep-list, the dedup_clusters recursive
     // collapse over the KEPT docs' J >= 1/2 pair graph, then the
     // curate_counts quality/split tail — all fragments shared with the
@@ -2401,6 +2484,40 @@ object PipelineQueries {
         |SELECT cohort_day, day - cohort_day AS day_off, CAST(COUNT(*) AS BIGINT) AS n_users
         |FROM days JOIN c USING (u) GROUP BY 1, 2""".stripMargin,
 
+    // evt_rolling: the evt_daily_fill replay + a 7-row rolling sum per
+    // group over the filled days.
+    "evt_rolling" ->
+      """WITH d AS (SELECT event_type, user_id,
+        |  epoch_us(ts) // 86400000000 AS dy, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2, 3),
+        |s AS (SELECT event_type, user_id, MIN(dy) AS d0, MAX(dy) AS d1
+        |  FROM d GROUP BY 1, 2),
+        |f AS (SELECT event_type, user_id, unnest(generate_series(d0, d1)) AS day
+        |  FROM s),
+        |z AS (SELECT f.event_type, f.user_id, f.day,
+        |  CAST(COALESCE(n, 0) AS BIGINT) AS n_events
+        |  FROM f LEFT JOIN d ON d.event_type = f.event_type
+        |    AND d.user_id = f.user_id AND d.dy = f.day)
+        |SELECT event_type, user_id, day, n_events,
+        |  CAST(SUM(n_events) OVER (PARTITION BY event_type, user_id ORDER BY day
+        |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS sum_7d
+        |FROM z""".stripMargin,
+
+    // evt_daily_fill: per-group active-day counts, generate_series span
+    // fill, zero-coalesced left join back.
+    "evt_daily_fill" ->
+      """WITH d AS (SELECT event_type, user_id,
+        |  epoch_us(ts) // 86400000000 AS dy, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2, 3),
+        |s AS (SELECT event_type, user_id, MIN(dy) AS d0, MAX(dy) AS d1
+        |  FROM d GROUP BY 1, 2),
+        |f AS (SELECT event_type, user_id, unnest(generate_series(d0, d1)) AS day
+        |  FROM s)
+        |SELECT f.event_type, f.user_id, f.day,
+        |  CAST(COALESCE(n, 0) AS BIGINT) AS n_events
+        |FROM f LEFT JOIN d ON d.event_type = f.event_type
+        |  AND d.user_id = f.user_id AND d.dy = f.day""".stripMargin,
+
     // ord_gaps: same lag-over-(day, key) scan; gap multiset is invariant
     // to the equal-day tiebreak so the aggregate is engine-exact.
     "ord_gaps" ->
@@ -2578,6 +2695,70 @@ object PipelineQueries {
         |SELECT doc_id, CAST(score AS BIGINT) AS score, CAST(rnk AS BIGINT) AS rnk FROM (
         |  SELECT doc_id, score, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rnk FROM sc)
         |WHERE rnk <= 20""".stripMargin,
+
+    // search_rrf: the idx_bm25 replay (top-20) + the knn_brute replay for
+    // query vector 0 (top-20), fused with integer reciprocal-rank
+    // contributions 10⁹ // (60 + rank).
+    "search_rrf" -> {
+      val cos = cosSql("q.v", "x.v")
+      s"""WITH td AS (SELECT t, doc_id, CAST(COUNT(*) AS BIGINT) AS tf FROM
+         |  (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+         |  WHERE len(t) > 0 GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM td GROUP BY 1),
+         |st AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_docs,
+         |  (SELECT CAST(SUM(tf) AS BIGINT) FROM td) AS t_total),
+         |m AS (SELECT * FROM td WHERE t IN ('spark', 'vector', 'hash')),
+         |dfq AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS df FROM m GROUP BY 1),
+         |sc AS (SELECT m.doc_id, SUM(
+         |    (CAST(length(bin((4 * n_docs) // (2 * df + 1))) AS BIGINT) - 1)
+         |      * 44 * t_total * tf * 1000
+         |      // (20 * t_total * tf + 6 * t_total + 18 * dl.dl * n_docs)) AS score
+         |  FROM m JOIN dl USING (doc_id) JOIN dfq USING (t) CROSS JOIN st GROUP BY 1),
+         |lex AS (SELECT doc_id AS id, rnk FROM (
+         |  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rnk FROM sc)
+         |  WHERE rnk <= 20),
+         |e AS (SELECT vec_id, embedding AS v FROM embeddings),
+         |ks AS (SELECT q.vec_id AS qid, x.vec_id AS nid, $cos AS sim
+         |  FROM e q, e x WHERE q.vec_id = 0 AND x.vec_id != q.vec_id),
+         |sem AS (SELECT nid AS id, rnk FROM (
+         |  SELECT nid, ROW_NUMBER() OVER (ORDER BY sim DESC, nid) AS rnk FROM ks)
+         |  WHERE rnk <= 20),
+         |u AS (SELECT id, 1000000000 // (60 + rnk) AS contrib FROM lex
+         |  UNION ALL SELECT id, 1000000000 // (60 + rnk) AS contrib FROM sem),
+         |f AS (SELECT id, SUM(contrib) AS rrf, COUNT(*) AS n_lists FROM u GROUP BY 1)
+         |SELECT id, CAST(rrf AS BIGINT) AS rrf, CAST(n_lists AS BIGINT) AS n_lists,
+         |  CAST(rnk AS BIGINT) AS rnk
+         |FROM (SELECT id, rrf, n_lists,
+         |  ROW_NUMBER() OVER (ORDER BY rrf DESC, id) AS rnk FROM f)
+         |WHERE rnk <= 10""".stripMargin
+    },
+
+    // minhash_est: the dedup_jaccard pair replay + 36 md5-fold minhash
+    // slot minima per doc, slot agreement counted per pair.
+    "minhash_est" -> {
+      def draw(j: Int) = (1 to 6)
+        .map(i => s"CAST(ascii(substr(md5('mh$j:' || s), $i, 1)) AS BIGINT)")
+        .reduce((a, b) => s"($a * 31 + $b)")
+      val mins = (0 until 36).map(j => s"min(${draw(j)}) AS g$j").mkString(", ")
+      val sigList = (0 until 36).map(j => s"g$j").mkString("[", ", ", "]")
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |sh AS (SELECT doc_id,
+         |  list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)]) AS s
+         |  FROM toks WHERE len(w) >= 3),
+         |shr AS (SELECT doc_id, unnest(s) AS s FROM sh),
+         |sigs AS (SELECT doc_id, $mins FROM shr GROUP BY 1),
+         |sigl AS (SELECT doc_id, $sigList AS sig FROM sigs),
+         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS c_inter,
+         |  CAST(len(list_distinct(list_concat(a.s, b.s))) AS BIGINT) AS c_union
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE len(list_intersect(a.s, b.s)) * 2 >= len(list_distinct(list_concat(a.s, b.s))))
+         |SELECT p.id_a, p.id_b, p.c_inter, p.c_union,
+         |  CAST(len(list_filter(range(1, 37), i -> sa.sig[i] = sb.sig[i])) AS BIGINT)
+         |    AS est_matches
+         |FROM p JOIN sigl sa ON sa.doc_id = p.id_a
+         |JOIN sigl sb ON sb.doc_id = p.id_b""".stripMargin
+    },
 
     // dq_skew: per-key counts, count-of-counts histogram cumsum
     // percentiles, string-tie-broken hot key, max-over-mean ratio.
@@ -2938,6 +3119,38 @@ object PipelineQueries {
          |SELECT v AS vec_id, CAST(COUNT(*) AS BIGINT) AS core_deg FROM
          |  (SELECT a AS v FROM ue$KcoreRounds UNION ALL SELECT b FROM ue$KcoreRounds)
          |GROUP BY 1""".stripMargin
+    },
+
+    // graph_lpa: the graph_kcore edge chain + LpaRounds materialized
+    // synchronous vote rounds (neighbor-label counts → per-vertex
+    // (count desc, label) top-1).
+    "graph_lpa" -> {
+      val pdot = s"list_sum([CAST(e.v[i] AS DOUBLE) * pl.p[i] for i in range(1, ${EmbDims + 1})])"
+      val cos  = cosSql("a.v", "b.v")
+      val rounds = (1 to LpaRounds).map { r =>
+        s"""vt$r AS MATERIALIZED (SELECT ad.v, l.lbl, COUNT(*) AS c
+           |  FROM adj ad JOIN lb${r - 1} l ON l.v = ad.u GROUP BY 1, 2),
+           |lb$r AS MATERIALIZED (SELECT v, lbl FROM (
+           |  SELECT v, lbl, ROW_NUMBER() OVER (PARTITION BY v ORDER BY c DESC, lbl) AS rn
+           |  FROM vt$r) WHERE rn = 1)"""
+      }.mkString(",\n")
+      s"""WITH planes(t, b, p) AS (VALUES
+         |$planesValuesSql),
+         |e AS (SELECT vec_id, embedding AS v FROM embeddings),
+         |buck AS (SELECT e.vec_id AS id, pl.t,
+         |  CAST(SUM(CASE WHEN $pdot >= 0 THEN (1 << pl.b) ELSE 0 END) AS INTEGER) AS bucket
+         |  FROM e, planes pl GROUP BY 1, 2),
+         |cand AS (SELECT x.id AS id_a, y.id AS id_b
+         |  FROM buck x JOIN buck y ON x.t = y.t AND x.bucket = y.bucket AND x.id < y.id
+         |  GROUP BY 1, 2),
+         |ue0 AS MATERIALIZED (SELECT c.id_a AS a, c.id_b AS b FROM cand c
+         |  JOIN e a ON a.vec_id = c.id_a JOIN e b ON b.vec_id = c.id_b
+         |  WHERE $cos >= $KcoreMinCos),
+         |adj AS MATERIALIZED (SELECT a AS v, b AS u FROM ue0
+         |  UNION ALL SELECT b AS v, a AS u FROM ue0),
+         |lb0 AS MATERIALIZED (SELECT DISTINCT v, v AS lbl FROM adj),
+         |$rounds
+         |SELECT v AS vec_id, lbl AS label FROM lb$LpaRounds""".stripMargin
     },
 
     // corp_cms: sketch build (salted-md5 16-bit fold mod width, depth

@@ -576,4 +576,32 @@ class CorpusOpsSpec extends AnyFunSuite with PropHelpers {
     assert(got.forall { case (_, tru, est) => est == tru })
     assert(got.map(_._1).toSet == Set("a", "b", "c", "d"))
   }
+
+  test("tokenBudgetAlloc: hand-computed Hamilton apportionment, sum equals the budget") {
+    // Token masses a=5, b=3, c=2 (T=10), budget 7: floors 3/2/1 (Σ 6),
+    // remainders 5/1/4 → the 1 leftover goes to a → 4/2/1.
+    val docs = docsDF(
+      (1L, "a", "t1 t2 t3"), (2L, "a", "t4 t5"),
+      (3L, "b", "t1 t2 t3"), (4L, "c", "t1  t2")) // double space drops a token
+    val got = CorpusOps.tokenBudgetAlloc(docs, "source", 7L)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == Map("a" -> ((5L, 4L)), "b" -> ((3L, 2L)), "c" -> ((2L, 1L))))
+    // Budget == corpus total → every group gets exactly its mass.
+    val full = CorpusOps.tokenBudgetAlloc(docs, "source", 10L)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(full == Map("a" -> 5L, "b" -> 3L, "c" -> 2L))
+  }
+
+  test("tokenBudgetAlloc: Σ alloc == budget for arbitrary masses (largest-remainder invariant)") {
+    val rnd = new scala.util.Random(29)
+    val docs = docsDF((1L to 40L).map(i =>
+      (i, s"g${rnd.nextInt(7)}",
+        Seq.fill(1 + rnd.nextInt(9))("w").mkString(" "))): _*)
+    for (budget <- Seq(0L, 1L, 17L, 100L, 1000L)) {
+      val alloc = CorpusOps.tokenBudgetAlloc(docs, "source", budget)
+        .collect().map(_.getLong(2))
+      assert(alloc.sum == budget, s"budget $budget")
+      assert(alloc.forall(_ >= 0))
+    }
+  }
 }

@@ -311,4 +311,42 @@ class DedupOpsSpec extends AnyFunSuite with PropHelpers {
     assert(m(1L) == m(2L))
     assert(hamming(m(1L), m(3L)) < hamming(m(1L), m(4L)))
   }
+
+  test("minhashEstimates: identical pairs agree on every slot; partial overlap matches the driver replay") {
+    val spark = TestSpark.spark
+    val base = (1 to 20).map(i => s"w$i").mkString(" ")
+    // near shares shingles w3..w20 with base (17 of 18+2 shingles each):
+    // J well above 1/2; dis shares nothing.
+    val near = ((3 to 20).map(i => s"w$i") ++ Seq("x", "y")).mkString(" ")
+    val dis = (50 to 70).map(i => s"q$i").mkString(" ")
+    val df = docsDF((1L, base), (2L, base), (3L, near), (4L, dis))
+    val got = DedupOps.minhashEstimates(df, "doc_id", 3, 36, 1, 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    graft.core.Caches.releaseAll()
+    // Pairs: (1,2) identical, (1,3) and (2,3) overlapping; 4 in none.
+    assert(got.keySet == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    assert(got((1L, 2L)) == ((18L, 18L, 36L)), "identical docs agree everywhere")
+    // Driver-side replay of the md5-fold minhash slots for the (1,3) pair.
+    def shingleSet(text: String): Set[String] = {
+      val w = text.split(" ")
+      (0 to w.length - 3).map(i => w.slice(i, i + 3).mkString(" ")).toSet
+    }
+    def draw(salt: String, s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest((salt + s).getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      (0 until 6).map(i => hex.charAt(i).toLong).reduce((a, b) => a * 31L + b)
+    }
+    def sig(text: String): Seq[Long] =
+      (0 until 36).map(j => shingleSet(text).map(s => draw(s"mh$j:", s)).min)
+    val (sa, sb) = (sig(base), sig(near))
+    val expMatches = (0 until 36).count(j => sa(j) == sb(j)).toLong
+    val inter = shingleSet(base).intersect(shingleSet(near)).size.toLong
+    val union = shingleSet(base).union(shingleSet(near)).size.toLong
+    assert(got((1L, 3L)) == ((inter, union, expMatches)))
+    // The estimate tracks J: an un-identical pair agrees on fewer slots.
+    assert(expMatches < 36L && expMatches > 0L)
+  }
 }

@@ -90,4 +90,38 @@ class EventOpsSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
     assert(got == Set(("A", 3L, 10L, 8L), ("B", 1L, 3L, 3L)))
   }
+
+  test("dailyFill: in-span missing days appear as zeros, spans are per-group") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val us = 86400000000L
+    // Group (a,1): events on days 5, 5, 8 → span 5..8 with zeros at 6, 7.
+    // Group (b,1): day 3 only → one row, no fill.
+    val events = Seq(
+      ("a", 1L, 5L * us), ("a", 1L, 5L * us + 7L), ("a", 1L, 8L * us),
+      ("b", 1L, 3L * us)
+    ).toDF("event_type", "user_id", "us")
+    val got = EventOps.dailyFill(events, Seq("event_type", "user_id"), "us")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == Set(
+      ("a", 1L, 5L, 2L), ("a", 1L, 6L, 0L), ("a", 1L, 7L, 0L),
+      ("a", 1L, 8L, 1L), ("b", 1L, 3L, 1L)))
+  }
+
+  test("rollingDailySum: a 3-day frame over the filled series sums calendar days") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val daily = Seq(
+      ("a", 5L, 2L), ("a", 6L, 0L), ("a", 7L, 0L), ("a", 8L, 1L),
+      ("b", 3L, 4L)
+    ).toDF("g", "day", "n")
+    val got = EventOps.rollingDailySum(daily, Seq("g"), "day", "n", 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3))).toSet
+    // a: 2, 2, 2, 1 (frames {5},{5,6},{5,6,7},{6,7,8}); b: 4.
+    assert(got == Set(
+      ("a", 5L, 2L), ("a", 6L, 2L), ("a", 7L, 2L), ("a", 8L, 1L),
+      ("b", 3L, 4L)))
+  }
 }

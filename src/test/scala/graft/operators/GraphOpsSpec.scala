@@ -207,4 +207,57 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(runKcore(chain, 3, 8).isEmpty)
     assert(refKcore(chain, 3).isEmpty)
   }
+
+  private def runLpa(edges: Seq[(Long, Long)], rounds: Int): Map[Long, Long] = {
+    val spark = graft.TestSpark.spark
+    import spark.implicits._
+    val got = GraphOps.labelPropagation(edges.toDF("src", "dst"), rounds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    graft.core.Caches.releaseAll()
+    got
+  }
+
+  /** Sequential synchronous LPA reference: most-frequent neighbor label,
+    * min-label tie-break, labels init = vertex id. */
+  private def refLpa(edges: Seq[(Long, Long)], rounds: Int): Map[Long, Long] = {
+    val ue = edges.map { case (s, d) => (math.min(s, d), math.max(s, d)) }
+      .filter { case (a, b) => a < b }.toSet
+    val nbrs = ue.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (v, es) => v -> es.map(_._2) }
+    var labels = nbrs.keys.map(v => v -> v).toMap
+    for (_ <- 0 until rounds) {
+      labels = nbrs.map { case (v, ns) =>
+        val votes = ns.map(labels).groupBy(identity)
+          .map { case (l, ls) => (l, ls.size) }
+        v -> votes.toSeq.minBy { case (l, c) => (-c, l) }._1
+      }
+    }
+    labels
+  }
+
+  test("labelPropagation: two cliques joined by one edge stay SEPARATE communities") {
+    // K3 {1,2,3} — K3 {4,5,6} with bridge 3-4: LPA settles into two
+    // communities; CC (reachability) would merge everything into one.
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L))
+    val got = runLpa(edges, 4)
+    assert(got == refLpa(edges, 4))
+    assert(got(1L) == got(2L) && got(2L) == got(3L))
+    assert(got(4L) == got(5L) && got(5L) == got(6L))
+    assert(got(1L) != got(4L), "the bridge must not merge the cliques")
+  }
+
+  test("labelPropagation: fixed synchronous rounds match the sequential reference on random graphs") {
+    val rnd = new scala.util.Random(23)
+    for (trial <- 0 until 4) {
+      val n = 12 + 3 * trial
+      val edges = (0 until 3 * n).map { _ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)
+      }.filter { case (s, d) => s != d }
+      for (rounds <- Seq(1, 3, 5)) {
+        assert(runLpa(edges, rounds) == refLpa(edges, rounds),
+          s"trial $trial rounds $rounds")
+      }
+    }
+  }
 }

@@ -69,6 +69,30 @@ class IndexOpsSpec extends AnyFunSuite {
     assert(top2.keySet == Set(2L, 4L) && top2(2L) == 1L && top2(4L) == 2L)
   }
 
+  test("rrfFuse: hand-computed integer fusion, agreement dominates, ties break on id") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    def contrib(r: Long) = 1000000000L / (60L + r)
+    // List A ranks 10,20,30; list B ranks 20,40,10 — doc 20 (ranks 2+1)
+    // and doc 10 (1+3) appear in both, 30/40 in one each.
+    val a = Seq((10L, 1L), (20L, 2L), (30L, 3L)).toDF("id", "rnk")
+    val b = Seq((20L, 1L), (40L, 2L), (10L, 3L)).toDF("id", "rnk")
+    val got = IndexOps.rrfFuse(Seq(a, b), "id", "rnk", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val exp = Map(
+      10L -> (contrib(1) + contrib(3), 2L),
+      20L -> (contrib(2) + contrib(1), 2L),
+      30L -> (contrib(3), 1L),
+      40L -> (contrib(2), 1L))
+    assert(got.map(r => r._1 -> ((r._2, r._3))).toMap == exp)
+    val order = exp.toSeq.sortBy { case (id, (s, _)) => (-s, id) }.map(_._1)
+    assert(got.sortBy(_._4).map(_._1).toSeq == order)
+    // k cuts after fusion: the two both-list docs fill a top-2 request.
+    val top2 = IndexOps.rrfFuse(Seq(a, b), "id", "rnk", 2)
+      .collect().map(_.getLong(0)).toSet
+    assert(top2 == Set(10L, 20L))
+  }
+
   test("conjunctive: all terms required, per-term tf threshold applies") {
     // red AND blue: docs 1 (2+1), 3 (3+1), 5 (1+1) — doc2 has no red.
     val got = IndexOps.conjunctive(corpus(), "doc_id",
