@@ -833,4 +833,68 @@ object CorpusOps {
         (col("base") + when(col("_rr") <= col("extra"), 1L).otherwise(0L))
           .as("alloc"))
   }
+
+  /** ⌊log₂ x⌋ of a positive integer column via bit length — the same
+    * engine-neutral quantized logarithm as [[ModelOps]]' naive Bayes
+    * (`length(bin(x)) − 1`: both Spark and DuckDB print BIGINT binary
+    * without leading zeros, so no float `ln` ulp drift either side). */
+  private def qlog2(x: Column): Column =
+    (length(bin(x)) - 1).cast("long")
+
+  /** DSIR-style importance scores: rank every document by how much more
+    * likely its hashed-unigram bag is under a TARGET distribution than
+    * under the RAW corpus distribution — the importance-resampling
+    * data-selection signal ("keep web text that looks like the curated
+    * target domain"). Token features hash into `buckets` cells (md5 fold
+    * — vocabulary-independent bounded state, the DSIR trick), both
+    * distributions are Laplace-smoothed bucket frequencies, and the
+    * per-doc log-ratio score is quantized to BITS via ⌊log₂⌋ so the whole
+    * model — counts, smoothing, quotients, every doc's score — replays in
+    * a SQL oracle with zero float drift:
+    *
+    *   score(doc) = Σ_{tokens} ( rbits(b) − tbits(b) ),
+    *   xbits(b)   = ⌊log₂( (X + buckets) · scale div (cnt_x(b) + 1) )⌋
+    *
+    * (xbits is quantized SURPRISAL under distribution x, so raw-surprising
+    * but target-likely tokens push the score up; the X-total constants
+    * shift every token of a side equally and cancel in ranking).
+    *
+    * Output: one row per doc (id, grp, n_toks, score) — the selection
+    * readout joins/filters on `score` downstream.
+    *
+    * Scale shape: one token scan fans into (doc, bucket) rows that
+    * partial-aggregate map-side; the weight table is `buckets` rows —
+    * model-sized, broadcast into the scoring join. Nothing keyed on the
+    * vocabulary, nothing collected to the driver. */
+  def importanceScores(docs: DataFrame, idCol: String, groupCol: String,
+                       targetPred: Column, buckets: Int = 256,
+                       scale: Long = 65536L): DataFrame = {
+    require(buckets >= 2 && buckets <= 65536, s"buckets out of range: $buckets")
+    val toks = graft.core.Caches.persistTracked(
+      docs.select(col(idCol).as("id"), col(groupCol).as("grp"),
+          targetPred.cast("boolean").as("is_t"),
+          explode(split(coalesce(col("text"), lit("")), " ")).as("t"))
+        .select(col("id"), col("grp"), col("is_t"),
+          (conv(substring(md5(concat(lit("dsir:"), col("t"))), 29, 4), 16, 10)
+            .cast("int") % buckets).as("b")))
+    val cnts = toks.groupBy("b").agg(
+      sum(when(col("is_t"), 1L).otherwise(0L)).as("tc"),
+      sum(when(col("is_t"), 0L).otherwise(1L)).as("rc"))
+    val totals = cnts.agg(sum("tc").as("tt"), sum("rc").as("rt"))
+    // Full bucket domain (empty cells still carry the +1 smoothing mass).
+    val dom = docs.sparkSession.range(buckets).select(col("id").cast("int").as("b"))
+    val weights = dom
+      .join(cnts, Seq("b"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("b"),
+        qlog2(expr(s"((tt + $buckets) * ${scale}L) div (coalesce(tc, 0L) + 1)"))
+          .as("tbits"),
+        qlog2(expr(s"((rt + $buckets) * ${scale}L) div (coalesce(rc, 0L) + 1)"))
+          .as("rbits"))
+    toks
+      .join(broadcast(weights), "b")
+      .groupBy("id", "grp")
+      .agg(count(lit(1)).as("n_toks"),
+        sum(col("rbits") - col("tbits")).as("score"))
+  }
 }

@@ -198,4 +198,63 @@ object EventOps {
       .orderBy(col(dayCol)).rowsBetween(-(k - 1), 0)
     daily.withColumn(s"sum_${k}d", sum(col(valCol)).over(w))
   }
+
+  /** Exact integer EWMA over a gap-filled daily series: the truncated
+    * exponentially-weighted moving average with decay 7/8, window `w` days,
+    * held as the SCALED NUMERATOR so there is no floating point anywhere —
+    *
+    *   ewma_num(d) = Σ_{j=0}^{w−1} x(d−j) · 7ʲ · 8^{w−1−j}
+    *
+    * (the true EWMA is ewma_num / 8ʷ; with w = 14 the dropped tail carries
+    * weight (7/8)¹⁴ < 16%, and the skyline of weights stays < 2⁴², so any
+    * realistic daily count fits BIGINT). Days with fewer than w
+    * predecessors use the terms that exist — deterministic truncation at
+    * the span start, which a SQL oracle replays with the same LAG chain.
+    *
+    * Scale shape: the w LAG terms all ride ONE window pass (one shuffle
+    * keyed on the group, sorted by day) — a w-way self-join would pay w
+    * shuffles for the same answer. */
+  def ewmaDaily(daily: DataFrame, groupCols: Seq[String],
+                dayCol: String, valCol: String, w: Int = 14): DataFrame = {
+    require(groupCols.nonEmpty && w >= 1 && w <= 20, s"bad groups/w: $groupCols/$w")
+    val win = Window.partitionBy(groupCols.map(col): _*).orderBy(col(dayCol))
+    val terms = (0 until w).map { j =>
+      val weight = BigInt(7).pow(j) * BigInt(8).pow(w - 1 - j)
+      lag(col(valCol), j, 0).over(win) * lit(weight.toLong)
+    }
+    daily.withColumn("ewma_num", terms.reduce(_ + _))
+  }
+
+  /** Integer z-score spike detector over a gap-filled daily series: flags
+    * day d when its value exceeds the trailing `w`-day baseline (the w
+    * days BEFORE d, excluding d itself) by more than 3 standard
+    * deviations. With S = Σ baseline, Q = Σ baseline², the test
+    *
+    *   (x − μ)² > 9σ²  ⇔  (w·x − S)² > 9·(w·Q − S²)
+    *
+    * cross-multiplies to pure integers (both sides exact in BIGINT for
+    * daily counts), so Spark and a SQL oracle agree bit-for-bit — no
+    * floating-point mean/stddev anywhere. Only UPWARD spikes flag
+    * (x·w > S), and only days with a full w-day history are judged
+    * (is_spike is null-safe 0 otherwise).
+    *
+    * Scale shape: S, Q, and the history count are three aggregates over
+    * ONE window frame — one shuffle keyed on the group. */
+  def spikeDays(daily: DataFrame, groupCols: Seq[String],
+                dayCol: String, valCol: String, w: Int = 7): DataFrame = {
+    require(groupCols.nonEmpty && w >= 2, s"bad groups/w: $groupCols/$w")
+    val win = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col(dayCol)).rowsBetween(-w, -1)
+    val x = col(valCol)
+    daily
+      .withColumn("bl_n", count(x).over(win))
+      .withColumn("bl_sum", coalesce(sum(x).over(win), lit(0L)))
+      .withColumn("bl_sumsq", coalesce(sum(x * x).over(win), lit(0L)))
+      .withColumn("is_spike",
+        when(col("bl_n") === w &&
+          x * w > col("bl_sum") &&
+          (x * w - col("bl_sum")) * (x * w - col("bl_sum")) >
+            lit(9L) * (col("bl_sumsq") * w - col("bl_sum") * col("bl_sum")),
+          1L).otherwise(0L))
+  }
 }

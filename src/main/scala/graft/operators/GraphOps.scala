@@ -291,4 +291,73 @@ object GraphOps {
     labelsRdd.foreach(graft.core.Caches.trackRdd)
     labels.select(col("v").as("vec_id"), col("lbl").as("label"))
   }
+
+  /** Personalized PageRank: the [[pageRank]] recursion with teleport mass
+    * restricted to a SEED set — the relevance-propagation readout behind
+    * similarity-based data selection ("rank the whole corpus by graph
+    * proximity to a curated seed set", the LangRank / task-similar-data
+    * shape). With S = seeds, k = |S|:
+    *
+    *   r₀(v)    = scale div k            if v ∈ S else 0
+    *   rₜ₊₁(v) = [v ∈ S] · (15 · (scale div k)) div 100
+    *            + (85 · Σ_{u→v} (rₜ(u) div outdeg(u))) div 100
+    *
+    * Same integer-exact contract as [[pageRank]] (floor division
+    * throughout, dangling mass dropped), so a SQL oracle replays every
+    * round. Node set = distinct sources ∪ seeds (a seed with no out-edges
+    * still holds its base mass; it just contributes nothing). Unreached
+    * nodes report rank 0 — the "not connected to the seed set" signal.
+    *
+    * Scale shape identical to [[pageRank]]: per round one edges ⋈ ranks
+    * equi-join into a partially-aggregated groupBy(dst), left-joined back
+    * to the node list; rounds re-root through eager localCheckpoints with
+    * superseded blocks freed, so plan size and storage are constant in
+    * the iteration count. The seed table is model-sized and broadcasts. */
+  def personalizedPageRank(edges: DataFrame, seeds: DataFrame, iters: Int,
+                           scale: Long = 1000000000000L): DataFrame = {
+    require(iters >= 1 && iters <= 1000, s"iters out of range: $iters")
+    val e = graft.core.Caches.persistTracked(
+      edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst")))
+    val deg = graft.core.Caches.persistTracked(
+      e.groupBy("src").agg(count(lit(1)).as("deg")))
+    val sd = graft.core.Caches.persistTracked(
+      seeds.select(col(seeds.columns.head).cast("long").as("id")).distinct())
+    val k = sd.count()
+    require(k > 0, "personalizedPageRank with an empty seed set")
+    val r0 = scale / k
+    val base = (15L * r0) / 100L
+    val nodes = graft.core.Caches.persistTracked(
+      deg.select(col("src").as("id")).unionAll(sd).distinct())
+    // [v ∈ S] as a 0/1 column the per-round select reuses.
+    def withSeedFlag(n: DataFrame): DataFrame = n
+      .join(sd.select(col("id"), lit(1L).as("_s")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("_s"), lit(0L)).as("s"))
+    val flagged = graft.core.Caches.persistTracked(withSeedFlag(nodes))
+    var ranks = flagged
+      .select(col("id"), (col("s") * lit(r0)).as("r")).localCheckpoint()
+    var ranksRdd = graft.core.Caches.checkpointRdd(ranks)
+    var t = 0
+    while (t < iters) {
+      val contrib = e
+        .join(ranks.select(col("id").as("src"), col("r")), "src")
+        .join(deg, "src")
+        .select(col("dst"), expr("r div deg").as("share"))
+        .groupBy("dst").agg(sum(col("share")).as("contrib"))
+      val next = flagged
+        .join(contrib.select(col("dst").as("id"), col("contrib")),
+          Seq("id"), "left")
+        .select(col("id"),
+          (col("s") * lit(base) +
+            expr("(85 * coalesce(contrib, CAST(0 AS BIGINT))) div 100"))
+            .as("r"))
+        .localCheckpoint()
+      ranksRdd.foreach(_.unpersist(blocking = false)) // superseded round
+      ranks = next
+      ranksRdd = graft.core.Caches.checkpointRdd(ranks)
+      t += 1
+    }
+    ranksRdd.foreach(graft.core.Caches.trackRdd)
+    ranks.select(col("id").as("vec_id"), col("r").as("ppr"))
+  }
 }

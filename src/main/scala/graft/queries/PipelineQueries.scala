@@ -233,6 +233,20 @@ object PipelineQueries {
     "bpe_doc_tokens" -> ((s, d) =>
       graft.operators.BpeOps.bpeDocTokens(docs(s, d), "doc_id", BpeSteps)),
 
+    // Tokenizer FERTILITY per language under the trained BPE: characters
+    // per subword token (milli-units, floor) — the compression-efficiency
+    // readout that tells you which languages a tokenizer shortchanges.
+    "bpe_fertility" -> ((s, d) =>
+      docs(s, d).select(col("doc_id"), col("lang"), col("n_chars"))
+        .join(graft.operators.BpeOps.bpeDocTokens(docs(s, d), "doc_id", BpeSteps),
+          "doc_id")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").as("sum_chars"),
+          sum("n_subtokens").as("sum_subtokens"))
+        .withColumn("fertility_milli",
+          expr("(1000 * sum_chars) div sum_subtokens"))),
+
     // Semi-structured extraction: the events props column is JSON; group
     // stats over its integer field k per event type (missing/malformed
     // payloads -> NULL, excluded by COUNT(k)/SUM like the oracle).
@@ -411,6 +425,13 @@ object PipelineQueries {
       graft.operators.VectorOps.knnMips(
         embs(s, d), "vec_id", "embedding", col("vec_id") < 8, 10)),
 
+    // HARD-NEGATIVE mining: top-5 most-similar corpus vectors with a
+    // DIFFERENT label per query — the contrastive-training negatives
+    // readout (same ranking contract as knn_brute, cross-label only).
+    "knn_negatives" -> ((s, d) =>
+      graft.operators.VectorOps.hardNegatives(
+        embs(s, d), "vec_id", "embedding", "label", col("vec_id") < 8, 5)),
+
     // Random-hyperplane LSH top-5: 4 tables × 4 sign bits; candidates via
     // (table, bucket) equi-join, exact re-rank. Oracle replays the same
     // hyperplane constants in SQL.
@@ -521,6 +542,43 @@ object PipelineQueries {
         embs(s, d), "vec_id", "embedding", KnnGraphK, LshTables, LshBits, EmbDims)
       graft.operators.GraphOps.pageRank(
         kg.select(col("qid").as("src"), col("nid").as("dst")), PrIters)
+    }),
+
+    // DSIR-style importance scores: hashed-unigram log-ratio of a TARGET
+    // distribution (source 'src0' as the curated domain proxy) vs the
+    // raw rest — the importance-resampling data-selection signal, ⌊log₂⌋
+    // -quantized so the oracle replays both distributions and every
+    // doc's score exactly.
+    "dsir_scores" -> ((s, d) =>
+      graft.operators.CorpusOps.importanceScores(
+        docs(s, d), "doc_id", "source", col("source") === "src0",
+        DsirBuckets, DsirScale)),
+
+    // DSIR calibration: band the importance score (fixed width 16, offset
+    // so floor semantics agree across engines on negatives) and read the
+    // target-share per band — scores separate target from raw iff the
+    // share climbs with the band; the threshold-tuning surface.
+    "dsir_calibration" -> ((s, d) =>
+      graft.operators.CorpusOps.importanceScores(
+          docs(s, d), "doc_id", "source", col("source") === "src0",
+          DsirBuckets, DsirScale)
+        .select(expr(s"($DsirBandOffset + score) div 16").as("band"),
+          when(col("grp") === "src0", 1L).otherwise(0L).as("is_t"))
+        .groupBy("band")
+        .agg(count(lit(1)).as("n_docs"), sum("is_t").as("n_target"))),
+
+    // PERSONALIZED PageRank over the kNN graph: teleport mass restricted
+    // to the seed set vec_id < 8 — the similarity-based data-selection
+    // readout ("rank the corpus by graph proximity to curated seed
+    // docs"). The oracle replays graph build + every round; unreached
+    // nodes report 0, which IS the signal.
+    "graph_ppr" -> ((s, d) => {
+      val e = embs(s, d)
+      val kg = graft.operators.VectorOps.knnGraph(
+        e, "vec_id", "embedding", KnnGraphK, LshTables, LshBits, EmbDims)
+      graft.operators.GraphOps.personalizedPageRank(
+        kg.select(col("qid").as("src"), col("nid").as("dst")),
+        e.filter(col("vec_id") < 8).select(col("vec_id")), PrIters)
     }),
 
     // TRIANGLE census of the undirected kNN graph: the local-clustering
@@ -853,6 +911,26 @@ object PipelineQueries {
             expr("ts div 1000").as("us")),
           Seq("event_type", "user_id"), "us"),
         Seq("event_type", "user_id"), "day", "n_events", 7)),
+
+    // Exact integer EWMA (decay 7/8, 14-day truncation) over the per-type
+    // filled daily series — the smoothed-rate baseline under monitors,
+    // held as a scaled numerator so both engines agree bit-for-bit.
+    "evt_ewma" -> ((s, d) =>
+      graft.operators.EventOps.ewmaDaily(
+        graft.operators.EventOps.dailyFill(
+          events(s, d).select(col("event_type"), expr("ts div 1000").as("us")),
+          Seq("event_type"), "us"),
+        Seq("event_type"), "day", "n_events", EwmaWindow)),
+
+    // Integer z-score spike detector: flags days > 3σ above the trailing
+    // 7-day baseline via the cross-multiplied test (w·x−S)² > 9(w·Q−S²)
+    // — no floating-point mean/stddev, so the oracle replays it exactly.
+    "evt_anomaly" -> ((s, d) =>
+      graft.operators.EventOps.spikeDays(
+        graft.operators.EventOps.dailyFill(
+          events(s, d).select(col("event_type"), expr("ts div 1000").as("us")),
+          Seq("event_type"), "us"),
+        Seq("event_type"), "day", "n_events", SpikeWindow)),
 
     // Inter-order gap cadence per market segment: per-customer lag over
     // (order day, key), gaps aggregated through the broadcastable
@@ -1404,6 +1482,14 @@ object PipelineQueries {
   private val CmsDepth    = 3
   private val CmsWidth    = 256
   private val CmsTopK     = 20
+  private val EwmaWindow  = 14
+  private val SpikeWindow = 7
+  private val DsirBuckets = 256
+  private val DsirScale   = 65536L
+  /** Keeps `offset + score` positive so Spark's truncating `div` and
+    * DuckDB's floor `//` agree on the band (scores are bounded by ±16
+    * bits × tokens-per-doc, far inside 2²⁰). */
+  private val DsirBandOffset = 1048576L
 
   /** Per-query recall@5 of an ANN `method` result (qid, nid, …) against
     * the exact-cosine baseline over the same query set: n_true = baseline
@@ -2121,6 +2207,21 @@ object PipelineQueries {
          |SELECT t.doc_id, CAST(SUM(len(f.syms)) AS BIGINT) AS n_subtokens
          |FROM toks t JOIN w$BpeSteps f ON t.w = f.w GROUP BY 1""".stripMargin,
 
+    // bpe_fertility: the shared BPE training chain + per-lang chars /
+    // subtokens with a floor milli-unit quotient (all positive — Spark
+    // div and DuckDB // agree).
+    "bpe_fertility" ->
+      s"""WITH $bpeCteSql,
+         |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+         |dt AS (SELECT t.doc_id, SUM(len(f.syms)) AS n_subtokens
+         |  FROM toks t JOIN w$BpeSteps f ON t.w = f.w GROUP BY 1)
+         |SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(d.n_chars) AS BIGINT) AS sum_chars,
+         |  CAST(SUM(dt.n_subtokens) AS BIGINT) AS sum_subtokens,
+         |  CAST((1000 * SUM(d.n_chars)) // SUM(dt.n_subtokens) AS BIGINT) AS fertility_milli
+         |FROM documents d JOIN dt ON dt.doc_id = d.doc_id
+         |GROUP BY 1""".stripMargin,
+
     "evt_props" ->
       """SELECT event_type, CAST(COUNT(k) AS BIGINT) AS n_k,
         |  CAST(SUM(k) AS BIGINT) AS k_sum, CAST(MIN(k) AS BIGINT) AS k_min,
@@ -2517,6 +2618,45 @@ object PipelineQueries {
         |  CAST(COALESCE(n, 0) AS BIGINT) AS n_events
         |FROM f LEFT JOIN d ON d.event_type = f.event_type
         |  AND d.user_id = f.user_id AND d.dy = f.day""".stripMargin,
+
+    // evt_ewma: per-type daily fill + the same 14-term LAG chain with
+    // literal 7ʲ·8^(13−j) weights — pure BIGINT, engine-exact.
+    "evt_ewma" -> {
+      val terms = (0 until EwmaWindow).map { j =>
+        val weight = BigInt(7).pow(j) * BigInt(8).pow(EwmaWindow - 1 - j)
+        s"LAG(n_events, $j, 0) OVER w * ${weight.toLong}"
+      }.mkString(" + ")
+      s"""WITH d AS (SELECT event_type, epoch_us(ts) // 86400000000 AS dy,
+         |  CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1, 2),
+         |s AS (SELECT event_type, MIN(dy) AS d0, MAX(dy) AS d1 FROM d GROUP BY 1),
+         |f AS (SELECT event_type, unnest(generate_series(d0, d1)) AS day FROM s),
+         |z AS (SELECT f.event_type, f.day, CAST(COALESCE(n, 0) AS BIGINT) AS n_events
+         |  FROM f LEFT JOIN d ON d.event_type = f.event_type AND d.dy = f.day)
+         |SELECT event_type, day, n_events, CAST($terms AS BIGINT) AS ewma_num
+         |FROM z WINDOW w AS (PARTITION BY event_type ORDER BY day)""".stripMargin
+    },
+
+    // evt_anomaly: the same fill + trailing-7 baseline window; the spike
+    // test cross-multiplies to integers, so no float stddev either side.
+    "evt_anomaly" ->
+      s"""WITH d AS (SELECT event_type, epoch_us(ts) // 86400000000 AS dy,
+         |  CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1, 2),
+         |s AS (SELECT event_type, MIN(dy) AS d0, MAX(dy) AS d1 FROM d GROUP BY 1),
+         |f AS (SELECT event_type, unnest(generate_series(d0, d1)) AS day FROM s),
+         |z AS (SELECT f.event_type, f.day, CAST(COALESCE(n, 0) AS BIGINT) AS n_events
+         |  FROM f LEFT JOIN d ON d.event_type = f.event_type AND d.dy = f.day),
+         |b AS (SELECT event_type, day, n_events,
+         |  CAST(COUNT(n_events) OVER w AS BIGINT) AS bl_n,
+         |  CAST(COALESCE(SUM(n_events) OVER w, 0) AS BIGINT) AS bl_sum,
+         |  CAST(COALESCE(SUM(n_events * n_events) OVER w, 0) AS BIGINT) AS bl_sumsq
+         |  FROM z WINDOW w AS (PARTITION BY event_type ORDER BY day
+         |    ROWS BETWEEN $SpikeWindow PRECEDING AND 1 PRECEDING))
+         |SELECT event_type, day, n_events, bl_n, bl_sum, bl_sumsq,
+         |  CAST(CASE WHEN bl_n = $SpikeWindow AND n_events * $SpikeWindow > bl_sum
+         |    AND (n_events * $SpikeWindow - bl_sum) * (n_events * $SpikeWindow - bl_sum)
+         |      > 9 * (bl_sumsq * $SpikeWindow - bl_sum * bl_sum)
+         |    THEN 1 ELSE 0 END AS BIGINT) AS is_spike
+         |FROM b""".stripMargin,
 
     // ord_gaps: same lag-over-(day, key) scan; gap multiset is invariant
     // to the equal-day tiebreak so the aggregate is engine-exact.
@@ -2926,6 +3066,19 @@ object PipelineQueries {
          |WHERE rnk <= 10""".stripMargin
     },
 
+    // knn_negatives: the knn_brute replay restricted to cross-label
+    // pairs (NULL-safe inequality matches Spark's negated <=>).
+    "knn_negatives" -> {
+      val cos = cosSql("q.v", "x.v")
+      s"""WITH e AS (SELECT vec_id, label, embedding AS v FROM embeddings),
+         |s AS (SELECT q.vec_id AS qid, x.vec_id AS nid, $cos AS sim
+         |  FROM e q, e x WHERE q.vec_id < 8 AND x.vec_id != q.vec_id
+         |    AND x.label IS DISTINCT FROM q.label)
+         |SELECT qid, nid, CAST(rnk AS BIGINT) AS rnk FROM (
+         |  SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rnk FROM s)
+         |WHERE rnk <= 5""".stripMargin
+    },
+
     "knn_mips" -> {
       val ip = s"list_sum([CAST(q.v[i] AS DOUBLE) * CAST(x.v[i] AS DOUBLE) for i in range(1, ${EmbDims + 1})])"
       s"""WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
@@ -3175,6 +3328,56 @@ object PipelineQueries {
          |GROUP BY 1, 2""".stripMargin
     },
 
+    // dsir_scores: replay the hashed-bucket fold (the corp_cms hex
+    // arithmetic), both smoothed distributions, the bit-length log, and
+    // every doc's summed log-ratio.
+    "dsir_scores" -> {
+      def hv(j: Int) = hexvalSql(s"substr(hx,$j,1)")
+      val bucketFromHx =
+        s"((${hv(29)})*4096 + (${hv(30)})*256 + (${hv(31)})*16 + (${hv(32)})) % $DsirBuckets"
+      s"""WITH toks AS (SELECT doc_id AS id, source AS grp, source = 'src0' AS is_t,
+         |    unnest(string_split(coalesce(text, ''), ' ')) AS t FROM documents),
+         |hx0 AS (SELECT id, grp, is_t, md5('dsir:' || t) AS hx FROM toks),
+         |bk AS (SELECT id, grp, is_t, $bucketFromHx AS b FROM hx0),
+         |cnts AS (SELECT b, CAST(SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS tc,
+         |  CAST(SUM(CASE WHEN is_t THEN 0 ELSE 1 END) AS BIGINT) AS rc FROM bk GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(tc) AS BIGINT) AS tt, CAST(SUM(rc) AS BIGINT) AS rt FROM cnts),
+         |dom AS (SELECT CAST(r.range AS INTEGER) AS b FROM range($DsirBuckets) r),
+         |w AS (SELECT dom.b,
+         |  length(bin(((tot.tt + $DsirBuckets) * $DsirScale) // (COALESCE(c.tc, 0) + 1))) - 1 AS tbits,
+         |  length(bin(((tot.rt + $DsirBuckets) * $DsirScale) // (COALESCE(c.rc, 0) + 1))) - 1 AS rbits
+         |  FROM dom CROSS JOIN tot LEFT JOIN cnts c ON c.b = dom.b)
+         |SELECT bk.id, bk.grp, CAST(COUNT(*) AS BIGINT) AS n_toks,
+         |  CAST(SUM(w.rbits - w.tbits) AS BIGINT) AS score
+         |FROM bk JOIN w USING (b) GROUP BY 1, 2""".stripMargin
+    },
+
+    // dsir_calibration: the dsir_scores replay reduced to offset-shifted
+    // fixed-width score bands and the per-band target share.
+    "dsir_calibration" -> {
+      def hv(j: Int) = hexvalSql(s"substr(hx,$j,1)")
+      val bucketFromHx =
+        s"((${hv(29)})*4096 + (${hv(30)})*256 + (${hv(31)})*16 + (${hv(32)})) % $DsirBuckets"
+      s"""WITH toks AS (SELECT doc_id AS id, source AS grp, source = 'src0' AS is_t,
+         |    unnest(string_split(coalesce(text, ''), ' ')) AS t FROM documents),
+         |hx0 AS (SELECT id, grp, is_t, md5('dsir:' || t) AS hx FROM toks),
+         |bk AS (SELECT id, grp, is_t, $bucketFromHx AS b FROM hx0),
+         |cnts AS (SELECT b, CAST(SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS tc,
+         |  CAST(SUM(CASE WHEN is_t THEN 0 ELSE 1 END) AS BIGINT) AS rc FROM bk GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(tc) AS BIGINT) AS tt, CAST(SUM(rc) AS BIGINT) AS rt FROM cnts),
+         |dom AS (SELECT CAST(r.range AS INTEGER) AS b FROM range($DsirBuckets) r),
+         |w AS (SELECT dom.b,
+         |  length(bin(((tot.tt + $DsirBuckets) * $DsirScale) // (COALESCE(c.tc, 0) + 1))) - 1 AS tbits,
+         |  length(bin(((tot.rt + $DsirBuckets) * $DsirScale) // (COALESCE(c.rc, 0) + 1))) - 1 AS rbits
+         |  FROM dom CROSS JOIN tot LEFT JOIN cnts c ON c.b = dom.b),
+         |sc AS (SELECT bk.id, bk.grp, SUM(w.rbits - w.tbits) AS score
+         |  FROM bk JOIN w USING (b) GROUP BY 1, 2)
+         |SELECT CAST(($DsirBandOffset + score) // 16 AS BIGINT) AS band,
+         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(CASE WHEN grp = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS n_target
+         |FROM sc GROUP BY 1""".stripMargin
+    },
+
     // model_nb: re-train the quantized-log2 naive-Bayes model (class
     // token counts, vocabulary, Laplace-smoothed bit weights, priors)
     // and replay every doc's argmin — bin() prints BIGINT without
@@ -3278,6 +3481,33 @@ object PipelineQueries {
          |  FROM deg CROSS JOIN nn),
          |$rounds
          |SELECT id AS vec_id, r AS pr FROM pr$PrIters""".stripMargin
+    },
+
+    // graph_ppr: the same unrolled integer power iteration with teleport
+    // mass confined to seeds vec_id < 8; node set = sources ∪ seeds.
+    "graph_ppr" -> {
+      val rounds = (1 to PrIters).map { t =>
+        s"""c$t AS (SELECT e.dst, SUM(p.r // dg.deg) AS contrib
+           |  FROM edges e JOIN pr${t - 1} p ON p.id = e.src
+           |  JOIN deg dg ON dg.src = e.src GROUP BY 1),
+           |pr$t AS (SELECT f.id,
+           |  CAST(f.s * ((15 * ($PrScale // ns.k)) // 100)
+           |    + (85 * COALESCE(c.contrib, 0)) // 100 AS BIGINT) AS r
+           |  FROM flg f CROSS JOIN ns LEFT JOIN c$t c ON c.dst = f.id)"""
+      }.mkString(",\n")
+      s"""WITH $knnGraphCtes,
+         |edges AS (SELECT qid AS src, nid AS dst FROM kg),
+         |deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY 1),
+         |sd AS (SELECT vec_id AS id FROM embeddings WHERE vec_id < 8),
+         |ns AS (SELECT COUNT(*) AS k FROM sd),
+         |nodes AS (SELECT DISTINCT id FROM
+         |  (SELECT src AS id FROM edges UNION ALL SELECT id FROM sd)),
+         |flg AS (SELECT n.id, CASE WHEN s.id IS NULL THEN 0 ELSE 1 END AS s
+         |  FROM nodes n LEFT JOIN sd s ON s.id = n.id),
+         |pr0 AS (SELECT f.id, CAST(f.s * ($PrScale // ns.k) AS BIGINT) AS r
+         |  FROM flg f CROSS JOIN ns),
+         |$rounds
+         |SELECT id AS vec_id, r AS ppr FROM pr$PrIters""".stripMargin
     },
 
     "knn_ivf" -> {

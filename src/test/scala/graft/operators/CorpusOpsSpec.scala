@@ -604,4 +604,52 @@ class CorpusOpsSpec extends AnyFunSuite with PropHelpers {
       assert(alloc.forall(_ >= 0))
     }
   }
+
+  // --------------------------------------------------- importance scores
+
+  /** The operator's bucket recipe sequentially (md5 hex 29–32 mod buckets,
+    * salt "dsir:"). */
+  private def refDsirBucket(t: String, buckets: Int): Int = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+    val hx = d.digest(s"dsir:$t".getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    Integer.parseInt(hx.substring(28, 32), 16) % buckets
+  }
+
+  /** Sequential DSIR reference: smoothed bucket counts, bit-length logs,
+    * summed per-doc log-ratio. */
+  private def refDsir(rows: Seq[(Long, String, String)], target: String,
+                      buckets: Int, scale: Long): Map[Long, (Long, Long)] = {
+    def log2(x: Long): Long = 63 - java.lang.Long.numberOfLeadingZeros(x)
+    val toks = rows.map { case (id, src, text) =>
+      (id, src, text.split(" ", -1).map(refDsirBucket(_, buckets))) }
+    val tc = new Array[Long](buckets); val rc = new Array[Long](buckets)
+    toks.foreach { case (_, src, bs) =>
+      bs.foreach(b => if (src == target) tc(b) += 1 else rc(b) += 1) }
+    val (tt, rt) = (tc.sum, rc.sum)
+    def tbits(b: Int) = log2((tt + buckets) * scale / (tc(b) + 1))
+    def rbits(b: Int) = log2((rt + buckets) * scale / (rc(b) + 1))
+    toks.map { case (id, _, bs) =>
+      id -> (bs.length.toLong, bs.map(b => rbits(b) - tbits(b)).sum)
+    }.toMap
+  }
+
+  test("importanceScores: matches the sequential reference; target-vocab docs rank above raw-vocab docs") {
+    val rnd = new scala.util.Random(31)
+    // Target docs speak 'curated' vocabulary; raw docs mostly 'web'
+    // vocabulary; one raw doc written in curated words must outscore its
+    // web-vocabulary siblings.
+    def words(prefix: String, n: Int) =
+      (1 to 12).map(_ => s"$prefix${rnd.nextInt(n)}").mkString(" ")
+    val rows = (1L to 6L).map(i => (i, "tgt", words("cur", 8))) ++
+      (7L to 14L).map(i => (i, "web", words("w", 30))) :+
+      (15L, "web", words("cur", 8))
+    val got = CorpusOps.importanceScores(
+        docsDF(rows: _*), "doc_id", "source", col("source") === "tgt", 64, 65536L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    graft.core.Caches.releaseAll()
+    assert(got == refDsir(rows, "tgt", 64, 65536L))
+    val webScores = (7L to 14L).map(got(_)._2)
+    assert(webScores.forall(_ < got(15L)._2),
+      s"curated-vocabulary raw doc must outscore web docs: ${got(15L)._2} vs $webScores")
+  }
 }

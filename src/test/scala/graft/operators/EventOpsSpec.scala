@@ -124,4 +124,43 @@ class EventOpsSpec extends AnyFunSuite {
       ("a", 5L, 2L), ("a", 6L, 2L), ("a", 7L, 2L), ("a", 8L, 1L),
       ("b", 3L, 4L)))
   }
+
+  test("ewmaDaily: scaled numerator matches the hand-computed truncated recursion") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // w = 3: weights (j=0,1,2) are 64, 56, 49 (7^j * 8^(2-j)).
+    val daily = Seq(
+      ("a", 1L, 10L), ("a", 2L, 0L), ("a", 3L, 4L), ("a", 4L, 2L)
+    ).toDF("g", "day", "n")
+    val got = EventOps.ewmaDaily(daily, Seq("g"), "day", "n", 3)
+      .collect().map(r => r.getLong(1) -> r.getLong(3)).toMap
+    assert(got == Map(
+      1L -> (10 * 64L),                      // only one term exists
+      2L -> (0 * 64L + 10 * 56L),
+      3L -> (4 * 64L + 0 * 56L + 10 * 49L),
+      4L -> (2 * 64L + 4 * 56L + 0 * 49L))) // day-1 term aged out
+  }
+
+  test("spikeDays: full-history 3-sigma test flags the spike, not the ramp") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // Flat baseline of 5 for a week, then a day at 50: σ = 0 on the flat
+    // window, so any bump flags; the first 7 days have no full history
+    // and must stay 0 regardless of value.
+    val daily = ((1L to 7L).map(d => ("a", d, 5L)) :+ ("a", 8L, 50L) :+ ("a", 9L, 5L))
+      .toDF("g", "day", "n")
+    val got = EventOps.spikeDays(daily, Seq("g"), "day", "n", 7)
+      .collect().map(r => r.getLong(1) -> r.getLong(6)).toMap
+    assert(got == Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 0L, 5L -> 0L,
+      6L -> 0L, 7L -> 0L, 8L -> 1L, 9L -> 0L))
+    // With a noisy baseline the same absolute bump must NOT flag: the
+    // variance term scales the fence.
+    val noisy = (Seq(("b", 1L, 1L), ("b", 2L, 9L), ("b", 3L, 2L), ("b", 4L, 8L),
+      ("b", 5L, 1L), ("b", 6L, 9L), ("b", 7L, 5L)) :+ ("b", 8L, 10L))
+      .toDF("g", "day", "n")
+    val gotNoisy = EventOps.spikeDays(noisy, Seq("g"), "day", "n", 7)
+      .collect().map(r => r.getLong(1) -> r.getLong(6)).toMap
+    assert(gotNoisy(8L) == 0L,
+      s"a within-3-sigma bump over a noisy baseline must not flag: $gotNoisy")
+  }
 }

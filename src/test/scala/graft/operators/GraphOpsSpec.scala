@@ -260,4 +260,80 @@ class GraphOpsSpec extends AnyFunSuite {
       }
     }
   }
+
+  /** Reference personalized PageRank: the exact seeded recursion the
+    * operator claims (node set = sources ∪ seeds, teleport to seeds only,
+    * floor division, dangling mass dropped). */
+  private def referencePpr(edges: Seq[(Long, Long)], seeds: Set[Long],
+                           iters: Int, scale: Long): Map[Long, Long] = {
+    val deg = edges.groupBy(_._1).map { case (s, es) => s -> es.size.toLong }
+    val nodes = deg.keySet ++ seeds
+    val r0 = scale / seeds.size
+    val base = (15L * r0) / 100L
+    var r: Map[Long, Long] =
+      nodes.map(v => v -> (if (seeds(v)) r0 else 0L)).toMap
+    for (_ <- 1 to iters) {
+      val contrib = edges
+        .filter { case (s, _) => deg.contains(s) }
+        .groupBy(_._2)
+        .map { case (d, es) =>
+          d -> es.map { case (s, _) => r(s) / deg(s) }.sum }
+      r = nodes.map { v =>
+        v -> ((if (seeds(v)) base else 0L) +
+          (85L * contrib.getOrElse(v, 0L)) / 100L)
+      }.toMap
+    }
+    r
+  }
+
+  private def runPpr(edges: Seq[(Long, Long)], seeds: Seq[Long],
+                     iters: Int): Map[Long, Long] = {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val got = GraphOps.personalizedPageRank(
+        edges.toDF("src", "dst"), seeds.toDF("id"), iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    graft.core.Caches.releaseAll()
+    got
+  }
+
+  test("personalizedPageRank: mass stays near the seed; disconnected component ranks 0") {
+    // Two 3-cycles; seed sits in the first — the second must stay at 0.
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L),
+      (10L, 11L), (11L, 12L), (12L, 10L))
+    val got = runPpr(edges, Seq(1L), 4)
+    assert(got == referencePpr(edges, Set(1L), 4, 1000000000000L))
+    assert(got(10L) == 0L && got(11L) == 0L && got(12L) == 0L)
+    // Every node in the seed's component is reached; the seed's direct
+    // successor carries more propagated mass than the 2-step node.
+    assert(got(1L) > 0L && got(2L) > got(3L) && got(3L) > 0L,
+      s"seeded component must carry decaying positive mass: $got")
+  }
+
+  test("personalizedPageRank: seed without out-edges keeps base mass only") {
+    // 7 is a seed nobody links to and with no out-edges: it must appear
+    // in the node set holding exactly the base teleport term each round.
+    val edges = Seq((1L, 2L), (2L, 1L))
+    val got = runPpr(edges, Seq(1L, 7L), 3)
+    val ref = referencePpr(edges, Set(1L, 7L), 3, 1000000000000L)
+    assert(got == ref)
+    assert(got(7L) == (15L * (1000000000000L / 2)) / 100L)
+  }
+
+  test("personalizedPageRank: random graphs match the reference recursion") {
+    val rnd = new scala.util.Random(11)
+    for (trial <- 0 until 3) {
+      val n = 20 + 5 * trial
+      val edges = (0 until n).flatMap { s =>
+        (0 until 1 + rnd.nextInt(3)).map { _ =>
+          var d = rnd.nextInt(n)
+          if (d == s) d = (s + 1) % n
+          (s.toLong, d.toLong)
+        }
+      }.distinct
+      val seeds = (0 until 3).map(_ => rnd.nextInt(n).toLong).distinct
+      assert(runPpr(edges, seeds, 5) ==
+        referencePpr(edges, seeds.toSet, 5, 1000000000000L), s"trial $trial")
+    }
+  }
 }

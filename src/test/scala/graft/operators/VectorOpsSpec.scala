@@ -448,6 +448,49 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(got.toSeq == Seq(1L, 2L, 3L))
   }
 
+  test("hardNegatives: cross-label top-k only; same-label near-dup is excluded") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val df = Seq(
+      (0L, Array(1.0f, 0.0f), 1),
+      (1L, Array(0.99f, 0.01f), 1), // nearest overall but SAME label
+      (2L, Array(0.9f, 0.1f), 2),   // nearest cross-label
+      (3L, Array(0.5f, 0.5f), 2),
+      (4L, Array(0.0f, 1.0f), 3)
+    ).toDF("vec_id", "embedding", "label")
+    val got = VectorOps.hardNegatives(
+        df, "vec_id", "embedding", "label", col("vec_id") === 0, 3)
+      .orderBy("rnk").collect().map(r => r.getLong(1))
+    assert(got.toSeq == Seq(2L, 3L, 4L),
+      "the same-label near-duplicate must not appear as a negative")
+    // Reference replay on a random corpus: filter-then-rank == rank of the
+    // brute scores restricted to cross-label pairs.
+    val rnd = new scala.util.Random(17)
+    val big = (0L until 60L).map(i =>
+      (i, Array.fill(8)(rnd.nextFloat() - 0.5f), (i % 4).toInt))
+      .toDF("vec_id", "embedding", "label")
+    val rows = big.collect().map(r =>
+      (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x.toDouble).sum)
+      dot / (na * nb)
+    }
+    val ref = (for ((qid, qv, ql) <- rows if qid < 4) yield {
+      val negs = rows.filter { case (nid, _, nl) => nid != qid && nl != ql }
+        .map { case (nid, nv, _) => (nid, cos(qv, nv)) }
+        .sortBy { case (nid, s) => (-s, nid) }.take(5).map(_._1).toSeq
+      qid -> negs
+    }).toMap
+    val gotBig = VectorOps.hardNegatives(
+        big, "vec_id", "embedding", "label", col("vec_id") < 4, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(1)))
+      .groupBy(_._1).map { case (q, ns) =>
+        q -> ns.sortBy(_._2).map(_._3).toSeq }
+    assert(gotBig == ref)
+  }
+
   test("knnLsh returns a subset of brute-force ranking, exactly re-ranked") {
     val spark = TestSpark.spark
     import spark.implicits._
