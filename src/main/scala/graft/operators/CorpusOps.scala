@@ -834,6 +834,51 @@ object CorpusOps {
           .as("alloc"))
   }
 
+  /** PMI-style COLLOCATION mining: token pairs that co-occur in the same
+    * document far more often than their independent document frequencies
+    * predict — the phrase/topic-structure readout (and the candidate list
+    * for multi-token vocabulary entries). Association strength is the
+    * integer-floor LIFT in milli-units,
+    *
+    *   lift‰(a,b) = (1000 · n_ab · N) div (df_a · df_b)
+    *
+    * (PMI = log lift; the log is monotone, so integer lift ranks
+    * identically and stays engine-exact). Document-level co-occurrence
+    * over DISTINCT (doc, token) pairs; tokens below `minDf` docs and
+    * pairs below `minPair` co-occurrences are dropped — the support
+    * floor every collocation miner applies.
+    *
+    * Scale shape: the pair join is per-document (equi-join on the doc id,
+    * t_a < t_b), so fanout is Σ_d C(v_d, 2) with v_d capped by the
+    * df-filtered vocabulary each doc touches — at production scale the
+    * vocabulary filter (top-V by df) is the knob bounding the pair space;
+    * nothing here is quadratic in docs. The df table is vocabulary-sized
+    * and broadcasts into both the filter and the lift join.
+    * Output: (ta, tb, n_pair, df_a, df_b, lift_milli). */
+  def liftPairs(docs: DataFrame, idCol: String, minDf: Long,
+                minPair: Long): DataFrame = {
+    require(minDf >= 1 && minPair >= 1, s"bad support floors: $minDf/$minPair")
+    val toks = graft.core.Caches.persistTracked(
+      docs.select(col(idCol).as("id"),
+          explode(split(coalesce(col("text"), lit("")), " ")).as("t"))
+        .distinct())
+    val nDocs = docs.select(col(idCol)).distinct().count()
+    val dfT = graft.core.Caches.persistTracked(
+      toks.groupBy("t").agg(count(lit(1)).as("df"))
+        .filter(col("df") >= minDf))
+    val vt = toks.join(broadcast(dfT.select("t")), "t")
+    val pairs = vt.select(col("id"), col("t").as("ta"))
+      .join(vt.select(col("id"), col("t").as("tb")), "id")
+      .filter(col("ta") < col("tb"))
+      .groupBy("ta", "tb").agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= minPair)
+    pairs
+      .join(broadcast(dfT.select(col("t").as("ta"), col("df").as("df_a"))), "ta")
+      .join(broadcast(dfT.select(col("t").as("tb"), col("df").as("df_b"))), "tb")
+      .select(col("ta"), col("tb"), col("n_pair"), col("df_a"), col("df_b"),
+        expr(s"(1000 * n_pair * ${nDocs}L) div (df_a * df_b)").as("lift_milli"))
+  }
+
   /** ⌊log₂ x⌋ of a positive integer column via bit length — the same
     * engine-neutral quantized logarithm as [[ModelOps]]' naive Bayes
     * (`length(bin(x)) − 1`: both Spark and DuckDB print BIGINT binary

@@ -544,6 +544,13 @@ object PipelineQueries {
         kg.select(col("qid").as("src"), col("nid").as("dst")), PrIters)
     }),
 
+    // PMI-style collocations: doc-level token-pair lift in integer
+    // milli-units over the df-filtered vocabulary — phrase structure /
+    // multi-token vocabulary candidates, support-floored.
+    "corp_pmi" -> ((s, d) =>
+      graft.operators.CorpusOps.liftPairs(docs(s, d), "doc_id",
+        PmiMinDf, PmiMinPair)),
+
     // DSIR-style importance scores: hashed-unigram log-ratio of a TARGET
     // distribution (source 'src0' as the curated domain proxy) vs the
     // raw rest — the importance-resampling data-selection signal, ⌊log₂⌋
@@ -1490,6 +1497,8 @@ object PipelineQueries {
     * DuckDB's floor `//` agree on the band (scores are bounded by ±16
     * bits × tokens-per-doc, far inside 2²⁰). */
   private val DsirBandOffset = 1048576L
+  private val PmiMinDf    = 10L
+  private val PmiMinPair  = 5L
 
   /** Per-query recall@5 of an ANN `method` result (qid, nid, …) against
     * the exact-cosine baseline over the same query set: n_true = baseline
@@ -3327,6 +3336,24 @@ object PipelineQueries {
          |FROM pb JOIN cells c ON c.r = pb.r AND c.bucket = pb.bucket
          |GROUP BY 1, 2""".stripMargin
     },
+
+    // corp_pmi: distinct (doc, token) incidence, df floor, per-doc pair
+    // join, integer milli-lift — all-positive floor division both sides.
+    "corp_pmi" ->
+      s"""WITH toks AS (SELECT DISTINCT doc_id AS id, t FROM (
+         |    SELECT doc_id, unnest(string_split(coalesce(text, ''), ' ')) AS t
+         |    FROM documents)),
+         |n AS (SELECT COUNT(DISTINCT doc_id) AS nd FROM documents),
+         |dfreq AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS df FROM toks
+         |  GROUP BY 1 HAVING COUNT(*) >= $PmiMinDf),
+         |pairs AS (SELECT a.t AS ta, b.t AS tb, CAST(COUNT(*) AS BIGINT) AS n_pair
+         |  FROM toks a JOIN toks b ON a.id = b.id AND a.t < b.t
+         |  JOIN dfreq va ON va.t = a.t JOIN dfreq vb ON vb.t = b.t
+         |  GROUP BY 1, 2 HAVING COUNT(*) >= $PmiMinPair)
+         |SELECT ta, tb, n_pair, va.df AS df_a, vb.df AS df_b,
+         |  CAST((1000 * n_pair * n.nd) // (va.df * vb.df) AS BIGINT) AS lift_milli
+         |FROM pairs JOIN dfreq va ON va.t = ta JOIN dfreq vb ON vb.t = tb
+         |CROSS JOIN n""".stripMargin,
 
     // dsir_scores: replay the hashed-bucket fold (the corp_cms hex
     // arithmetic), both smoothed distributions, the bit-length log, and

@@ -605,6 +605,44 @@ class CorpusOpsSpec extends AnyFunSuite with PropHelpers {
     }
   }
 
+  // ------------------------------------------------------- collocations
+
+  test("liftPairs: brute-force doc-level lift with both support floors") {
+    val rnd = new scala.util.Random(41)
+    // 'x y' planted together in exactly one third of the docs (and
+    // nowhere else): lift = N/df = 3.0, far above filler coincidences.
+    val rows = (1L to 30L).map { i =>
+      val planted = if (i % 3 == 0) "x y " else ""
+      (i, "s", s"$planted" +
+        s"f${rnd.nextInt(6)} f${rnd.nextInt(6)} f${rnd.nextInt(6)}")
+    }
+    val (minDf, minPair) = (5L, 3L)
+    val got = CorpusOps.liftPairs(docsDF(rows: _*), "doc_id", minDf, minPair)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    graft.core.Caches.releaseAll()
+    // Sequential reference.
+    val inc = rows.flatMap { case (id, _, text) =>
+      text.split(" ", -1).distinct.map(t => (id, t)) }
+    val nd = rows.map(_._1).distinct.size.toLong
+    val dfm = inc.groupBy(_._2).map { case (t, xs) => t -> xs.size.toLong }
+      .filter(_._2 >= minDf)
+    val byDoc = inc.filter(x => dfm.contains(x._2)).groupBy(_._1)
+      .map { case (_, xs) => xs.map(_._2).sorted }
+    val ref = byDoc.toSeq
+      .flatMap(ts => for (i <- ts.indices; j <- (i + 1) until ts.length)
+        yield (ts(i), ts(j)))
+      .groupBy(identity).map { case (p, xs) => p -> xs.size.toLong }
+      .filter(_._2 >= minPair)
+      .map { case ((a, b), nab) =>
+        (a, b) -> (nab, dfm(a), dfm(b), 1000L * nab * nd / (dfm(a) * dfm(b))) }
+    assert(got == ref)
+    // The planted pair carries the highest lift.
+    val top = got.toSeq.maxBy { case (_, (_, _, _, l)) => l }._1
+    assert(top == ("x", "y"), s"planted collocation must top the lift: $got")
+  }
+
   // --------------------------------------------------- importance scores
 
   /** The operator's bucket recipe sequentially (md5 hex 29–32 mod buckets,
