@@ -207,6 +207,51 @@ object MultimodalOps {
       lit(3L * grid * grid).as("n_bytes")))
   }
 
+  /** aHash-style PERCEPTUAL image hash over a `grid`×`grid` nearest-
+    * neighbor downsample: each cell's brightness is the 3-channel byte sum
+    * at its sampled pixel, a cell sets bit (j·grid + i) iff its brightness
+    * exceeds the image mean (integer cross-multiplied: b·grid² > Σb), and
+    * the hash is the bit sum — the classic average-hash near-dup signature
+    * (images differing by noise/re-encode land on equal or near-equal
+    * hashes; grouping by the hash IS the image-dedup blocking key, the
+    * binary-modality twin of SimHash buckets on text).
+    *
+    * Same header/stride/zero-fill contract as [[bmpPixelGridSum]]; same
+    * HOF-fold shape (the lattice walks as `transform`/`aggregate` lambdas,
+    * so the surrounding stage keeps whole-stage codegen). Output struct:
+    * (ahash, lum_sum) — null for non-BMP payloads. */
+  def bmpAHash(bin: Column, grid: Int): Column = {
+    require(grid >= 2 && grid <= 7, s"grid out of range: $grid")
+    val hx = hex(bin)
+    def byteAt(off: Int) = hx.substr(lit(off * 2 + 1), lit(2))
+    def leU(off: Int, n: Int): Column =
+      conv(concat((0 until n).reverse.map(i => byteAt(off + i)): _*), 16, 10)
+        .cast("long")
+    val ok = length(bin) >= 54 && hx.substr(1, 4) === "424D" &&
+      leU(14, 4) === 40 && leU(28, 2) === 24 && leU(22, 4) < 2147483648L
+    val w = leU(18, 4)
+    val h = leU(22, 4)
+    val dataOff = leU(10, 4)
+    val rowSize = floor((w * 3 + lit(3)) / 4).cast("long") * 4
+    val cells = transform(sequence(lit(0L), lit(grid.toLong * grid - 1)), k => {
+      val i = k % grid
+      val j = floor(k / grid).cast("long")
+      val x = floor((w - 1) * i / (grid - 1)).cast("long")
+      val y = floor((h - 1) * j / (grid - 1)).cast("long")
+      val base = dataOff + rowSize * (h - 1 - y) + x * 3
+      (0 until 3).map(c => coalesce(
+        conv(hx.substr(((base + c) * 2 + 1).cast("int"), lit(2)), 16, 10)
+          .cast("long"), lit(0L))).reduce(_ + _)
+    })
+    val total = aggregate(cells, lit(0L), _ + _)
+    val weights = array(Array.tabulate(grid * grid)(k => lit(1L << k)): _*)
+    val hash = aggregate(
+      zip_with(cells, weights, (b, wt) =>
+        when(b * lit(grid.toLong * grid) > total, wt).otherwise(lit(0L))),
+      lit(0L), _ + _)
+    when(ok, struct(hash.as("ahash"), total.as("lum_sum")))
+  }
+
   /** WINDOWED PCM ENERGY over an 8-bit mono WAV ([[wavBlob]] layout): per
     * full window of `win` samples, Σ (sample − 128)² — the
     * silence/clipping localization signal an audio curation pass keys on

@@ -1387,6 +1387,23 @@ object PipelineQueries {
           sum(col("p.n_bytes")).as("n_bytes"))
     }),
 
+    // PERCEPTUAL image hashing: 4×4 aHash per image (mean-threshold bits
+    // over the downsampled luma lattice) → bucket-size census — the
+    // image near-dup blocking readout (the binary-modality twin of
+    // SimHash buckets on text). The oracle recomputes every sampled
+    // byte, the mean threshold, and each doc's 16 bits independently.
+    "mm_phash" -> ((s, d) => {
+      import graft.operators.MultimodalOps._
+      docs(s, d)
+        .select(bmpAHash(bmpBlob(
+          lit(1) + pmod(col("doc_id"), lit(24)),
+          lit(1) + pmod(col("doc_id") * 7, lit(24)),
+          asBlob(col("text"))), 4).as("p"))
+        .groupBy(col("p.ahash").as("ahash"))
+        .agg(count(lit(1)).as("sz"))
+        .groupBy("sz").agg(count(lit(1)).as("n_buckets"))
+    }),
+
     // SAMPLE-level audio windowing: per-50-sample energy over 8-bit mono
     // PCM, max + sum per lang (the silence/clipping localization signal).
     // Partial tail windows drop, so the windowing arithmetic — not just
@@ -2417,6 +2434,35 @@ object PipelineQueries {
          |  CAST(SUM(v) AS BIGINT) AS pix_sum,
          |  CAST(COUNT(*) AS BIGINT) AS n_bytes
          |FROM b GROUP BY source""".stripMargin
+    },
+
+    // mm_phash: per-doc 4×4 aHash recomputed from the payload bytes
+    // (same stride/flip/zero-fill coordinates as mm_pixels), mean
+    // threshold cross-multiplied, bit weights 1 << (j*4 + i), then the
+    // bucket-size census over the 16-bit hashes.
+    "mm_phash" -> {
+      val hv1 = hexvalSql("substr(hx, 2*p + 1, 1)")
+      val hv2 = hexvalSql("substr(hx, 2*p + 2, 1)")
+      s"""WITH m AS (SELECT doc_id, lower(hex(encode(text))) AS hx,
+         |    octet_length(encode(text)) AS n,
+         |    1 + (doc_id % 24) AS w, 1 + ((doc_id * 7) % 24) AS hh
+         |  FROM documents),
+         |g AS (SELECT doc_id, hx, n, w, hh, ((3 * w + 3) // 4) * 4 AS rs FROM m),
+         |pts AS (SELECT doc_id, i.i, j.j,
+         |    rs * (hh - 1 - (j.j * (hh - 1) // 3)) + 3 * (i.i * (w - 1) // 3) + c.c AS p,
+         |    hx, n
+         |  FROM g CROSS JOIN range(0, 4) i(i) CROSS JOIN range(0, 4) j(j)
+         |  CROSS JOIN range(0, 3) c(c)),
+         |cells AS (SELECT doc_id, i, j,
+         |    SUM(CASE WHEN p < n THEN $hv1 * 16 + $hv2 ELSE 0 END) AS b
+         |  FROM pts GROUP BY 1, 2, 3),
+         |tot AS (SELECT doc_id, SUM(b) AS total FROM cells GROUP BY 1),
+         |hsh AS (SELECT c.doc_id,
+         |    SUM(CASE WHEN c.b * 16 > t.total
+         |      THEN (CAST(1 AS BIGINT) << (c.j * 4 + c.i)) ELSE 0 END) AS ahash
+         |  FROM cells c JOIN tot t USING (doc_id) GROUP BY 1),
+         |bk AS (SELECT ahash, CAST(COUNT(*) AS BIGINT) AS sz FROM hsh GROUP BY 1)
+         |SELECT sz, CAST(COUNT(*) AS BIGINT) AS n_buckets FROM bk GROUP BY 1""".stripMargin
     },
 
     // mm_energy: same windowing straight from the payload bytes — sample

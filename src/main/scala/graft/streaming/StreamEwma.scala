@@ -65,4 +65,56 @@ object StreamEwma {
           out.result().iterator
       }
   }
+
+  /** Streaming 3σ spike detector — the stream-side twin of
+    * [[graft.operators.EventOps.spikeDays]]: per-group state holds the
+    * trailing `w` daily counts, each arriving (or zero-filled gap) day is
+    * judged against its PRECEDING w days with the identical
+    * cross-multiplied integer test (w·x − S)² > 9·(w·Q − S²), upward and
+    * full-history only. Emission series == the batch
+    * `spikeDays(dailyFill(…))` flag column row for row (parity spec).
+    * Same in-order contract and ≤ w-long state as [[ewmaUpdates]]. */
+  def spikeUpdates(daily: DataFrame, grpCol: String, dayCol: String,
+                   valCol: String, w: Int = 7)
+      : Dataset[(String, Long, Long, Long)] = {
+    require(w >= 2, s"window out of range: $w")
+    val spark = daily.sparkSession
+    import spark.implicits._
+    daily
+      .select(col(grpCol).cast("string"), col(dayCol).cast("long"),
+        col(valCol).cast("long"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (g: String, rows: Iterator[(String, Long, Long)],
+         state: GroupState[(Long, List[Long])]) =>
+          var (lastDay, recent) =
+            state.getOption.getOrElse((Long.MinValue, List.empty[Long]))
+          val out = Seq.newBuilder[(String, Long, Long, Long)]
+          def push(day: Long, n: Long): Unit = {
+            val flag =
+              if (recent.length < w) 0L
+              else {
+                val s = recent.sum
+                val q = recent.iterator.map(x => x * x).sum
+                if (n * w > s &&
+                  (n * w - s) * (n * w - s) > 9L * (q * w - s * s)) 1L
+                else 0L
+              }
+            recent = (n :: recent).take(w)
+            lastDay = day
+            out += ((g, day, n, flag))
+          }
+          rows.toSeq.sortBy(_._2).foreach { case (_, day, n) =>
+            if (lastDay == Long.MinValue) push(day, n)
+            else if (day > lastDay) {
+              var gap = lastDay + 1
+              while (gap < day) { push(gap, 0L); gap += 1 }
+              push(day, n)
+            }
+          }
+          state.update((lastDay, recent))
+          out.result().iterator
+      }
+  }
 }

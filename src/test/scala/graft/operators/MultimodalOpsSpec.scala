@@ -167,6 +167,36 @@ class MultimodalOpsSpec extends AnyFunSuite {
     assert(bad)
   }
 
+  test("bmpAHash: hand-computed bits over the 2×2 corner lattice; identical payloads collide") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // Same fixture as the pixel test: corner brightnesses 30, 39, 6, 15
+    // (k = 0..3), total 90; bit k set iff b·4 > 90 → k0 (30) and k1 (39)
+    // → hash = 1 + 2 = 3.
+    val payload = (1 to 16).map(_.toChar).mkString
+    val got = Seq(payload).toDF("text")
+      .select(MultimodalOps.bmpAHash(
+        MultimodalOps.bmpBlob(lit(2), lit(2),
+          MultimodalOps.asBlob(col("text"))), 2).as("p"))
+      .select(col("p.ahash"), col("p.lum_sum")).head()
+    assert((got.getLong(0), got.getLong(1)) == ((3L, 90L)))
+    // Identical payloads hash identically; a brightness change flips bits.
+    val hashes = Seq(payload, payload, (16 to 1 by -1).map(_.toChar).mkString)
+      .toDF("text")
+      .select(MultimodalOps.bmpAHash(
+        MultimodalOps.bmpBlob(lit(2), lit(2),
+          MultimodalOps.asBlob(col("text"))), 2).as("p"))
+      .select(col("p.ahash")).collect().map(_.getLong(0))
+    assert(hashes(0) == hashes(1))
+    assert(hashes(0) != hashes(2), "reversed bytes must flip threshold bits")
+    // Non-BMP rejects to null.
+    val bad = Seq("xx").toDF("text")
+      .select(MultimodalOps.bmpAHash(
+        MultimodalOps.asBlob(col("text")), 2).as("p"))
+      .head().isNullAt(0)
+    assert(bad)
+  }
+
   test("wavWindowEnergy8: window fold, tail drop, and format rejection") {
     val spark = TestSpark.spark
     import spark.implicits._

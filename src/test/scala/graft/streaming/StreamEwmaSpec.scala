@@ -65,6 +65,40 @@ class StreamEwmaSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("spikeUpdates emission flags equal the batch spikeDays over the filled series") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // Flat-ish series with one planted burst per group so real spikes exist.
+    val rows = series().map { case (g, day, n) =>
+      if (day == 25L) (g, day, n + 40L) else (g, day, n) }
+    val daily = graft.operators.EventOps.dailyFill(
+      rows.flatMap { case (g, day, n) =>
+        (1L to n).map(_ => (g, day * 86400000000L)) }.toDF("g", "us"),
+      Seq("g"), "us")
+    val ref = graft.operators.EventOps.spikeDays(daily, Seq("g"), "day",
+        "n_events", w)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(6)).toMap
+    assert(ref.values.sum > 0, "fixture must contain at least one spike")
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[(String, Long, Long)]
+    val out = StreamEwma.spikeUpdates(
+      stream.toDF.toDF("g", "day", "n"), "g", "day", "n", w)
+    val q = out.toDF("g", "day", "n", "is_spike").writeStream
+      .format("memory").queryName("spike_stream").outputMode("update").start()
+    try {
+      val ordered = rows.sortBy { case (g, day, _) => (day, g) }
+      ordered.grouped(math.max(1, ordered.length / 4)).foreach { chunk =>
+        stream.addData(chunk: _*)
+        q.processAllAvailable()
+      }
+      val got = spark.table("spike_stream").collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(3)).toMap
+      assert(got == ref)
+    } finally q.stop()
+  }
+
   test("stale (non-ascending) days are dropped, not merged") {
     val spark = TestSpark.spark
     import spark.implicits._
