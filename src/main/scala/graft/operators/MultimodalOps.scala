@@ -296,6 +296,57 @@ object MultimodalOps {
       coalesce(array_max(energies), lit(0L)).as("max_energy")))
   }
 
+  /** aHash-style PERCEPTUAL audio fingerprint over `segs` equal time
+    * segments: segment s covers samples [s·n div segs, (s+1)·n div segs),
+    * its energy is the Σ(v−128)² PCM sum, a segment sets bit s iff its
+    * energy exceeds the per-segment mean (integer cross-multiplied:
+    * e·segs > Σe), and the hash is the bit sum — the audio twin of
+    * [[bmpAHash]] (recordings differing by light noise/re-encode land on
+    * equal or near-equal fingerprints; the hash is the audio-dedup
+    * blocking key). Requires n ≥ segs samples (shorter clips yield a null
+    * fingerprint inside the struct — not enough signal to segment).
+    *
+    * Same 8-bit mono RIFF contract and nested-HOF shape as
+    * [[wavWindowEnergy8]]. Output struct: (fp, energy_sum) — null for
+    * non-WAV payloads. */
+  def wavFingerprint8(bin: Column, segs: Int): Column = {
+    require(segs >= 2 && segs <= 32, s"segs out of range: $segs")
+    val hx = hex(bin)
+    def byteAt(off: Int) = hx.substr(lit(off * 2 + 1), lit(2))
+    def leU(off: Int, n: Int): Column =
+      conv(concat((0 until n).reverse.map(i => byteAt(off + i)): _*), 16, 10)
+        .cast("long")
+    val ok = length(bin) >= 44 &&
+      hx.substr(1, 8) === "52494646" &&
+      hx.substr(17, 16) === "57415645666D7420" &&
+      hx.substr(73, 8) === "64617461" &&
+      leU(20, 2) === 1 && leU(22, 2) === 1 && leU(34, 2) === 8
+    val nSamp = leU(40, 4)
+    def sampleSq(idx: Column): Column = {
+      val v = conv(hx.substr(((lit(44L) + idx) * 2 + 1).cast("int"), lit(2)),
+        16, 10).cast("long") - 128L
+      v * v
+    }
+    // Segment bounds via floor division — every sample lands in exactly
+    // one segment, sizes differ by ≤ 1.
+    val energies = transform(sequence(lit(0L), lit(segs.toLong - 1)), s => {
+      val lo = floor(s * nSamp / segs).cast("long")
+      val hi = floor((s + 1) * nSamp / segs).cast("long") - 1
+      when(hi >= lo,
+        aggregate(sequence(lo, hi), lit(0L), (acc, k) => acc + sampleSq(k)))
+        .otherwise(lit(0L))
+    })
+    val total = aggregate(energies, lit(0L), _ + _)
+    val weights = array(Array.tabulate(segs)(s => lit(1L << s)): _*)
+    val fp = aggregate(
+      zip_with(energies, weights, (e, wt) =>
+        when(e * lit(segs.toLong) > total, wt).otherwise(lit(0L))),
+      lit(0L), _ + _)
+    when(ok, struct(
+      when(nSamp >= segs, fp).as("fp"),
+      when(nSamp >= segs, total).as("energy_sum")))
+  }
+
   /** Aspect-preserving fit of decoded metadata into a boxW×boxH bounding
     * box, integer milli-scale arithmetic (no floats → exact oracles). */
   def resizeFit(meta: Column, boxW: Int, boxH: Int): Column = {

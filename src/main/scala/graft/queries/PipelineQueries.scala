@@ -1404,6 +1404,21 @@ object PipelineQueries {
         .groupBy("sz").agg(count(lit(1)).as("n_buckets"))
     }),
 
+    // PERCEPTUAL audio fingerprinting: 16-segment energy-threshold bits
+    // per clip (the audio twin of mm_phash) → bucket-size census — the
+    // audio near-dup blocking readout. Oracle recomputes every sample's
+    // squared deviation, the segment bounds, and each bit.
+    "mm_audiohash" -> ((s, d) => {
+      import graft.operators.MultimodalOps._
+      docs(s, d)
+        .select(wavFingerprint8(
+          wavBlob(lit(8000), lit(1), lit(8), asBlob(col("text"))),
+          AudioHashSegs).as("p"))
+        .groupBy(col("p.fp").as("fp"))
+        .agg(count(lit(1)).as("sz"))
+        .groupBy("sz").agg(count(lit(1)).as("n_buckets"))
+    }),
+
     // SAMPLE-level audio windowing: per-50-sample energy over 8-bit mono
     // PCM, max + sum per lang (the silence/clipping localization signal).
     // Partial tail windows drop, so the windowing arithmetic — not just
@@ -1516,6 +1531,7 @@ object PipelineQueries {
   private val DsirBandOffset = 1048576L
   private val PmiMinDf    = 10L
   private val PmiMinPair  = 5L
+  private val AudioHashSegs = 16
 
   /** Per-query recall@5 of an ANN `method` result (qid, nid, …) against
     * the exact-cosine baseline over the same query set: n_true = baseline
@@ -2462,6 +2478,35 @@ object PipelineQueries {
          |      THEN (CAST(1 AS BIGINT) << (c.j * 4 + c.i)) ELSE 0 END) AS ahash
          |  FROM cells c JOIN tot t USING (doc_id) GROUP BY 1),
          |bk AS (SELECT ahash, CAST(COUNT(*) AS BIGINT) AS sz FROM hsh GROUP BY 1)
+         |SELECT sz, CAST(COUNT(*) AS BIGINT) AS n_buckets FROM bk GROUP BY 1""".stripMargin
+    },
+
+    // mm_audiohash: per-doc 16-segment energy fingerprint recomputed from
+    // the payload bytes (floor-division segment bounds; empty segments 0),
+    // mean threshold cross-multiplied, clips under 16 samples → NULL fp,
+    // then the bucket-size census.
+    "mm_audiohash" -> {
+      val hv1 = hexvalSql("substr(hx, 2*k + 1, 1)")
+      val hv2 = hexvalSql("substr(hx, 2*k + 2, 1)")
+      val segs = AudioHashSegs
+      s"""WITH m AS (SELECT doc_id, lower(hex(encode(text))) AS hx,
+         |    octet_length(encode(text)) AS n FROM documents),
+         |sl AS (SELECT doc_id, hx, n, unnest(range(0, $segs)) AS s FROM m),
+         |kl AS (SELECT doc_id, s, hx,
+         |    unnest(range(s * n // $segs, (s + 1) * n // $segs)) AS k FROM sl),
+         |se AS (SELECT doc_id, s,
+         |    SUM(($hv1 * 16 + $hv2 - 128) * ($hv1 * 16 + $hv2 - 128)) AS e
+         |  FROM kl GROUP BY 1, 2),
+         |tot AS (SELECT doc_id, SUM(e) AS total FROM se GROUP BY 1),
+         |raw AS (SELECT sl.doc_id,
+         |    SUM(CASE WHEN COALESCE(se.e, 0) * $segs > COALESCE(t.total, 0)
+         |      THEN (CAST(1 AS BIGINT) << sl.s) ELSE 0 END) AS rawfp
+         |  FROM sl LEFT JOIN se ON se.doc_id = sl.doc_id AND se.s = sl.s
+         |  LEFT JOIN tot t ON t.doc_id = sl.doc_id GROUP BY 1),
+         |fp AS (SELECT m.doc_id,
+         |    CASE WHEN m.n >= $segs THEN r.rawfp ELSE NULL END AS fp
+         |  FROM m JOIN raw r USING (doc_id)),
+         |bk AS (SELECT fp, CAST(COUNT(*) AS BIGINT) AS sz FROM fp GROUP BY 1)
          |SELECT sz, CAST(COUNT(*) AS BIGINT) AS n_buckets FROM bk GROUP BY 1""".stripMargin
     },
 

@@ -197,6 +197,40 @@ class MultimodalOpsSpec extends AnyFunSuite {
     assert(bad)
   }
 
+  test("wavFingerprint8: hand-computed segment bits; short clips yield null fp") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // 8 samples "AAAA    ", segs = 4 → bounds [0,2) [2,4) [4,6) [6,8):
+    // 'A' = 65 → 3969, ' ' = 32 → 9216; energies 7938, 7938, 18432, 18432,
+    // total 52740; bit s iff e·4 > 52740 → bits 2 and 3 → fp = 12.
+    val got = Seq("AAAA    ").toDF("text")
+      .select(MultimodalOps.wavFingerprint8(
+        MultimodalOps.wavBlob(lit(8000), lit(1), lit(8),
+          MultimodalOps.asBlob(col("text"))), 4).as("p"))
+      .select(col("p.fp"), col("p.energy_sum")).head()
+    assert((got.getLong(0), got.getLong(1)) == ((12L, 52740L)))
+    // Fewer samples than segments → null fingerprint (struct present).
+    val short = Seq("AB").toDF("text")
+      .select(MultimodalOps.wavFingerprint8(
+        MultimodalOps.wavBlob(lit(8000), lit(1), lit(8),
+          MultimodalOps.asBlob(col("text"))), 4).as("p"))
+      .select(col("p.fp")).head()
+    assert(short.isNullAt(0))
+    // Identical payloads collide; a loud tail flips bits.
+    val fps = Seq("AAAA    ", "AAAA    ", "    AAAA").toDF("text")
+      .select(MultimodalOps.wavFingerprint8(
+        MultimodalOps.wavBlob(lit(8000), lit(1), lit(8),
+          MultimodalOps.asBlob(col("text"))), 4).as("p"))
+      .select(col("p.fp")).collect().map(_.getLong(0))
+    assert(fps(0) == fps(1) && fps(0) != fps(2))
+    // Non-WAV rejects to a null struct.
+    val bad = Seq("xx").toDF("text")
+      .select(MultimodalOps.wavFingerprint8(
+        MultimodalOps.asBlob(col("text")), 4).as("p"))
+      .head().isNullAt(0)
+    assert(bad)
+  }
+
   test("wavWindowEnergy8: window fold, tail drop, and format rejection") {
     val spark = TestSpark.spark
     import spark.implicits._
