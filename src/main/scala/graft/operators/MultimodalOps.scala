@@ -25,6 +25,95 @@ object MultimodalOps {
     * UTF-8 bytes stand in as the payload column. */
   def asBlob(text: Column): Column = encode(text, "UTF-8")
 
+  // ---------------------------------------------------------------------
+  // Byte access for the pixel/sample readers below. Two rules keep every
+  // reader LINEAR in the payload (the round-10 perceptual hashes violated
+  // both and went quadratic — 80% of an entire 152-query bench):
+  //
+  //   1. Any subtree referenced from inside a HOF lambda is re-evaluated
+  //      PER ELEMENT by interpreted lambda evaluation, and lambda-bearing
+  //      subtrees are excluded from subexpression elimination
+  //      (SPARK-35410) — so a multiply-referenced array/aggregate must
+  //      flow through [[bindOnce]], never be repeated inline.
+  //   2. `substr` on a STRING costs O(position) per read (UTF8String walks
+  //      bytes to find char offsets), so per-sample reads over `hex(bin)`
+  //      are quadratic in the payload. `substr` on the BINARY itself is
+  //      direct byte addressing — O(1) per single-byte read — so readers
+  //      bind the blob once and slice bytes out of it directly (no hex
+  //      pass, no materialized array at all).
+  //
+  // The production swap for large compressed media remains the
+  // `mapPartitions` byte decoder named in the header.
+  // ---------------------------------------------------------------------
+
+  /** Expression-level let binding: evaluate `bound` ONCE per row and hand
+    * it to `body` as a lambda variable (an O(1) slot read at every
+    * reference). `element_at(transform(array(x), f), 1)` is the identity
+    * wrapper that creates the binding scope. */
+  private def bindOnce(bound: Column, body: Column => Column): Column =
+    element_at(transform(array(bound), body), 1)
+
+  /** Payload byte count of the bound blob — O(1) (`length` of a binary
+    * column is its byte count). */
+  private def byteLen(b: Column): Column = length(b).cast("long")
+
+  /** Byte value at 0-based offset `off` of the bound blob — NULL past the
+    * end or outside [0, 2^30) (callers apply their format's fill rule).
+    * The range guard matters because corrupt headers evaluate eagerly
+    * under [[bindOnce]]: an unguarded wrapped position would read from
+    * the blob END (substr's negative-position convention) instead of
+    * returning the out-of-bounds NULL. O(1): a one-byte binary slice,
+    * hexed (2 chars) and parsed. */
+  private def byteAtN(b: Column, off: Column): Column = {
+    val safe = when(off >= 0 && off < (1L << 30), off)
+    conv(hex(b.substr((safe + 1).cast("int"), lit(1))), 16, 10).cast("long")
+  }
+
+  /** Little-endian unsigned integer of `n` bytes at fixed offset `off`
+    * (NULL if any byte is out of bounds). */
+  private def leUN(nb: Column, off: Int, n: Int): Column =
+    (0 until n).map(i =>
+      byteAtN(nb, lit(off + i)) * lit(1L << (8 * i)))
+      .reduce(_ + _)
+
+  private val BmpMagic  = 0x4D42L       // "BM"   as LE u16
+  private val RiffMagic = 0x46464952L   // "RIFF" as LE u32
+  private val WaveMagic = 0x45564157L   // "WAVE" as LE u32
+  private val FmtMagic  = 0x20746D66L   // "fmt " as LE u32
+  private val DataMagic = 0x61746164L   // "data" as LE u32
+
+  /** BMP header fields parsed ONCE per row — callers bind the struct
+    * before any lattice lambda references it (a field read on the bound
+    * struct is O(1); re-deriving one is a ~30-node little-endian parse
+    * PER LATTICE ELEMENT, which was half the remaining per-row cost). */
+  private def bmpHeader(b: Column): Column = {
+    val w = leUN(b, 18, 4)
+    struct(w.as("w"), leUN(b, 22, 4).as("h"), leUN(b, 10, 4).as("o"),
+      (floor((w * 3 + lit(3)) / 4).cast("long") * 4).as("rs"))
+  }
+
+  /** 24bpp-BMP validity over a bound blob + bound header. The last check
+    * keeps the claimed pixel array inside guard-addressable byte
+    * positions (< 2^30) — an absurd header REJECTS as undecodable
+    * instead of reading aliased positions. */
+  private def bmpOk(b: Column, hd: Column): Column =
+    byteLen(b) >= 54 && leUN(b, 0, 2) === BmpMagic &&
+      leUN(b, 14, 4) === 40 && leUN(b, 28, 2) === 24 &&
+      hd.getField("h") < 2147483648L &&
+      hd.getField("o") + hd.getField("rs") * hd.getField("h") < (1L << 30)
+
+  /** 8-bit mono PCM WAV validity over a bound blob: RIFF/WAVE/fmt/data
+    * magics, PCM mono 8-bit format fields, and a claimed sample count
+    * inside guard-addressable positions (< 2^30 — an oversize header
+    * REJECTS instead of silently nulling samples past the int range,
+    * the round-10 advice item). */
+  private def wavOk8(b: Column): Column =
+    byteLen(b) >= 44 &&
+      leUN(b, 0, 4) === RiffMagic && leUN(b, 8, 4) === WaveMagic &&
+      leUN(b, 12, 4) === FmtMagic && leUN(b, 36, 4) === DataMagic &&
+      leUN(b, 20, 2) === 1 && leUN(b, 22, 2) === 1 && leUN(b, 34, 2) === 8 &&
+      leUN(b, 40, 4) < (1L << 30)
+
   /** Little-endian hex of the low `nBytes` bytes of a non-negative
     * integral column — the BMP header's field encoding. */
   private def leHex(v: Column, nBytes: Int): Column =
@@ -171,40 +260,34 @@ object MultimodalOps {
     * arithmetic — 3·grid² byte reads per row, no codec, no UDF. */
   def bmpPixelGridSum(bin: Column, grid: Int): Column = {
     require(grid >= 2 && grid <= 16, s"grid out of range: $grid")
-    val hx = hex(bin)
-    def byteAt(off: Int) = hx.substr(lit(off * 2 + 1), lit(2))
-    def leU(off: Int, n: Int): Column =
-      conv(concat((0 until n).reverse.map(i => byteAt(off + i)): _*), 16, 10)
-        .cast("long")
-    val ok = length(bin) >= 54 && hx.substr(1, 4) === "424D" &&
-      leU(14, 4) === 40 && leU(28, 2) === 24 && leU(22, 4) < 2147483648L
-    val w = leU(18, 4)
-    val h = leU(22, 4)
-    val dataOff = leU(10, 4)
-    val rowSize = floor((w * 3 + lit(3)) / 4).cast("long") * 4
-    // ONE fold over the flat lattice index (k → (c, i, j)), not 3·grid²
-    // unrolled terms: the unrolled form grows the surrounding whole-stage-
-    // codegen method past javac's 64 KB limit and forces an interpreted
-    // fallback of the whole aggregate stage; the fold keeps codegen alive
-    // and only the small lambda is interpreted. Exact for dims < 2^26:
-    // the products stay inside double's 2^53 integer range, so
-    // floor(·/k) is floor division.
-    val pixSum = aggregate(
-      sequence(lit(0L), lit(3L * grid * grid - 1)), lit(0L), (acc, k) => {
-        val c = k % 3
-        val rest = floor(k / 3).cast("long")
-        val i = rest % grid
-        val j = floor(rest / grid).cast("long")
-        val x = floor((w - 1) * i / (grid - 1)).cast("long")
-        val y = floor((h - 1) * j / (grid - 1)).cast("long")
-        val p = dataOff + rowSize * (h - 1 - y) + x * 3 + c
-        acc + coalesce(
-          conv(hx.substr((p * 2 + 1).cast("int"), lit(2)), 16, 10).cast("long"),
-          lit(0L))
-      })
-    when(ok, struct(
-      pixSum.as("pix_sum"),
-      lit(3L * grid * grid).as("n_bytes")))
+    bindOnce(bin, nb => bindOnce(bmpHeader(nb), hd => {
+      val w = hd.getField("w")
+      val h = hd.getField("h")
+      val dataOff = hd.getField("o")
+      val rowSize = hd.getField("rs")
+      val ok = bmpOk(nb, hd)
+      // ONE fold over the flat lattice index (k → (c, i, j)), not 3·grid²
+      // unrolled terms: the unrolled form grows the surrounding whole-stage-
+      // codegen method past javac's 64 KB limit and forces an interpreted
+      // fallback of the whole aggregate stage; the fold keeps codegen alive
+      // and only the small lambda is interpreted. Exact for dims < 2^26:
+      // the products stay inside double's 2^53 integer range, so
+      // floor(·/k) is floor division.
+      val pixSum = aggregate(
+        sequence(lit(0L), lit(3L * grid * grid - 1)), lit(0L), (acc, k) => {
+          val c = k % 3
+          val rest = floor(k / 3).cast("long")
+          val i = rest % grid
+          val j = floor(rest / grid).cast("long")
+          val x = floor((w - 1) * i / (grid - 1)).cast("long")
+          val y = floor((h - 1) * j / (grid - 1)).cast("long")
+          val p = dataOff + rowSize * (h - 1 - y) + x * 3 + c
+          acc + coalesce(byteAtN(nb, p), lit(0L))
+        })
+      when(ok, struct(
+        pixSum.as("pix_sum"),
+        lit(3L * grid * grid).as("n_bytes")))
+    }))
   }
 
   /** aHash-style PERCEPTUAL image hash over a `grid`×`grid` nearest-
@@ -216,40 +299,40 @@ object MultimodalOps {
     * hashes; grouping by the hash IS the image-dedup blocking key, the
     * binary-modality twin of SimHash buckets on text).
     *
-    * Same header/stride/zero-fill contract as [[bmpPixelGridSum]]; same
-    * HOF-fold shape (the lattice walks as `transform`/`aggregate` lambdas,
-    * so the surrounding stage keeps whole-stage codegen). Output struct:
+    * Same header/stride/zero-fill contract as [[bmpPixelGridSum]]. Cost
+    * shape: LINEAR by construction — the nibble array, the cell array,
+    * and the cell total are each bound once ([[bindOnce]]) before any
+    * lambda references them, and the threshold bits unroll over
+    * `element_at` reads of the bound cells (grid ≤ 7 keeps the unroll
+    * small). The round-10 form repeated the cell/total subtrees inline
+    * inside a zip_with lambda, which re-evaluated the whole lattice —
+    * including a blob re-hex — once per output bit. Output struct:
     * (ahash, lum_sum) — null for non-BMP payloads. */
   def bmpAHash(bin: Column, grid: Int): Column = {
     require(grid >= 2 && grid <= 7, s"grid out of range: $grid")
-    val hx = hex(bin)
-    def byteAt(off: Int) = hx.substr(lit(off * 2 + 1), lit(2))
-    def leU(off: Int, n: Int): Column =
-      conv(concat((0 until n).reverse.map(i => byteAt(off + i)): _*), 16, 10)
-        .cast("long")
-    val ok = length(bin) >= 54 && hx.substr(1, 4) === "424D" &&
-      leU(14, 4) === 40 && leU(28, 2) === 24 && leU(22, 4) < 2147483648L
-    val w = leU(18, 4)
-    val h = leU(22, 4)
-    val dataOff = leU(10, 4)
-    val rowSize = floor((w * 3 + lit(3)) / 4).cast("long") * 4
-    val cells = transform(sequence(lit(0L), lit(grid.toLong * grid - 1)), k => {
-      val i = k % grid
-      val j = floor(k / grid).cast("long")
-      val x = floor((w - 1) * i / (grid - 1)).cast("long")
-      val y = floor((h - 1) * j / (grid - 1)).cast("long")
-      val base = dataOff + rowSize * (h - 1 - y) + x * 3
-      (0 until 3).map(c => coalesce(
-        conv(hx.substr(((base + c) * 2 + 1).cast("int"), lit(2)), 16, 10)
-          .cast("long"), lit(0L))).reduce(_ + _)
-    })
-    val total = aggregate(cells, lit(0L), _ + _)
-    val weights = array(Array.tabulate(grid * grid)(k => lit(1L << k)): _*)
-    val hash = aggregate(
-      zip_with(cells, weights, (b, wt) =>
-        when(b * lit(grid.toLong * grid) > total, wt).otherwise(lit(0L))),
-      lit(0L), _ + _)
-    when(ok, struct(hash.as("ahash"), total.as("lum_sum")))
+    bindOnce(bin, nb => bindOnce(bmpHeader(nb), hd => {
+      val w = hd.getField("w")
+      val h = hd.getField("h")
+      val dataOff = hd.getField("o")
+      val rowSize = hd.getField("rs")
+      val ok = bmpOk(nb, hd)
+      val cells = transform(sequence(lit(0L), lit(grid.toLong * grid - 1)), k => {
+        val i = k % grid
+        val j = floor(k / grid).cast("long")
+        val x = floor((w - 1) * i / (grid - 1)).cast("long")
+        val y = floor((h - 1) * j / (grid - 1)).cast("long")
+        val base = dataOff + rowSize * (h - 1 - y) + x * 3
+        (0 until 3).map(c =>
+          coalesce(byteAtN(nb, base + c), lit(0L))).reduce(_ + _)
+      })
+      bindOnce(cells, cs =>
+        bindOnce(aggregate(cs, lit(0L), _ + _), total => {
+          val hash = (0 until grid * grid).map(k =>
+            when(element_at(cs, k + 1) * lit(grid.toLong * grid) > total,
+              lit(1L << k)).otherwise(lit(0L))).reduce(_ + _)
+          when(ok, struct(hash.as("ahash"), total.as("lum_sum")))
+        }))
+    }))
   }
 
   /** WINDOWED PCM ENERGY over an 8-bit mono WAV ([[wavBlob]] layout): per
@@ -261,39 +344,35 @@ object MultimodalOps {
     * max_energy:long>` (max 0 when no full window), NULL for anything
     * that is not 8-bit mono PCM.
     *
-    * Cost shape: one hex pass; the per-window fold runs as nested
-    * higher-order aggregates over index sequences (interpreted lambdas —
-    * fine at fixture scale; a production decoder runs the same windowing
-    * over raw bytes in `mapInPartitions`, which is the documented swap
-    * point for compressed codecs too). */
+    * Cost shape: one hex pass into the bound nibble array, then one O(1)
+    * `element_at` read per sample (the substr-per-sample form walked
+    * O(position) bytes per read — quadratic in the clip). Headers whose
+    * claimed sample count exceeds int-addressable positions (≥ 2^30)
+    * REJECT as undecodable instead of aliasing through the int index
+    * cast. A production decoder for compressed codecs runs the same
+    * windowing over raw bytes in `mapInPartitions` — the documented swap
+    * point. */
   def wavWindowEnergy8(bin: Column, win: Int): Column = {
     require(win >= 1 && win <= 65536, s"win out of range: $win")
-    val hx = hex(bin)
-    def byteAt(off: Int) = hx.substr(lit(off * 2 + 1), lit(2))
-    def leU(off: Int, n: Int): Column =
-      conv(concat((0 until n).reverse.map(i => byteAt(off + i)): _*), 16, 10)
-        .cast("long")
-    val ok = length(bin) >= 44 &&
-      hx.substr(1, 8) === "52494646" &&
-      hx.substr(17, 16) === "57415645666D7420" &&
-      hx.substr(73, 8) === "64617461" &&
-      leU(20, 2) === 1 && leU(22, 2) === 1 && leU(34, 2) === 8
-    val nSamp = leU(40, 4) // 8-bit mono: 1 byte per sample, data at 44
-    val nWin = floor(nSamp / win).cast("long")
-    def sampleSq(idx: Column): Column = {
-      val v = conv(hx.substr(((lit(44L) + idx) * 2 + 1).cast("int"), lit(2)),
-        16, 10).cast("long") - 128L
-      v * v
-    }
-    val energies = when(nWin > 0,
-      transform(sequence(lit(0L), nWin - 1), wi =>
-        aggregate(sequence(lit(0L), lit(win.toLong - 1)), lit(0L),
-          (acc, k) => acc + sampleSq(wi * win + k))))
-      .otherwise(array().cast("array<bigint>"))
-    when(ok, struct(
-      nWin.as("n_windows"),
-      coalesce(aggregate(energies, lit(0L), _ + _), lit(0L)).as("sum_energy"),
-      coalesce(array_max(energies), lit(0L)).as("max_energy")))
+    bindOnce(bin, nb => bindOnce(leUN(nb, 40, 4), nSamp => {
+      // nSamp bound once: 8-bit mono has 1 byte per sample, data at 44.
+      val ok = wavOk8(nb)
+      val nWin = floor(nSamp / win).cast("long")
+      def sampleSq(idx: Column): Column = {
+        val v = byteAtN(nb, lit(44L) + idx) - 128L
+        v * v
+      }
+      val energies = when(nWin > 0,
+        transform(sequence(lit(0L), nWin - 1), wi =>
+          aggregate(sequence(lit(0L), lit(win.toLong - 1)), lit(0L),
+            (acc, k) => acc + sampleSq(wi * win + k))))
+        .otherwise(array().cast("array<bigint>"))
+      bindOnce(energies, es =>
+        when(ok, struct(
+          nWin.as("n_windows"),
+          coalesce(aggregate(es, lit(0L), _ + _), lit(0L)).as("sum_energy"),
+          coalesce(array_max(es), lit(0L)).as("max_energy"))))
+    }))
   }
 
   /** aHash-style PERCEPTUAL audio fingerprint over `segs` equal time
@@ -306,45 +385,43 @@ object MultimodalOps {
     * blocking key). Requires n ≥ segs samples (shorter clips yield a null
     * fingerprint inside the struct — not enough signal to segment).
     *
-    * Same 8-bit mono RIFF contract and nested-HOF shape as
-    * [[wavWindowEnergy8]]. Output struct: (fp, energy_sum) — null for
-    * non-WAV payloads. */
+    * Same 8-bit mono RIFF contract as [[wavWindowEnergy8]], same linear
+    * cost shape as [[bmpAHash]]: nibble array, segment-energy array, and
+    * energy total each bound once before any lambda references them, and
+    * the threshold bits unroll over `element_at` reads of the bound
+    * energies (segs ≤ 32). The round-10 form referenced the total — an
+    * aggregate over per-sample folds — inside a zip_with lambda, which
+    * re-ran the ENTIRE per-sample energy pass once per output bit:
+    * O(clip²) per document, 113 s alone at sf0.1 (now well under a
+    * second). Output struct: (fp, energy_sum) — null for non-WAV
+    * payloads. */
   def wavFingerprint8(bin: Column, segs: Int): Column = {
     require(segs >= 2 && segs <= 32, s"segs out of range: $segs")
-    val hx = hex(bin)
-    def byteAt(off: Int) = hx.substr(lit(off * 2 + 1), lit(2))
-    def leU(off: Int, n: Int): Column =
-      conv(concat((0 until n).reverse.map(i => byteAt(off + i)): _*), 16, 10)
-        .cast("long")
-    val ok = length(bin) >= 44 &&
-      hx.substr(1, 8) === "52494646" &&
-      hx.substr(17, 16) === "57415645666D7420" &&
-      hx.substr(73, 8) === "64617461" &&
-      leU(20, 2) === 1 && leU(22, 2) === 1 && leU(34, 2) === 8
-    val nSamp = leU(40, 4)
-    def sampleSq(idx: Column): Column = {
-      val v = conv(hx.substr(((lit(44L) + idx) * 2 + 1).cast("int"), lit(2)),
-        16, 10).cast("long") - 128L
-      v * v
-    }
-    // Segment bounds via floor division — every sample lands in exactly
-    // one segment, sizes differ by ≤ 1.
-    val energies = transform(sequence(lit(0L), lit(segs.toLong - 1)), s => {
-      val lo = floor(s * nSamp / segs).cast("long")
-      val hi = floor((s + 1) * nSamp / segs).cast("long") - 1
-      when(hi >= lo,
-        aggregate(sequence(lo, hi), lit(0L), (acc, k) => acc + sampleSq(k)))
-        .otherwise(lit(0L))
-    })
-    val total = aggregate(energies, lit(0L), _ + _)
-    val weights = array(Array.tabulate(segs)(s => lit(1L << s)): _*)
-    val fp = aggregate(
-      zip_with(energies, weights, (e, wt) =>
-        when(e * lit(segs.toLong) > total, wt).otherwise(lit(0L))),
-      lit(0L), _ + _)
-    when(ok, struct(
-      when(nSamp >= segs, fp).as("fp"),
-      when(nSamp >= segs, total).as("energy_sum")))
+    bindOnce(bin, nb => bindOnce(leUN(nb, 40, 4), nSamp => {
+      val ok = wavOk8(nb)
+      def sampleSq(idx: Column): Column = {
+        val v = byteAtN(nb, lit(44L) + idx) - 128L
+        v * v
+      }
+      // Segment bounds via floor division — every sample lands in exactly
+      // one segment, sizes differ by ≤ 1.
+      val energies = transform(sequence(lit(0L), lit(segs.toLong - 1)), s => {
+        val lo = floor(s * nSamp / segs).cast("long")
+        val hi = floor((s + 1) * nSamp / segs).cast("long") - 1
+        when(hi >= lo,
+          aggregate(sequence(lo, hi), lit(0L), (acc, k) => acc + sampleSq(k)))
+          .otherwise(lit(0L))
+      })
+      bindOnce(energies, es =>
+        bindOnce(aggregate(es, lit(0L), _ + _), total => {
+          val fp = (0 until segs).map(s =>
+            when(element_at(es, s + 1) * lit(segs.toLong) > total,
+              lit(1L << s)).otherwise(lit(0L))).reduce(_ + _)
+          when(ok, struct(
+            when(nSamp >= segs, fp).as("fp"),
+            when(nSamp >= segs, total).as("energy_sum")))
+        }))
+    }))
   }
 
   /** Aspect-preserving fit of decoded metadata into a boxW×boxH bounding
