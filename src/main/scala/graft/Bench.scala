@@ -23,22 +23,30 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .filter(_.nonEmpty)
     val errors = scala.collection.mutable.ListBuffer.empty[String]
+    // Per-query time budget: a breach records the -1 sentinel + an errors
+    // entry and the bench MOVES ON — one pathological query must never
+    // again turn a green round into a driver-level rc=124 with no
+    // per-query data (round 10's failure mode). 150 s default covers the
+    // slowest legitimate query at sf0.1 by ~30× while still bounding the
+    // worst case of the whole run.
+    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_QUERY_BUDGET_SEC", "150").toDouble
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
-      // A query that crashes must not measure as FAST (an aborted job returns
-      // in milliseconds and would flatter the total): record a -1 sentinel
-      // and surface the name in an "errors" field instead.
+      // A query that crashes or breaches its budget must not measure as
+      // FAST (an aborted job returns in milliseconds and would flatter the
+      // total): record a -1 sentinel and surface the name in an "errors"
+      // field instead.
       def once(): Double = {
-        val t0 = System.nanoTime()
-        val ok = try { fn(spark, sfDir).count(); true }
-                 catch { case _: Throwable => false }
-        val dt = (System.nanoTime() - t0) / 1e9
+        val dt = BenchGuard.timed(spark, s"bench-$name", budgetSec,
+          onTimeout = msg => System.err.println(s"[graft.Bench] $msg")) {
+          fn(spark, sfDir).count(); ()
+        }
         // Queries that persist intermediates (dedup LSH) would otherwise leak
         // cached partitions into every later measurement.
         graft.operators.DedupOps.unpersistPipelines()
         spark.catalog.clearCache()
-        if (ok) dt else -1.0
+        dt
       }
       // Min-of-2: one contended run on a shared box can fake a multi-×
       // regression on a single-shot wall clock. Sub-0.5 s queries skip the
