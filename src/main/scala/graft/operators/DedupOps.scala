@@ -542,12 +542,36 @@ object DedupOps {
   def simhashNearDups(docs: DataFrame, idCol: String, maxDist: Int = 3,
                       blocks: Int = 6,
                       tokenHash: Column => Column = xxhash64(_),
-                      maxBucket: Int = DefaultMaxBucket): DataFrame = {
-    require(maxDist >= 0 && blocks > maxDist && blocks <= 64,
-      s"need maxDist < blocks <= 64: maxDist=$maxDist blocks=$blocks")
-    // First (64 % blocks) blocks are one bit wider: widths differ by ≤ 1.
-    val base = 64 / blocks
-    val rem  = 64 % blocks
+                      maxBucket: Int = DefaultMaxBucket): DataFrame =
+    hammingPairs(simhash64Rows(docs, idCol, tokenHash), 64,
+      maxDist, blocks, maxBucket)
+
+  /** GENERALIZED Manku block-combination Hamming search over any integer
+    * signature column — the engine behind [[simhashNearDups]], reused
+    * directly by the perceptual-hash pairers (16-bit image aHash / audio
+    * fingerprints), where the signature space is small and the input is
+    * typically the DISTINCT-value table rather than the corpus (pairing
+    * then scales with the value space, not the document count).
+    *
+    * `sig` must be (id, h) with 0 ≤ h < 2^bits (higher bits would count
+    * into the xor distance). Splits the `bits`-wide signature into
+    * `blocks` nearly-equal blocks (`blocks > maxDist`); by pigeonhole two
+    * signatures within Hamming `maxDist` agree exactly on at least one
+    * combination of `blocks − maxDist` blocks, so candidates come from an
+    * equi-join per combination and the true distance is one
+    * `bit_count(xor)` — exact, `blocks` only tunes the cost shape (see
+    * [[simhashNearDups]]'s key-entropy argument for choosing it).
+    * Combination-key buckets above `maxBucket` are excluded first
+    * ([[dropHotBuckets]]). Output: (id_a, id_b, dist ≤ maxDist), id_a <
+    * id_b, exactly all such pairs from non-excluded buckets. */
+  def hammingPairs(sig0: DataFrame, bits: Int, maxDist: Int, blocks: Int,
+                   maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    require(bits >= 2 && bits <= 64, s"bits out of range: $bits")
+    require(maxDist >= 0 && blocks > maxDist && blocks <= bits,
+      s"need maxDist < blocks <= $bits: maxDist=$maxDist blocks=$blocks")
+    // First (bits % blocks) blocks are one bit wider: widths differ by ≤ 1.
+    val base = bits / blocks
+    val rem  = bits % blocks
     val widths  = Array.tabulate(blocks)(i => if (i < rem) base + 1 else base)
     val offsets = widths.scanLeft(0)(_ + _)
     def blockVal(i: Int): Column = {
@@ -556,7 +580,7 @@ object DedupOps {
     }
     val m = blocks - maxDist
     val combos = (0 until blocks).combinations(m).toSeq
-    val sig = cachePersist(simhash64Rows(docs, idCol, tokenHash))
+    val sig = cachePersist(sig0.select(col("id"), col("h")))
     val exploded = dropHotBuckets(
       sig.select(col("id"), col("h"),
         explode(array(combos.zipWithIndex.map { case (bs, ci) =>

@@ -1404,6 +1404,35 @@ object PipelineQueries {
         .groupBy("sz").agg(count(lit(1)).as("n_buckets"))
     }),
 
+    // PERCEPTUAL near-dup PAIRING over the image aHashes — the actual
+    // dedup use of the blocking key. Docs collapse to DISTINCT 16-bit
+    // hash classes first, so the pair search scales with the value space
+    // (≤ 2^16 classes) rather than the corpus, then the same Manku
+    // block-combination pigeonhole search as dedup_simhash_pairs finds
+    // every class pair within Hamming ≤ 2 (4 blocks → C(4,2) = 6
+    // equi-joins, exact by construction) and n_pairs = cnt_a · cnt_b
+    // counts the implied document pairs. Oracle brute-forces all class
+    // pairs over an independently recomputed hash.
+    "mm_phash_pairs" -> ((s, d) => {
+      import graft.operators.MultimodalOps._
+      // Persisted: referenced three times (signature + both count joins);
+      // ≤ 2^16 rows by construction, so the broadcast joins stay tiny.
+      val classes = graft.core.Caches.persistTracked(docs(s, d)
+        .select(bmpAHash(bmpBlob(
+          lit(1) + pmod(col("doc_id"), lit(24)),
+          lit(1) + pmod(col("doc_id") * 7, lit(24)),
+          asBlob(col("text"))), 4).as("p"))
+        .filter(col("p.ahash").isNotNull)
+        .groupBy(col("p.ahash").as("h")).agg(count(lit(1)).as("cnt")))
+      graft.operators.DedupOps.hammingPairs(
+          classes.select(col("h").as("id"), col("h")), 16, 2, 4)
+        .select(col("id_a").as("h_a"), col("id_b").as("h_b"), col("dist"))
+        .join(broadcast(classes.select(col("h").as("h_a"), col("cnt").as("cnt_a"))), "h_a")
+        .join(broadcast(classes.select(col("h").as("h_b"), col("cnt").as("cnt_b"))), "h_b")
+        .select(col("h_a"), col("h_b"), col("dist"),
+          (col("cnt_a") * col("cnt_b")).as("n_pairs"))
+    }),
+
     // PERCEPTUAL audio fingerprinting: 16-segment energy-threshold bits
     // per clip (the audio twin of mm_phash) → bucket-size census — the
     // audio near-dup blocking readout. Oracle recomputes every sample's
@@ -1532,6 +1561,34 @@ object PipelineQueries {
   private val PmiMinDf    = 10L
   private val PmiMinPair  = 5L
   private val AudioHashSegs = 16
+
+  /** Shared oracle CTE chain for the perceptual image hash: per-doc 4×4
+    * aHash recomputed independently from the payload bytes (same
+    * stride/flip/zero-fill coordinates as mm_pixels), ending in
+    * `hsh(doc_id, ahash)` — consumed by both the bucket census
+    * (mm_phash) and the Hamming pairing (mm_phash_pairs). */
+  private lazy val phashDocSql: String = {
+    val hv1 = hexvalSql("substr(hx, 2*p + 1, 1)")
+    val hv2 = hexvalSql("substr(hx, 2*p + 2, 1)")
+    s"""m AS (SELECT doc_id, lower(hex(encode(text))) AS hx,
+       |    octet_length(encode(text)) AS n,
+       |    1 + (doc_id % 24) AS w, 1 + ((doc_id * 7) % 24) AS hh
+       |  FROM documents),
+       |g AS (SELECT doc_id, hx, n, w, hh, ((3 * w + 3) // 4) * 4 AS rs FROM m),
+       |pts AS (SELECT doc_id, i.i, j.j,
+       |    rs * (hh - 1 - (j.j * (hh - 1) // 3)) + 3 * (i.i * (w - 1) // 3) + c.c AS p,
+       |    hx, n
+       |  FROM g CROSS JOIN range(0, 4) i(i) CROSS JOIN range(0, 4) j(j)
+       |  CROSS JOIN range(0, 3) c(c)),
+       |cells AS (SELECT doc_id, i, j,
+       |    SUM(CASE WHEN p < n THEN $hv1 * 16 + $hv2 ELSE 0 END) AS b
+       |  FROM pts GROUP BY 1, 2, 3),
+       |tot AS (SELECT doc_id, SUM(b) AS total FROM cells GROUP BY 1),
+       |hsh AS (SELECT c.doc_id,
+       |    SUM(CASE WHEN c.b * 16 > t.total
+       |      THEN (CAST(1 AS BIGINT) << (c.j * 4 + c.i)) ELSE 0 END) AS ahash
+       |  FROM cells c JOIN tot t USING (doc_id) GROUP BY 1)""".stripMargin
+  }
 
   /** Per-query recall@5 of an ANN `method` result (qid, nid, …) against
     * the exact-cosine baseline over the same query set: n_true = baseline
@@ -2456,30 +2513,24 @@ object PipelineQueries {
     // (same stride/flip/zero-fill coordinates as mm_pixels), mean
     // threshold cross-multiplied, bit weights 1 << (j*4 + i), then the
     // bucket-size census over the 16-bit hashes.
-    "mm_phash" -> {
-      val hv1 = hexvalSql("substr(hx, 2*p + 1, 1)")
-      val hv2 = hexvalSql("substr(hx, 2*p + 2, 1)")
-      s"""WITH m AS (SELECT doc_id, lower(hex(encode(text))) AS hx,
-         |    octet_length(encode(text)) AS n,
-         |    1 + (doc_id % 24) AS w, 1 + ((doc_id * 7) % 24) AS hh
-         |  FROM documents),
-         |g AS (SELECT doc_id, hx, n, w, hh, ((3 * w + 3) // 4) * 4 AS rs FROM m),
-         |pts AS (SELECT doc_id, i.i, j.j,
-         |    rs * (hh - 1 - (j.j * (hh - 1) // 3)) + 3 * (i.i * (w - 1) // 3) + c.c AS p,
-         |    hx, n
-         |  FROM g CROSS JOIN range(0, 4) i(i) CROSS JOIN range(0, 4) j(j)
-         |  CROSS JOIN range(0, 3) c(c)),
-         |cells AS (SELECT doc_id, i, j,
-         |    SUM(CASE WHEN p < n THEN $hv1 * 16 + $hv2 ELSE 0 END) AS b
-         |  FROM pts GROUP BY 1, 2, 3),
-         |tot AS (SELECT doc_id, SUM(b) AS total FROM cells GROUP BY 1),
-         |hsh AS (SELECT c.doc_id,
-         |    SUM(CASE WHEN c.b * 16 > t.total
-         |      THEN (CAST(1 AS BIGINT) << (c.j * 4 + c.i)) ELSE 0 END) AS ahash
-         |  FROM cells c JOIN tot t USING (doc_id) GROUP BY 1),
+    "mm_phash" ->
+      s"""WITH $phashDocSql,
          |bk AS (SELECT ahash, CAST(COUNT(*) AS BIGINT) AS sz FROM hsh GROUP BY 1)
-         |SELECT sz, CAST(COUNT(*) AS BIGINT) AS n_buckets FROM bk GROUP BY 1""".stripMargin
-    },
+         |SELECT sz, CAST(COUNT(*) AS BIGINT) AS n_buckets FROM bk GROUP BY 1""".stripMargin,
+
+    // mm_phash_pairs: brute-force Hamming ≤ 2 pairing over the DISTINCT
+    // aHash classes (with class sizes), replayed from the same per-doc
+    // hash CTE — the Spark side's pigeonhole block-combination search
+    // must produce exactly this set.
+    "mm_phash_pairs" ->
+      s"""WITH $phashDocSql,
+         |cls AS (SELECT CAST(ahash AS BIGINT) AS h,
+         |    CAST(COUNT(*) AS BIGINT) AS cnt FROM hsh GROUP BY 1)
+         |SELECT a.h AS h_a, b.h AS h_b,
+         |  CAST(bit_count(xor(a.h, b.h)) AS BIGINT) AS dist,
+         |  CAST(a.cnt * b.cnt AS BIGINT) AS n_pairs
+         |FROM cls a JOIN cls b ON a.h < b.h
+         |WHERE bit_count(xor(a.h, b.h)) <= 2""".stripMargin,
 
     // mm_audiohash: per-doc 16-segment energy fingerprint recomputed from
     // the payload bytes (floor-division segment bounds; empty segments 0),

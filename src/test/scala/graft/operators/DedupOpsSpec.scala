@@ -299,6 +299,29 @@ class DedupOpsSpec extends AnyFunSuite with PropHelpers {
     }
   }
 
+  test("property: hammingPairs over 16-bit signatures equals brute force (perceptual-hash shape)") {
+    // The mm_phash_pairs regime: small integer signatures (image aHash /
+    // audio fingerprints), distinct-value ids, Hamming ≤ 2. Block counts
+    // 3-5 exercise minimal pigeonhole (3), the query default (4), and
+    // non-dividing widths (5 → 4/3-bit blocks).
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val sigGen = Gen.listOfN(14, Gen.choose(0L, 65535L))
+    forAll(Gen.zip(sigGen, Gen.oneOf(3, 4, 5)), n = 8) { case (raw, blocks) =>
+      val hs = (raw :+ (raw.head ^ 1L)).distinct // planted dist-1 pair
+      val df = hs.map(h => (h, h)).toDF("id", "h")
+      val expected = (for {
+        a <- hs; b <- hs if a < b
+        d = java.lang.Long.bitCount(a ^ b) if d <= 2
+      } yield (a, b, d.toLong)).toSet
+      val got = DedupOps.withDedupCaches {
+        DedupOps.hammingPairs(df, 16, 2, blocks)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      }
+      assert(got == expected, s"blocks=$blocks hs=$hs\ngot $got\nexpected $expected")
+    }
+  }
+
   test("simhash: identical texts collide; near texts land closer than far ones") {
     val spark = TestSpark.spark
     val base = (1 to 60).map(i => s"w$i").mkString(" ")
