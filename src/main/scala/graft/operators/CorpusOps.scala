@@ -854,6 +854,13 @@ object CorpusOps {
     * vocabulary filter (top-V by df) is the knob bounding the pair space;
     * nothing here is quadratic in docs. The df table is vocabulary-sized
     * and broadcasts into both the filter and the lift join.
+    *
+    * CORPUS-SIZE ENVELOPE: the lift numerator 1000 · n_pair · N is BIGINT
+    * and n_pair ≤ N, so it stays under 2^63 only while N ≤ ~9.6·10⁷ docs
+    * — enforced by a `require` below (a silent wrap would rank garbage;
+    * the same expression runs in the DuckDB oracle, which would not catch
+    * it). Past that, callers shard the corpus or move the numerator to
+    * DECIMAL(38,0); the floor-division ranking is unchanged either way.
     * Output: (ta, tb, n_pair, df_a, df_b, lift_milli). */
   def liftPairs(docs: DataFrame, idCol: String, minDf: Long,
                 minPair: Long): DataFrame = {
@@ -863,6 +870,11 @@ object CorpusOps {
           explode(split(coalesce(col("text"), lit("")), " ")).as("t"))
         .distinct())
     val nDocs = docs.select(col(idCol)).distinct().count()
+    // Worst case n_pair = nDocs ⇒ 1000·nDocs² must stay under 2^63 (see
+    // the corpus-size envelope in the scaladoc).
+    require(nDocs <= 96000000L,
+      s"liftPairs BIGINT lift envelope exceeded: $nDocs docs > 9.6e7 — " +
+        "shard the corpus or switch the numerator to DECIMAL(38,0)")
     val dfT = graft.core.Caches.persistTracked(
       toks.groupBy("t").agg(count(lit(1)).as("df"))
         .filter(col("df") >= minDf))

@@ -304,9 +304,16 @@ object GraphOps {
     *
     * Same integer-exact contract as [[pageRank]] (floor division
     * throughout, dangling mass dropped), so a SQL oracle replays every
-    * round. Node set = distinct sources ∪ seeds (a seed with no out-edges
-    * still holds its base mass; it just contributes nothing). Unreached
-    * nodes report rank 0 — the "not connected to the seed set" signal.
+    * round. Node set = distinct SOURCES ∪ seeds (a seed with no out-edges
+    * still holds its base mass; it just contributes nothing). Note the
+    * asymmetry this implies: an IN-EDGE-ONLY vertex (a sink that is not a
+    * seed) is ABSENT from the output even when rank mass flows into it —
+    * mass sent to sinks is dropped in the same round it arrives, exactly
+    * like [[pageRank]]'s dangling-mass rule (and the oracle's). Callers
+    * ranking a corpus by seed proximity who need sink documents listed
+    * must union distinct destinations into the node set themselves; rows
+    * that ARE present with rank 0 mean "not reached from the seed set
+    * through non-sink paths".
     *
     * Scale shape identical to [[pageRank]]: per round one edges ⋈ ranks
     * equi-join into a partially-aggregated groupBy(dst), left-joined back
