@@ -204,35 +204,41 @@ object GraphOps {
     val adj = graft.core.Caches.persistTracked(
       ue.select(col("a").as("v"), col("b").as("u"))
         .unionAll(ue.select(col("b").as("v"), col("a").as("u"))))
-    var alive = adj.groupBy("v").agg(count(lit(1)).as("deg"))
-      .localCheckpoint()
+    // Convergence (and the broadcast decision) rides on an `observe`
+    // metric collected DURING each round's checkpoint materialization —
+    // the next round's drop-set size falls out of the job that had to run
+    // anyway, so no separate per-round `count()` action exists (it was
+    // ~15% of the 10M-node peel's wall clock, round-10 advice item).
+    def observed(df: org.apache.spark.sql.DataFrame)
+        : (org.apache.spark.sql.DataFrame, () => Long) = {
+      val obs = new org.apache.spark.sql.Observation()
+      val out = df.observe(obs, sum(when(col("deg") < k, 1L)).as("n_drop"))
+        .localCheckpoint()
+      (out, () => Option(obs.get("n_drop")).map(_.asInstanceOf[Long]).getOrElse(0L))
+    }
+    var (alive, nDropNext) = observed(adj.groupBy("v").agg(count(lit(1)).as("deg")))
     var aliveRdd = graft.core.Caches.checkpointRdd(alive)
     var t = 0
-    var converged = false
-    while (t < rounds && !converged) {
+    var nDropped = nDropNext()
+    while (t < rounds && nDropped > 0) {
       val dropped = alive.filter(col("deg") < k).select(col("v").as("u"))
-      val nDropped = dropped.count()
-      if (nDropped == 0) {
-        converged = true // every later round is a no-op — skip them
-      } else {
-        // Edges lost by each survivor this round = its adjacency rows
-        // whose OTHER endpoint is in the drop set. Broadcast the drop set
-        // while it is small (the common case after the first round); fall
-        // back to a shuffled join for a pathological mass-drop round.
-        val probe =
-          if (nDropped <= 4000000L) broadcast(dropped) else dropped
-        val delta = adj.join(probe, "u")
-          .groupBy("v").agg(count(lit(1)).as("dec"))
-        val next = alive.filter(col("deg") >= k)
-          .join(delta, Seq("v"), "left")
-          .select(col("v"),
-            (col("deg") - coalesce(col("dec"), lit(0L))).as("deg"))
-          .localCheckpoint()
-        aliveRdd.foreach(_.unpersist(blocking = false)) // superseded round
-        alive = next
-        aliveRdd = graft.core.Caches.checkpointRdd(alive)
-        t += 1
-      }
+      // Edges lost by each survivor this round = its adjacency rows
+      // whose OTHER endpoint is in the drop set. Broadcast the drop set
+      // while it is small (the common case after the first round); fall
+      // back to a shuffled join for a pathological mass-drop round.
+      val probe =
+        if (nDropped <= 4000000L) broadcast(dropped) else dropped
+      val delta = adj.join(probe, "u")
+        .groupBy("v").agg(count(lit(1)).as("dec"))
+      val (next, nd) = observed(alive.filter(col("deg") >= k)
+        .join(delta, Seq("v"), "left")
+        .select(col("v"),
+          (col("deg") - coalesce(col("dec"), lit(0L))).as("deg")))
+      aliveRdd.foreach(_.unpersist(blocking = false)) // superseded round
+      alive = next
+      aliveRdd = graft.core.Caches.checkpointRdd(alive)
+      nDropped = nd()
+      t += 1
     }
     aliveRdd.foreach(graft.core.Caches.trackRdd)
     alive.filter(col("deg") >= 1)

@@ -1448,6 +1448,27 @@ object PipelineQueries {
         .groupBy("sz").agg(count(lit(1)).as("n_buckets"))
     }),
 
+    // PERCEPTUAL near-dup PAIRING over the audio fingerprints — the audio
+    // twin of mm_phash_pairs: distinct 16-bit fingerprint classes (short
+    // clips' NULL fingerprints excluded) paired by the same Manku
+    // block-combination Hamming ≤ 2 search, n_pairs = cnt_a · cnt_b.
+    "mm_audiohash_pairs" -> ((s, d) => {
+      import graft.operators.MultimodalOps._
+      val classes = graft.core.Caches.persistTracked(docs(s, d)
+        .select(wavFingerprint8(
+          wavBlob(lit(8000), lit(1), lit(8), asBlob(col("text"))),
+          AudioHashSegs).as("p"))
+        .filter(col("p.fp").isNotNull)
+        .groupBy(col("p.fp").as("h")).agg(count(lit(1)).as("cnt")))
+      graft.operators.DedupOps.hammingPairs(
+          classes.select(col("h").as("id"), col("h")), AudioHashSegs, 2, 4)
+        .select(col("id_a").as("h_a"), col("id_b").as("h_b"), col("dist"))
+        .join(broadcast(classes.select(col("h").as("h_a"), col("cnt").as("cnt_a"))), "h_a")
+        .join(broadcast(classes.select(col("h").as("h_b"), col("cnt").as("cnt_b"))), "h_b")
+        .select(col("h_a"), col("h_b"), col("dist"),
+          (col("cnt_a") * col("cnt_b")).as("n_pairs"))
+    }),
+
     // SAMPLE-level audio windowing: per-50-sample energy over 8-bit mono
     // PCM, max + sum per lang (the silence/clipping localization signal).
     // Partial tail windows drop, so the windowing arithmetic — not just
@@ -1561,6 +1582,34 @@ object PipelineQueries {
   private val PmiMinDf    = 10L
   private val PmiMinPair  = 5L
   private val AudioHashSegs = 16
+
+  /** Shared oracle CTE chain for the perceptual audio fingerprint:
+    * per-doc 16-segment energy-threshold bits recomputed independently
+    * from the payload bytes, ending in `fp(doc_id, fp)` (NULL fp for
+    * clips shorter than the segment count) — consumed by both the bucket
+    * census (mm_audiohash) and the Hamming pairing (mm_audiohash_pairs). */
+  private lazy val audiohashDocSql: String = {
+    val hv1 = hexvalSql("substr(hx, 2*k + 1, 1)")
+    val hv2 = hexvalSql("substr(hx, 2*k + 2, 1)")
+    val segs = AudioHashSegs
+    s"""m AS (SELECT doc_id, lower(hex(encode(text))) AS hx,
+       |    octet_length(encode(text)) AS n FROM documents),
+       |sl AS (SELECT doc_id, hx, n, unnest(range(0, $segs)) AS s FROM m),
+       |kl AS (SELECT doc_id, s, hx,
+       |    unnest(range(s * n // $segs, (s + 1) * n // $segs)) AS k FROM sl),
+       |se AS (SELECT doc_id, s,
+       |    SUM(($hv1 * 16 + $hv2 - 128) * ($hv1 * 16 + $hv2 - 128)) AS e
+       |  FROM kl GROUP BY 1, 2),
+       |tot AS (SELECT doc_id, SUM(e) AS total FROM se GROUP BY 1),
+       |raw AS (SELECT sl.doc_id,
+       |    SUM(CASE WHEN COALESCE(se.e, 0) * $segs > COALESCE(t.total, 0)
+       |      THEN (CAST(1 AS BIGINT) << sl.s) ELSE 0 END) AS rawfp
+       |  FROM sl LEFT JOIN se ON se.doc_id = sl.doc_id AND se.s = sl.s
+       |  LEFT JOIN tot t ON t.doc_id = sl.doc_id GROUP BY 1),
+       |fp AS (SELECT m.doc_id,
+       |    CASE WHEN m.n >= $segs THEN r.rawfp ELSE NULL END AS fp
+       |  FROM m JOIN raw r USING (doc_id))""".stripMargin
+  }
 
   /** Shared oracle CTE chain for the perceptual image hash: per-doc 4×4
     * aHash recomputed independently from the payload bytes (same
@@ -2536,30 +2585,24 @@ object PipelineQueries {
     // the payload bytes (floor-division segment bounds; empty segments 0),
     // mean threshold cross-multiplied, clips under 16 samples → NULL fp,
     // then the bucket-size census.
-    "mm_audiohash" -> {
-      val hv1 = hexvalSql("substr(hx, 2*k + 1, 1)")
-      val hv2 = hexvalSql("substr(hx, 2*k + 2, 1)")
-      val segs = AudioHashSegs
-      s"""WITH m AS (SELECT doc_id, lower(hex(encode(text))) AS hx,
-         |    octet_length(encode(text)) AS n FROM documents),
-         |sl AS (SELECT doc_id, hx, n, unnest(range(0, $segs)) AS s FROM m),
-         |kl AS (SELECT doc_id, s, hx,
-         |    unnest(range(s * n // $segs, (s + 1) * n // $segs)) AS k FROM sl),
-         |se AS (SELECT doc_id, s,
-         |    SUM(($hv1 * 16 + $hv2 - 128) * ($hv1 * 16 + $hv2 - 128)) AS e
-         |  FROM kl GROUP BY 1, 2),
-         |tot AS (SELECT doc_id, SUM(e) AS total FROM se GROUP BY 1),
-         |raw AS (SELECT sl.doc_id,
-         |    SUM(CASE WHEN COALESCE(se.e, 0) * $segs > COALESCE(t.total, 0)
-         |      THEN (CAST(1 AS BIGINT) << sl.s) ELSE 0 END) AS rawfp
-         |  FROM sl LEFT JOIN se ON se.doc_id = sl.doc_id AND se.s = sl.s
-         |  LEFT JOIN tot t ON t.doc_id = sl.doc_id GROUP BY 1),
-         |fp AS (SELECT m.doc_id,
-         |    CASE WHEN m.n >= $segs THEN r.rawfp ELSE NULL END AS fp
-         |  FROM m JOIN raw r USING (doc_id)),
+    "mm_audiohash" ->
+      s"""WITH $audiohashDocSql,
          |bk AS (SELECT fp, CAST(COUNT(*) AS BIGINT) AS sz FROM fp GROUP BY 1)
-         |SELECT sz, CAST(COUNT(*) AS BIGINT) AS n_buckets FROM bk GROUP BY 1""".stripMargin
-    },
+         |SELECT sz, CAST(COUNT(*) AS BIGINT) AS n_buckets FROM bk GROUP BY 1""".stripMargin,
+
+    // mm_audiohash_pairs: brute-force Hamming ≤ 2 pairing over the
+    // DISTINCT fingerprint classes (NULL fingerprints — clips too short
+    // to segment — excluded), replayed from the same per-doc CTE chain.
+    "mm_audiohash_pairs" ->
+      s"""WITH $audiohashDocSql,
+         |cls AS (SELECT CAST(fp AS BIGINT) AS h,
+         |    CAST(COUNT(*) AS BIGINT) AS cnt FROM fp
+         |  WHERE fp IS NOT NULL GROUP BY 1)
+         |SELECT a.h AS h_a, b.h AS h_b,
+         |  CAST(bit_count(xor(a.h, b.h)) AS BIGINT) AS dist,
+         |  CAST(a.cnt * b.cnt AS BIGINT) AS n_pairs
+         |FROM cls a JOIN cls b ON a.h < b.h
+         |WHERE bit_count(xor(a.h, b.h)) <= 2""".stripMargin,
 
     // mm_energy: same windowing straight from the payload bytes — sample
     // i = byte i of the text (8-bit mono PCM), window w covers samples
