@@ -20,6 +20,13 @@ import org.apache.spark.sql.SparkSession
   */
 object BenchGuard {
 
+  // Per-process attempt counter: every timed() call gets a UNIQUE job
+  // group id. Cancellation only targets the group, so an abandoned body
+  // that swallowed the interrupt and keeps submitting jobs can never
+  // collide with (or get spuriously cancelled alongside) a retry or a
+  // later query that reused the same name.
+  private val attempts = new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** Runs `body` under `budgetSec`; returns elapsed seconds, or -1.0 on
     * error/timeout. Cancellation and abandonment are reported through
     * `onTimeout` so the caller can distinguish a breach from a plain
@@ -28,22 +35,28 @@ object BenchGuard {
             graceSec: Double = 30.0, onTimeout: String => Unit = _ => ())(
             body: => Unit): Double = {
     @volatile var failed = false
+    val gid = s"$group#${attempts.incrementAndGet()}"
     val t0 = System.nanoTime()
     val t = new Thread(() => {
       try {
-        spark.sparkContext.setJobGroup(group, group, interruptOnCancel = true)
+        spark.sparkContext.setJobGroup(gid, gid, interruptOnCancel = true)
         body
       } catch { case _: Throwable => failed = true }
       finally spark.sparkContext.clearJobGroup()
-    }, s"bench-$group")
+    }, s"bench-$gid")
     t.setDaemon(true)
     t.start()
     t.join(math.max(1L, (budgetSec * 1000).toLong))
     if (t.isAlive) {
-      onTimeout(s"$group: budget ${budgetSec}s breached, cancelling job group")
-      spark.sparkContext.cancelJobGroup(group)
+      onTimeout(s"$gid: budget ${budgetSec}s breached, cancelling job group")
+      // AndFutureJobs: plain cancelJobGroup only kills jobs active at call
+      // time — a body between actions (or one that swallows the interrupt)
+      // could keep submitting jobs that run to completion, contending with
+      // and skewing every later min-of-2 measurement and racing the main
+      // thread's cache cleanup.
+      spark.sparkContext.cancelJobGroupAndFutureJobs(gid)
       t.join(math.max(1L, (graceSec * 1000).toLong))
-      if (t.isAlive) onTimeout(s"$group: did not stop within grace, abandoned")
+      if (t.isAlive) onTimeout(s"$gid: did not stop within grace, abandoned")
       -1.0
     } else if (failed) -1.0
     else (System.nanoTime() - t0) / 1e9

@@ -115,6 +115,69 @@ object DedupOps {
   def shingleRows(docs: DataFrame, idCol: String, n: Int): DataFrame =
     rawShingleRows(docs, idCol, n).distinct()
 
+  /** SUB-DOCUMENT (window-level) exact dedup, Lee et al. "Deduplicating
+    * Training Data Makes Language Models Better" (arXiv:2107.06499) at
+    * fixed-window granularity: a `k`-token window is DUPLICATED when its
+    * exact text occurs ≥ 2 times anywhere in the corpus (other documents
+    * OR elsewhere in the same document — self-repetition is duplication
+    * in the paper's ExactSubstr sense), and each document reports how
+    * much of it is covered by duplicated windows. This is the
+    * sub-document complement of [[graft.operators.TextOps.dedupExact]] /
+    * [[graft.operators.CorpusOps.spanStats]]: whole-doc dedup misses
+    * boilerplate spliced into otherwise-unique pages, and per-SOURCE span
+    * stats can't say WHICH documents to trim.
+    *
+    * Output, one row per input document:
+    * (doc_id, n_tokens, n_windows, n_dup_windows, covered_tokens) where
+    * `covered_tokens` is the exact size of the union of the duplicated
+    * windows' [pos, pos+k) token intervals — the paper's "fraction of
+    * text removed by ExactSubstr" numerator (coverage ratio =
+    * covered_tokens / n_tokens, left to the consumer so every emitted
+    * value stays integral). Documents shorter than `k` tokens report
+    * zero windows and zero coverage.
+    *
+    * Scale shape (the reason no suffix array is needed at the gated
+    * fixed-`k` granularity): positioned shingle rows are linear in total
+    * tokens; the occurrence count groupBy shuffles them ONCE on the span
+    * hash, and the dup-span semi-join partitions on that same hash so the
+    * exchange is reused on the big side; the interval-union stage then
+    * shuffles ONLY the duplicated instances by doc_id — a window `lead`
+    * per doc computes the union of fixed-length intervals as
+    * Σ min(next_pos − pos, k) in one pass (no per-position explode, no
+    * k× fanout), and the following per-doc aggregate reuses the window's
+    * partitioning (zero extra exchange). Driver state: none. */
+  def duplicatedSpanCoverage(docs: DataFrame, idCol: String,
+                             k: Int): DataFrame = {
+    require(k >= 2 && k <= 1000, s"window width out of range: $k")
+    import org.apache.spark.sql.expressions.Window
+    // Positioned spans: pos = 0-based start token index. md5, not
+    // xxhash64: the gate's oracle must replay every hash engine-neutrally.
+    // Persisted — consumed twice (occurrence counts + the join back).
+    val sp = cachePersist(
+      docs.select(col(idCol).as("doc_id"),
+          posexplode(shingles(col("text"), k)))
+        .select(col("doc_id"), col("pos"), md5(col("col")).as("sh")))
+    val dupSh = sp.groupBy("sh").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2).select("sh")
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val cov = sp.join(dupSh, "sh")
+      .select(col("doc_id"), col("pos"))
+      .withColumn("nxt", lead(col("pos"), 1).over(byDoc))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_dup_windows"),
+        sum(when(col("nxt").isNotNull,
+            least(lit(k.toLong), (col("nxt") - col("pos")).cast("long")))
+          .otherwise(lit(k.toLong))).as("covered_tokens"))
+    val nTok = size(split(col("text"), " "))
+    docs.select(col(idCol).as("doc_id"),
+        nTok.cast("long").as("n_tokens"),
+        greatest(nTok - (k - 1), lit(0)).cast("long").as("n_windows"))
+      .join(cov, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"), col("n_windows"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+        coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"))
+  }
+
   /** One row per id carrying all `k` minhash values (m0..m{k-1}): `k`
     * independent permutations approximated by seeding `xxhash64` with the
     * hash index; value j is the minimum hash of any shingle under seed j

@@ -85,22 +85,38 @@ object MultimodalOps {
   /** BMP header fields parsed ONCE per row — callers bind the struct
     * before any lattice lambda references it (a field read on the bound
     * struct is O(1); re-deriving one is a ~30-node little-endian parse
-    * PER LATTICE ELEMENT, which was half the remaining per-row cost). */
+    * PER LATTICE ELEMENT, which was half the remaining per-row cost).
+    *
+    * NULL (no struct at all) unless the blob passes the basic 24bpp
+    * checks AND claims w, h < 2^22. The dimension bound lives HERE, not
+    * in [[bmpOk]], because [[bindOnce]] evaluates eagerly: lattice
+    * arithmetic like `rs·(h−1−y)` runs for EVERY ≥ 26-byte blob before
+    * any `when(ok, …)` gates the result, and with unbounded header
+    * fields (w up to 2^32 → rs up to ~3·2^32, h up to 2^32) the product
+    * overflows long — an ANSI-mode error that fails the whole job on one
+    * corrupt-but-magic-valid payload. With w, h < 2^22 every downstream
+    * product is ≤ 2^46 + 2^32, comfortably inside long, and a NULL
+    * struct propagates NULL positions into [[byteAtN]]'s range guard
+    * (→ NULL byte → the callers' zero-fill) with no arithmetic error. */
   private def bmpHeader(b: Column): Column = {
     val w = leUN(b, 18, 4)
-    struct(w.as("w"), leUN(b, 22, 4).as("h"), leUN(b, 10, 4).as("o"),
-      (floor((w * 3 + lit(3)) / 4).cast("long") * 4).as("rs"))
+    val h = leUN(b, 22, 4)
+    when(byteLen(b) >= 54 && leUN(b, 0, 2) === BmpMagic &&
+        leUN(b, 14, 4) === 40 && leUN(b, 28, 2) === 24 &&
+        w < (1L << 22) && h < (1L << 22),
+      struct(w.as("w"), h.as("h"), leUN(b, 10, 4).as("o"),
+        (floor((w * 3 + lit(3)) / 4).cast("long") * 4).as("rs")))
   }
 
-  /** 24bpp-BMP validity over a bound blob + bound header. The last check
-    * keeps the claimed pixel array inside guard-addressable byte
-    * positions (< 2^30) — an absurd header REJECTS as undecodable
-    * instead of reading aliased positions. */
-  private def bmpOk(b: Column, hd: Column): Column =
-    byteLen(b) >= 54 && leUN(b, 0, 2) === BmpMagic &&
-      leUN(b, 14, 4) === 40 && leUN(b, 28, 2) === 24 &&
-      hd.getField("h") < 2147483648L &&
-      hd.getField("o") + hd.getField("rs") * hd.getField("h") < (1L << 30)
+  /** 24bpp-BMP validity over a bound (already basic-checked, possibly
+    * NULL) header: the claimed pixel array must sit inside guard-
+    * addressable byte positions (< 2^30) — an absurd-but-well-formed
+    * header REJECTS as undecodable instead of reading aliased positions.
+    * No overflow risk: [[bmpHeader]] bounds w, h < 2^22, so
+    * o + rs·h < 2^32 + 2^46. A NULL header yields NULL (→ false under
+    * `when`). */
+  private def bmpOk(hd: Column): Column =
+    hd.getField("o") + hd.getField("rs") * hd.getField("h") < (1L << 30)
 
   /** 8-bit mono PCM WAV validity over a bound blob: RIFF/WAVE/fmt/data
     * magics, PCM mono 8-bit format fields, and a claimed sample count
@@ -265,7 +281,7 @@ object MultimodalOps {
       val h = hd.getField("h")
       val dataOff = hd.getField("o")
       val rowSize = hd.getField("rs")
-      val ok = bmpOk(nb, hd)
+      val ok = bmpOk(hd)
       // ONE fold over the flat lattice index (k → (c, i, j)), not 3·grid²
       // unrolled terms: the unrolled form grows the surrounding whole-stage-
       // codegen method past javac's 64 KB limit and forces an interpreted
@@ -300,7 +316,7 @@ object MultimodalOps {
     * binary-modality twin of SimHash buckets on text).
     *
     * Same header/stride/zero-fill contract as [[bmpPixelGridSum]]. Cost
-    * shape: LINEAR by construction — the nibble array, the cell array,
+    * shape: LINEAR by construction — the blob, the cell array,
     * and the cell total are each bound once ([[bindOnce]]) before any
     * lambda references them, and the threshold bits unroll over
     * `element_at` reads of the bound cells (grid ≤ 7 keeps the unroll
@@ -315,7 +331,7 @@ object MultimodalOps {
       val h = hd.getField("h")
       val dataOff = hd.getField("o")
       val rowSize = hd.getField("rs")
-      val ok = bmpOk(nb, hd)
+      val ok = bmpOk(hd)
       val cells = transform(sequence(lit(0L), lit(grid.toLong * grid - 1)), k => {
         val i = k % grid
         val j = floor(k / grid).cast("long")
@@ -344,8 +360,8 @@ object MultimodalOps {
     * max_energy:long>` (max 0 when no full window), NULL for anything
     * that is not 8-bit mono PCM.
     *
-    * Cost shape: one hex pass into the bound nibble array, then one O(1)
-    * `element_at` read per sample (the substr-per-sample form walked
+    * Cost shape: the blob binds once and each sample is an O(1) binary
+    * `substr` byte read off it (the string-substr form walked
     * O(position) bytes per read — quadratic in the clip). Headers whose
     * claimed sample count exceeds int-addressable positions (≥ 2^30)
     * REJECT as undecodable instead of aliasing through the int index
@@ -354,9 +370,21 @@ object MultimodalOps {
     * point. */
   def wavWindowEnergy8(bin: Column, win: Int): Column = {
     require(win >= 1 && win <= 65536, s"win out of range: $win")
-    bindOnce(bin, nb => bindOnce(leUN(nb, 40, 4), nSamp => {
+    // The bound sample count is GATED AND CLAMPED, not the raw header
+    // read: bindOnce evaluates eagerly, before any `when(ok, …)` can gate
+    // the result, so a garbage ≥ 44-byte blob claiming ~2^30 samples
+    // would otherwise drive sequence()/transform() into a multi-GB
+    // allocation (or 'sequence too long' error) for a payload the reader
+    // is about to REJECT anyway. Gating (NULL for non-WAVs → NULL nWin →
+    // the empty-array branch) kills that; the byteLen−44 clamp
+    // additionally bounds the lattice by the bytes that actually exist,
+    // so even a magic-valid header over a truncated file costs O(actual
+    // bytes). [[wavBlob]] writes dataSize = |payload| exactly, so the
+    // clamp is an identity on every well-formed file.
+    bindOnce(bin, nb => bindOnce(
+        when(wavOk8(nb), least(leUN(nb, 40, 4), byteLen(nb) - 44)), nSamp => {
       // nSamp bound once: 8-bit mono has 1 byte per sample, data at 44.
-      val ok = wavOk8(nb)
+      val ok = nSamp.isNotNull
       val nWin = floor(nSamp / win).cast("long")
       def sampleSq(idx: Column): Column = {
         val v = byteAtN(nb, lit(44L) + idx) - 128L
@@ -386,7 +414,7 @@ object MultimodalOps {
     * fingerprint inside the struct — not enough signal to segment).
     *
     * Same 8-bit mono RIFF contract as [[wavWindowEnergy8]], same linear
-    * cost shape as [[bmpAHash]]: nibble array, segment-energy array, and
+    * cost shape as [[bmpAHash]]: blob, segment-energy array, and
     * energy total each bound once before any lambda references them, and
     * the threshold bits unroll over `element_at` reads of the bound
     * energies (segs ≤ 32). The round-10 form referenced the total — an
@@ -397,8 +425,13 @@ object MultimodalOps {
     * payloads. */
   def wavFingerprint8(bin: Column, segs: Int): Column = {
     require(segs >= 2 && segs <= 32, s"segs out of range: $segs")
-    bindOnce(bin, nb => bindOnce(leUN(nb, 40, 4), nSamp => {
-      val ok = wavOk8(nb)
+    // Same gated-and-clamped binding as [[wavWindowEnergy8]]: a rejected
+    // blob binds NULL (→ NULL segment bounds → the cheap otherwise(0)
+    // branch), and a magic-valid-but-truncated header costs O(actual
+    // bytes), never O(claimed samples).
+    bindOnce(bin, nb => bindOnce(
+        when(wavOk8(nb), least(leUN(nb, 40, 4), byteLen(nb) - 44)), nSamp => {
+      val ok = nSamp.isNotNull
       def sampleSq(idx: Column): Column = {
         val v = byteAtN(nb, lit(44L) + idx) - 128L
         v * v

@@ -332,6 +332,16 @@ object PipelineQueries {
 
     "dedup_exact" -> ((s, d) => TextOps.dedupExact(docs(s, d))),
 
+    // SUB-DOCUMENT dedup (Lee et al. arXiv:2107.06499, ExactSubstr at
+    // fixed 8-token window granularity): per-doc count of duplicated
+    // windows (exact text occurring ≥ 2 times corpus-wide, self-repeats
+    // included) and the exact token-interval-union coverage — the
+    // "which documents are mostly boilerplate" readout whole-doc dedup
+    // cannot produce. The oracle replays every positioned span hash,
+    // the global occurrence counts, and the lead()-based interval union.
+    "dedup_substr" -> ((s, d) =>
+      graft.operators.DedupOps.duplicatedSpanCoverage(docs(s, d), "doc_id", 8)),
+
     // MinHash+LSH near-dup pairs: word-3-gram shingles, 12 bands × 3 rows,
     // verified true Jaccard ≥ 1/2 (integer cross-multiply). The oracle is
     // the all-pairs check — a RECALL CONTRACT with the fixture, not an
@@ -2487,6 +2497,31 @@ object PipelineQueries {
         |CAST(MIN(doc_id) AS BIGINT) AS keep_id,
         |CAST(COUNT(*) AS BIGINT) AS dup_cnt
         |FROM documents GROUP BY 1""".stripMargin,
+
+    // dedup_substr: positioned 8-token spans (pos carried through a struct
+    // comprehension), global occurrence counts, dup filter at c >= 2, and
+    // the fixed-length interval union as sum(min(next_pos - pos, 8)) via
+    // lead() — the same formulation the Spark side executes, replayed
+    // independently on DuckDB's engine.
+    "dedup_substr" ->
+      """WITH sp AS (
+        |  SELECT doc_id, u.pos AS pos, u.sh AS sh FROM (
+        |    SELECT doc_id, unnest([{'pos': i - 1, 'sh': md5(array_to_string(w[i:i+7], ' '))}
+        |                           for i in range(1, greatest(len(w) - 6, 1))]) AS u
+        |    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))),
+        |cnt AS (SELECT sh, COUNT(*) AS c FROM sp GROUP BY sh),
+        |ds AS (SELECT sp.doc_id, sp.pos,
+        |         LEAD(sp.pos) OVER (PARTITION BY sp.doc_id ORDER BY sp.pos) AS nxt
+        |       FROM sp JOIN cnt USING (sh) WHERE cnt.c >= 2),
+        |cov AS (SELECT doc_id, COUNT(*) AS ndw,
+        |          SUM(CASE WHEN nxt IS NULL THEN 8 ELSE LEAST(8, nxt - pos) END) AS covered
+        |        FROM ds GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+        |  CAST(greatest(len(string_split(d.text, ' ')) - 7, 0) AS BIGINT) AS n_windows,
+        |  CAST(COALESCE(cov.ndw, 0) AS BIGINT) AS n_dup_windows,
+        |  CAST(COALESCE(cov.covered, 0) AS BIGINT) AS covered_tokens
+        |FROM documents d LEFT JOIN cov USING (doc_id)""".stripMargin,
 
     // mm_decode: GROUND-TRUTH dimensions straight from doc_id — the oracle
     // never builds or parses a BMP, so the Spark side's build→parse round

@@ -372,4 +372,67 @@ class DedupOpsSpec extends AnyFunSuite with PropHelpers {
     // The estimate tracks J: an un-identical pair agrees on fewer slots.
     assert(expMatches < 36L && expMatches > 0L)
   }
+
+  /** Brute-force twin of duplicatedSpanCoverage: count every k-window's
+    * global occurrences, mark covered positions with a boolean array. */
+  private def bruteCoverage(rows: Seq[(Long, String)], k: Int)
+      : Map[Long, (Long, Long, Long, Long)] = {
+    val toks = rows.map { case (id, t) => id -> t.split(" ", -1).toSeq }.toMap
+    val wins = rows.flatMap { case (id, _) =>
+      toks(id).sliding(k).zipWithIndex.collect {
+        case (w, i) if w.size == k => (id, i, w.mkString(" "))
+      }
+    }
+    val cnt = wins.groupBy(_._3).view.mapValues(_.size).toMap
+    rows.map { case (id, _) =>
+      val n = toks(id).size
+      val dup = wins.filter(w => w._1 == id && cnt(w._3) >= 2)
+      val covered = Array.fill(n)(false)
+      dup.foreach { case (_, i, _) =>
+        (i until math.min(i + k, n)).foreach(covered(_) = true) }
+      id -> ((n.toLong, math.max(n - k + 1, 0).toLong,
+        dup.size.toLong, covered.count(identity).toLong))
+    }.toMap
+  }
+
+  test("duplicatedSpanCoverage: hand cases — boilerplate, self-repeat, short doc, unique doc") {
+    val boiler = "the quick brown fox jumps over lazy dogs"        // 8 tokens
+    val rows = Seq(
+      1L -> s"alpha beta $boiler gamma delta",    // boilerplate spliced in
+      2L -> s"$boiler epsilon zeta eta theta",    // same boilerplate, start 0
+      3L -> "r1 r2 r3 r4 r5 r6 r7 r8 x r1 r2 r3 r4 r5 r6 r7 r8", // self-repeat
+      4L -> "only three tokens",                  // shorter than k
+      5L -> (1 to 20).map(i => s"u$i").mkString(" ")) // fully unique
+    val k = 8
+    val got = DedupOps.duplicatedSpanCoverage(docsDF(rows: _*), "doc_id", k)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    DedupOps.unpersistPipelines()
+    assert(got == bruteCoverage(rows, k))
+    // Spot-check the semantics the fixture encodes: doc 4 has zero
+    // windows; doc 5 is fully uncovered; docs 1/2 cover exactly the
+    // 8-token boilerplate; doc 3's self-repeat covers both copies.
+    assert(got(4L) == ((3L, 0L, 0L, 0L)))
+    assert(got(5L) == ((20L, 13L, 0L, 0L)))
+    assert(got(1L)._4 == 8L && got(2L)._4 == 8L)
+    assert(got(3L)._3 == 2L && got(3L)._4 == 16L)
+  }
+
+  test("duplicatedSpanCoverage matches brute force on random corpora (property)") {
+    // Small token alphabet forces genuine cross-doc and within-doc window
+    // collisions; doc lengths straddle k so the empty-window path is hit.
+    val docGen = Gen.chooseNum(0, 14).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a", "b", "c")).map(_.mkString(" ")))
+    val corpusGen = Gen.chooseNum(2, 8).flatMap(m =>
+      Gen.listOfN(m, docGen).map(_.zipWithIndex.map { case (t, i) => (i.toLong, t) }))
+    forAll(Gen.zip(corpusGen, Gen.chooseNum(2, 4)), 12) { case (rows, k) =>
+      val got = DedupOps.duplicatedSpanCoverage(docsDF(rows: _*), "doc_id", k)
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+        .toMap
+      DedupOps.unpersistPipelines()
+      assert(got == bruteCoverage(rows, k), s"k=$k rows=$rows")
+    }
+  }
 }

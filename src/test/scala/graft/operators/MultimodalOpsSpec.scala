@@ -275,4 +275,46 @@ class MultimodalOpsSpec extends AnyFunSuite {
     assert((empty.getLong(0), empty.getLong(1), empty.getLong(2)) ==
       ((0L, 0L, 0L)))
   }
+
+  test("adversarial headers: magic-valid lies about size neither stall nor error") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // A WAV whose header passes every wavOk8 magic/format check but CLAIMS
+    // 2^30−1 samples over 6 actual data bytes. bindOnce evaluates eagerly,
+    // so an unclamped bound count would materialize a ~21M-window lattice
+    // (a multi-minute stall / multi-GB allocation) before any `when(ok,…)`
+    // gate fires. The clamp bounds the lattice by the bytes that exist:
+    // 6 'A' samples, win=3 → 2 windows of 3·(65−128)² = 11907.
+    val lyingWav = "52494646" + "24000000" + "57415645" + "666D7420" +
+      "10000000" + "0100" + "0100" + "401F0000" + "401F0000" + "0100" +
+      "0800" + "64617461" + "FFFFFF3F" + "41" * 6
+    val e = Seq(lyingWav).toDF("hx")
+      .select(MultimodalOps.wavWindowEnergy8(unhex(col("hx")), 3).as("e"))
+      .select(col("e.n_windows"), col("e.sum_energy"), col("e.max_energy"))
+      .head()
+    assert((e.getLong(0), e.getLong(1), e.getLong(2)) ==
+      ((2L, 2L * 3L * 3969L, 3L * 3969L)))
+    // Same blob through the fingerprint: segs=2 over 6 equal samples →
+    // neither segment strictly exceeds the mean → fp = 0 (not an error,
+    // not a stall).
+    val fp = Seq(lyingWav).toDF("hx")
+      .select(MultimodalOps.wavFingerprint8(unhex(col("hx")), 2).as("p"))
+      .select(col("p.fp")).head().getLong(0)
+    assert(fp == 0L)
+    // A BMP whose header passes the magic/infoSize/bpp checks but claims
+    // w = 2^32−1, h = 2^31−1: rowSize·h ≈ 2.8e19 overflows long, which
+    // under ANSI mode is a JOB-FAILING error if the lattice arithmetic
+    // ever evaluates. The bounded header rejects it to NULL before any
+    // arithmetic runs.
+    val lyingBmp = "424D" + "3A000000" + "00000000" + "36000000" +
+      "28000000" + "FFFFFFFF" + "FFFFFF7F" + "0100" + "1800" +
+      "00000000" + "04000000" + "130B0000" + "130B0000" +
+      "00000000" + "00000000" + "00000000"
+    val bmpNulls = Seq(lyingBmp).toDF("hx")
+      .select(
+        MultimodalOps.bmpPixelGridSum(unhex(col("hx")), 2).as("p"),
+        MultimodalOps.bmpAHash(unhex(col("hx")), 2).as("a"))
+      .head()
+    assert(bmpNulls.isNullAt(0) && bmpNulls.isNullAt(1))
+  }
 }
