@@ -512,4 +512,63 @@ object MultimodalOps {
         i => bin.substr(i * stride + 1, lit(frameLen))))
       .otherwise(array().cast("array<binary>"))
   }
+
+  // ---------------------------------------------------------------------
+  // Partition-map decode: the PRODUCTION swap point named in the header,
+  // exercised end-to-end. Compressed formats (JPEG/PNG/MP3/H.264) need a
+  // codec library call per blob — imperative code no column expression
+  // can express — so the deployment shape is a per-partition map over the
+  // blob column emitting the SAME metadata schema the expression path
+  // emits. In Scala the swap is `Dataset.mapPartitions` (one iterator per
+  // partition: codec contexts amortize across the partition's blobs, and
+  // the operator composes with the surrounding plan at a codegen
+  // boundary); a Python codec would be `mapInArrow`/`mapInPandas` with
+  // the identical output schema. Everything downstream (resizeFit, frame
+  // slicing, pairing, clustering) is schema-driven and cannot tell the
+  // two paths apart — MultimodalOpsSpec pins exact parity between this
+  // decoder and [[decodeBmp]] on valid, corrupt, and wrong-format blobs.
+  // ---------------------------------------------------------------------
+
+  /** JVM-side BMP header parse with [[decodeBmp]]'s exact contract
+    * (None ⇔ the expression path's NULL). */
+  private[operators] def parseBmpBytes(b: Array[Byte])
+      : Option[(Int, Int, Int)] = {
+    def u8(off: Int): Int = b(off) & 0xFF
+    def leU(off: Int, n: Int): Long =
+      (0 until n).map(i => u8(off + i).toLong << (8 * i)).sum
+    def leI32(off: Int): Int = leU(off, 4).toInt // wraps exactly like the
+                                                 // expression path's
+                                                 // u − 2^32 branch
+    if (b == null || b.length < 54) None
+    else if (!(u8(0) == 0x42 && u8(1) == 0x4D)) None // "BM"
+    else if (leU(14, 4) != 40L) None                 // BITMAPINFOHEADER
+    else Some((leI32(18), math.abs(leI32(22)), (leU(28, 2) / 8).toInt))
+  }
+
+  /** The decode swap EXERCISED: BMP metadata via a per-partition map over
+    * the blob column instead of column expressions. Output rows
+    * (<idCol>, meta struct<width:int, height:int, channels:int>), meta
+    * null for non-BMPs — bit-identical to
+    * `df.select(idCol, decodeBmp(blobCol))`. The body is where a
+    * production build calls its codec (one instance per PARTITION, not
+    * per row — the reason this is the swap shape for libjpeg-style
+    * stateful decoders). */
+  def decodeBmpPartitions(df: org.apache.spark.sql.DataFrame, idCol: String,
+                          blobCol: String): org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(blobCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // Per-partition setup lands HERE (codec init, scratch buffers).
+        it.map { case (id, blob) =>
+          (id, parseBmpBytes(blob).map { case (w, h, c) => DecodedMeta(w, h, c) })
+        }
+      }
+      .toDF(idCol, "meta")
+  }
+
+  /** Decoded-metadata record for the partition-map path — same field
+    * names/types as [[decodeBmp]]'s output struct. */
+  final case class DecodedMeta(width: Int, height: Int, channels: Int)
 }

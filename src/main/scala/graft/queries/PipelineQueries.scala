@@ -1443,6 +1443,32 @@ object PipelineQueries {
           (col("cnt_a") * col("cnt_b")).as("n_pairs"))
     }),
 
+    // PERCEPTUAL near-dup CLUSTER COLLAPSE: the image duplicate GROUPS —
+    // connected components over the Hamming ≤ 2 class-pair graph, the
+    // same pairs→components step text dedup runs (dedup_clusters), each
+    // cluster keyed by its minimum member hash and rolled up to class +
+    // document counts. Everything after the per-doc hash scales with the
+    // ≤ 2^16 distinct hash classes, not the corpus. Oracle: brute-force
+    // class pairs over the independently recomputed hash + recursive-CTE
+    // reachability.
+    "mm_phash_clusters" -> ((s, d) => {
+      import graft.operators.MultimodalOps._
+      val classes = graft.core.Caches.persistTracked(docs(s, d)
+        .select(bmpAHash(bmpBlob(
+          lit(1) + pmod(col("doc_id"), lit(24)),
+          lit(1) + pmod(col("doc_id") * 7, lit(24)),
+          asBlob(col("text"))), 4).as("p"))
+        .filter(col("p.ahash").isNotNull)
+        .groupBy(col("p.ahash").as("h")).agg(count(lit(1)).as("cnt")))
+      graft.operators.DedupOps.nearDupClusters(
+          classes.select(col("h")), "h",
+          graft.operators.DedupOps.hammingPairs(
+            classes.select(col("h").as("id"), col("h")), 16, 2, 4))
+        .join(classes.withColumnRenamed("h", "doc_id"), "doc_id")
+        .groupBy("cluster")
+        .agg(count(lit(1)).as("n_classes"), sum(col("cnt")).as("n_docs"))
+    }),
+
     // PERCEPTUAL audio fingerprinting: 16-segment energy-threshold bits
     // per clip (the audio twin of mm_phash) → bucket-size census — the
     // audio near-dup blocking readout. Oracle recomputes every sample's
@@ -1477,6 +1503,26 @@ object PipelineQueries {
         .join(broadcast(classes.select(col("h").as("h_b"), col("cnt").as("cnt_b"))), "h_b")
         .select(col("h_a"), col("h_b"), col("dist"),
           (col("cnt_a") * col("cnt_b")).as("n_pairs"))
+    }),
+
+    // The audio twin of mm_phash_clusters: Hamming ≤ 2 fingerprint-class
+    // components (short clips' NULL fingerprints excluded) → per-cluster
+    // class + clip counts.
+    "mm_audiohash_clusters" -> ((s, d) => {
+      import graft.operators.MultimodalOps._
+      val classes = graft.core.Caches.persistTracked(docs(s, d)
+        .select(wavFingerprint8(
+          wavBlob(lit(8000), lit(1), lit(8), asBlob(col("text"))),
+          AudioHashSegs).as("p"))
+        .filter(col("p.fp").isNotNull)
+        .groupBy(col("p.fp").as("h")).agg(count(lit(1)).as("cnt")))
+      graft.operators.DedupOps.nearDupClusters(
+          classes.select(col("h")), "h",
+          graft.operators.DedupOps.hammingPairs(
+            classes.select(col("h").as("id"), col("h")), AudioHashSegs, 2, 4))
+        .join(classes.withColumnRenamed("h", "doc_id"), "doc_id")
+        .groupBy("cluster")
+        .agg(count(lit(1)).as("n_classes"), sum(col("cnt")).as("n_docs"))
     }),
 
     // SAMPLE-level audio windowing: per-50-sample energy over 8-bit mono
@@ -2616,6 +2662,27 @@ object PipelineQueries {
          |FROM cls a JOIN cls b ON a.h < b.h
          |WHERE bit_count(xor(a.h, b.h)) <= 2""".stripMargin,
 
+    // mm_phash_clusters: brute-force Hamming ≤ 2 class pairs over the
+    // independently recomputed hash, mirrored into an edge list, closed
+    // with a recursive reachability CTE (same pattern as dedup_clusters),
+    // min-reachable-hash labels, then the per-cluster rollup.
+    "mm_phash_clusters" ->
+      s"""WITH RECURSIVE $phashDocSql,
+         |cls AS (SELECT CAST(ahash AS BIGINT) AS h,
+         |    CAST(COUNT(*) AS BIGINT) AS cnt FROM hsh GROUP BY 1),
+         |prs AS (SELECT a.h AS ha, b.h AS hb FROM cls a JOIN cls b ON a.h < b.h
+         |  WHERE bit_count(xor(a.h, b.h)) <= 2),
+         |edges AS (SELECT ha AS a, hb AS b FROM prs UNION ALL SELECT hb, ha FROM prs),
+         |reach(id, r) AS (
+         |  SELECT a, a FROM edges
+         |  UNION
+         |  SELECT re.id, e.b FROM reach re JOIN edges e ON e.a = re.r),
+         |lbl AS (SELECT id, MIN(r) AS cluster FROM reach GROUP BY id)
+         |SELECT CAST(COALESCE(l.cluster, c.h) AS BIGINT) AS cluster,
+         |  CAST(COUNT(*) AS BIGINT) AS n_classes,
+         |  CAST(SUM(c.cnt) AS BIGINT) AS n_docs
+         |FROM cls c LEFT JOIN lbl l ON c.h = l.id GROUP BY 1""".stripMargin,
+
     // mm_audiohash: per-doc 16-segment energy fingerprint recomputed from
     // the payload bytes (floor-division segment bounds; empty segments 0),
     // mean threshold cross-multiplied, clips under 16 samples → NULL fp,
@@ -2638,6 +2705,26 @@ object PipelineQueries {
          |  CAST(a.cnt * b.cnt AS BIGINT) AS n_pairs
          |FROM cls a JOIN cls b ON a.h < b.h
          |WHERE bit_count(xor(a.h, b.h)) <= 2""".stripMargin,
+
+    // mm_audiohash_clusters: the audio twin of the mm_phash_clusters
+    // oracle over the fingerprint classes (NULL fingerprints excluded).
+    "mm_audiohash_clusters" ->
+      s"""WITH RECURSIVE $audiohashDocSql,
+         |cls AS (SELECT CAST(fp AS BIGINT) AS h,
+         |    CAST(COUNT(*) AS BIGINT) AS cnt FROM fp
+         |  WHERE fp IS NOT NULL GROUP BY 1),
+         |prs AS (SELECT a.h AS ha, b.h AS hb FROM cls a JOIN cls b ON a.h < b.h
+         |  WHERE bit_count(xor(a.h, b.h)) <= 2),
+         |edges AS (SELECT ha AS a, hb AS b FROM prs UNION ALL SELECT hb, ha FROM prs),
+         |reach(id, r) AS (
+         |  SELECT a, a FROM edges
+         |  UNION
+         |  SELECT re.id, e.b FROM reach re JOIN edges e ON e.a = re.r),
+         |lbl AS (SELECT id, MIN(r) AS cluster FROM reach GROUP BY id)
+         |SELECT CAST(COALESCE(l.cluster, c.h) AS BIGINT) AS cluster,
+         |  CAST(COUNT(*) AS BIGINT) AS n_classes,
+         |  CAST(SUM(c.cnt) AS BIGINT) AS n_docs
+         |FROM cls c LEFT JOIN lbl l ON c.h = l.id GROUP BY 1""".stripMargin,
 
     // mm_energy: same windowing straight from the payload bytes — sample
     // i = byte i of the text (8-bit mono PCM), window w covers samples

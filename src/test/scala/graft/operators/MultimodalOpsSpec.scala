@@ -317,4 +317,59 @@ class MultimodalOpsSpec extends AnyFunSuite {
       .head()
     assert(bmpNulls.isNullAt(0) && bmpNulls.isNullAt(1))
   }
+
+  test("decodeBmpPartitions: partition-map decode is bit-identical to the expression path") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // The production swap shape, driven end-to-end over a mixed corpus:
+    // valid BMPs at varied dimensions (built from real header bytes), a
+    // top-down 32bpp header, every rejection case the expression path
+    // pins, WAV bytes (wrong modality), and raw text. Parity must be
+    // exact, including WHERE the nulls fall.
+    val topDownHex = "424D" + "3A000000" + "00000000" + "36000000" +
+      "28000000" + "11000000" + "F7FFFFFF" + "0100" + "2000" +
+      "00000000" + "04000000" + "130B0000" + "130B0000" +
+      "00000000" + "00000000" + "00000000"
+    val fixtures = Seq(
+      (1L, MultimodalOps.bmpBlob(lit(1), lit(1), MultimodalOps.asBlob(lit("AB")))),
+      (2L, MultimodalOps.bmpBlob(lit(17), lit(9), MultimodalOps.asBlob(lit("payload")))),
+      (3L, MultimodalOps.bmpBlob(lit(24), lit(24), MultimodalOps.asBlob(lit("x" * 100)))),
+      (4L, unhex(lit(topDownHex))),
+      (5L, unhex(lit("504E470D0A1A0A" + "00" * 60))),    // PNG magic
+      (6L, unhex(lit("424D3A000000"))),                  // truncated BM
+      (7L, unhex(lit("424D" + "3A000000" + "00000000" + "36000000" +
+        "0C000000" + "00" * 40))),                       // BITMAPCOREHEADER
+      (8L, MultimodalOps.wavBlob(lit(8000), lit(1), lit(8),
+        MultimodalOps.asBlob(lit("AAAA")))),             // wrong modality
+      (9L, MultimodalOps.asBlob(lit("just text"))))
+    val blobs = fixtures.map(_._1).toDF("id")
+      .select(col("id"),
+        element_at(array(fixtures.map(_._2): _*), col("id").cast("int")).as("blob"))
+      .cache()
+    val exprPath = blobs.select(col("id"), MultimodalOps.decodeBmp(col("blob")).as("meta"))
+    val partPath = MultimodalOps.decodeBmpPartitions(blobs, "id", "blob")
+    // Field names and types must match exactly; the partition path's
+    // fields are additionally non-nullable (case-class Ints) where the
+    // expression path's are nullable — strictly stronger, invisible to
+    // any consumer.
+    import org.apache.spark.sql.types.StructType
+    def shape(df: org.apache.spark.sql.DataFrame) =
+      df.schema("meta").dataType.asInstanceOf[StructType]
+        .fields.map(f => (f.name, f.dataType)).toSeq
+    assert(shape(partPath) == shape(exprPath),
+      "the swap must preserve the metadata schema")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getStruct(1).toSeq)).toMap
+    assert(rows(partPath) == rows(exprPath))
+    // And the downstream stage composes unchanged across the swap:
+    // resizeFit over the partition-map output equals it over the
+    // expression output.
+    def resized(df: org.apache.spark.sql.DataFrame) =
+      df.filter(col("meta").isNotNull)
+        .select(col("id"), MultimodalOps.resizeFit(col("meta"), 224, 224).as("r"))
+        .collect().map(r => r.getLong(0) -> r.getStruct(1).toSeq).toMap
+    assert(resized(partPath) == resized(exprPath))
+    blobs.unpersist()
+  }
 }
