@@ -79,7 +79,67 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._3).filter(_ >= 0).sum
     val errs = errors.distinct.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"first":$fs,"sf":"$sfDir","errors":$errs}"""
+    // DEPLOYMENT-SHAPE lane: the per-gate map above RETRAINS every model
+    // per query by design (gate independence — each query must stand alone
+    // against its oracle), which makes the iterative trainers dominate the
+    // gate-shaped narrative. This second, separately-reported map measures
+    // what a deployment pays: build the shared artifact ONCE (model time),
+    // then time each consumer REUSING it. Families with a shared-model
+    // API: near-dup (DedupOps.nearDupModel → pairs / clusters / size
+    // histogram / keep-list) and BPE (BpeOps.bpeModel → merge table /
+    // vocabulary / per-doc budgets). Failures degrade to whatever entries
+    // completed — the lane must never take down the gate bench.
+    // Opt out with SPARK_GRAFT_DEPLOY=0.
+    val deployEntries = scala.collection.mutable.ListBuffer.empty[(String, Double)]
+    if (sys.env.getOrElse("SPARK_GRAFT_DEPLOY", "1") != "0") {
+      import org.apache.spark.sql.functions.{col, count, lit}
+      def timed(body: => Unit): Double = {
+        val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+      }
+      try {
+        val dd = spark.read.parquet(s"$sfDir/documents.parquet")
+        val m = {
+          var model: graft.operators.DedupOps.NearDupModel = null
+          val t = timed {
+            model = graft.operators.DedupOps.nearDupModel(
+              dd, "doc_id", 3, 12, 3, 1, 2)
+            model.pairs.count(); model.clusters.count() // materialize caches
+          }
+          deployEntries += "dedup_model" -> t
+          model
+        }
+        deployEntries += "dedup_pairs" -> timed(m.pairs.count())
+        deployEntries += "dedup_clusters" -> timed(m.clusters.count())
+        deployEntries += "dedup_cluster_sizes" -> timed(
+          m.clusters.groupBy("cluster").agg(count(lit(1))).count())
+        deployEntries += "dedup_keep_list" -> timed(
+          m.clusters.filter(col("doc_id") === col("cluster")).count())
+        graft.operators.DedupOps.unpersistPipelines()
+        val bm = {
+          var model: graft.operators.BpeOps.BpeModel = null
+          val t = timed {
+            model = graft.operators.BpeOps.bpeModel(dd, 8)
+            model.words.count() // materialize the segmented word cache
+          }
+          deployEntries += "bpe_model" -> t
+          model
+        }
+        deployEntries += "bpe_merges" -> timed(
+          graft.operators.BpeOps.mergesOf(bm).count())
+        deployEntries += "bpe_vocab" -> timed(
+          graft.operators.BpeOps.vocabOf(bm).count())
+        deployEntries += "bpe_doc_tokens" -> timed(
+          graft.operators.BpeOps.docTokensOf(bm, dd, "doc_id").count())
+      } catch { case e: Throwable =>
+        System.err.println(s"[graft.Bench] deploy lane: ${e.getMessage}")
+      } finally {
+        graft.operators.DedupOps.unpersistPipelines()
+        spark.catalog.clearCache()
+      }
+    }
+    val deploy = deployEntries
+      .map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"first":$fs,"sf":"$sfDir","errors":$errs,"deploy":$deploy}"""
     // Emit BOTH ways: bare on stdout, and to a file — sbt prefixes stdout
     // with [info], which defeats line-oriented JSON parsing downstream.
     println(line)

@@ -29,7 +29,16 @@ import graft.sources.DataGenSource
   *
   * Run: `sbt -batch "runMain graft.ScaleBench"` (env knobs:
   * SPARK_GRAFT_CPUS, SPARK_GRAFT_SCALE_NS="1000000,10000000",
+  * SPARK_GRAFT_SCALE_DIMS="2,3", SPARK_GRAFT_SCALE_NPARTS="8",
   * SPARK_GRAFT_SCALE_OUT=SCALE_out.json).
+  *
+  * SPARK_GRAFT_SCALE_NPARTS takes a LIST to replicate the reference's
+  * optimality-degradation matrix (`graph_paper_figures.py:38-42`, pdf
+  * p.19 §5.4: optimality falls as partitions rise, angle flattest):
+  * each (dims, n) cell re-times every strategy at every partition count
+  * over the SAME cached stream, so the matrix is one generation pass per
+  * cell. The distinct frontier is partition-count-invariant (MR merge
+  * property) and so counted once per (dims, n).
   */
 object ScaleBench {
 
@@ -49,11 +58,12 @@ object ScaleBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val nPart = 8            // the gate/report partition count (SURVEY §2.3)
+    val nParts = sys.env.getOrElse("SPARK_GRAFT_SCALE_NPARTS", "8")
+      .split(",").map(_.trim.toInt).toSeq // gate/report default (SURVEY §2.3)
     val dMax = 10000         // the reference producer's domain
     val cells = for (dims <- dimsList; n <- ns) yield (dims, n)
 
-    val rows = cells.map { case (dims, n) =>
+    val rows = cells.flatMap { case (dims, n) =>
       val names = dimCols(dims)
       val raw = DataGenSource.pointsDF(spark, "anti_correlated", 42L, n, dims,
           0, dMax, numPartitions = cpus.toInt * 4)
@@ -64,36 +74,43 @@ object ScaleBench {
       val genSec = (System.nanoTime() - t0) / 1e9
 
       val vecCol = array(names.map(col): _*)
-      val strategies: Seq[(String, Column)] = Seq(
-        "mrdim"   -> dimPartitionCol(vecCol, dMax.toDouble, nPart),
-        "mrgrid"  -> gridPartitionCol(vecCol, dims, dMax.toDouble, nPart),
-        "mrangle" -> anglePartitionCol(vecCol, dims, nPart))
 
-      // Strategy-invariant distinct frontier cardinality (MR merge property;
-      // asserted equal across strategies by the mr*_sky2d gates).
+      // Strategy- AND partition-count-invariant distinct frontier
+      // cardinality (MR merge property; asserted equal across strategies
+      // by the mr*_sky2d gates) — counted once per (dims, n).
       val t1 = System.nanoTime()
-      val skyPoints = mrSkylinePoints(df, names, strategies.head._2).count()
+      val skyPoints = mrSkylinePoints(df, names,
+        dimPartitionCol(vecCol, dMax.toDouble, nParts.head)).count()
       val skySec = (System.nanoTime() - t1) / 1e9
 
-      val perStrategy = strategies.map { case (strat, pid) =>
-        val t2 = System.nanoTime()
-        val rec = metricsRecord(df, names, pid, nPart)
-        val sec = (System.nanoTime() - t2) / 1e9
-        (strat, sec, rec)
+      val perNp = nParts.map { nPart =>
+        val strategies: Seq[(String, Column)] = Seq(
+          "mrdim"   -> dimPartitionCol(vecCol, dMax.toDouble, nPart),
+          "mrgrid"  -> gridPartitionCol(vecCol, dims, dMax.toDouble, nPart),
+          "mrangle" -> anglePartitionCol(vecCol, dims, nPart))
+        val perStrategy = strategies.map { case (strat, pid) =>
+          val t2 = System.nanoTime()
+          val rec = metricsRecord(df, names, pid, nPart)
+          val sec = (System.nanoTime() - t2) / 1e9
+          (strat, sec, rec)
+        }
+        (nPart, perStrategy)
       }
       df.unpersist(blocking = true)
-      (dims, n, genSec, skyPoints, skySec, perStrategy)
+      perNp.map { case (nPart, per) =>
+        (dims, n, nPart, genSec, skyPoints, skySec, per)
+      }
     }
 
-    val json = rows.map { case (dims, n, genSec, skyPoints, skySec, per) =>
+    val json = rows.map { case (dims, n, nPart, genSec, skyPoints, skySec, per) =>
       val ps = per.map { case (s, sec, rec) =>
         val opt = "\"optimality\": ([0-9.]+)".r.findFirstMatchIn(rec).map(_.group(1)).getOrElse("-1")
         val ss = "\"skyline_size\": ([0-9]+)".r.findFirstMatchIn(rec).map(_.group(1)).getOrElse("-1")
         f"""\"$s\":{\"sec\":$sec%.2f,\"skyline_rows\":$ss,\"optimality\":$opt}"""
       }.mkString(",")
-      f"""{\"dims\":$dims,\"n\":$n,\"gen_sec\":$genSec%.2f,\"sky_points\":$skyPoints,\"sky_sec\":$skySec%.2f,$ps,\"total_sec\":${skySec + per.map(_._2).sum}%.2f}"""
+      f"""{\"dims\":$dims,\"n\":$n,\"npart\":$nPart,\"gen_sec\":$genSec%.2f,\"sky_points\":$skyPoints,\"sky_sec\":$skySec%.2f,$ps,\"total_sec\":${skySec + per.map(_._2).sum}%.2f}"""
     }.mkString("[", ",", "]")
-    val line = s"""{"metric":"scale_envelope","cells":$json,"npart":$nPart,"distribution":"anti_correlated"}"""
+    val line = s"""{"metric":"scale_envelope","cells":$json,"nparts":${nParts.mkString("[", ",", "]")},"distribution":"anti_correlated"}"""
     println(line)
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "SCALE_out.json")), line)

@@ -207,15 +207,54 @@ object BpeOps {
     (learned, segmented.toDF("w", "freq", "syms"))
   }
 
+  /** The shared tokenizer artifact a DEPLOYMENT consumes: the learned
+    * merge list plus the segmented word table (persisted via
+    * [[graft.core.Caches]] — release after consuming, like every
+    * pipeline intermediate). The three `bpe*` gates each retrain from
+    * scratch (gate independence against their oracles); a pipeline that
+    * needs several surfaces — merge table, vocabulary, per-doc budgets —
+    * builds this ONCE and derives them all, paying the corpus scan and
+    * the in-memory training a single time. */
+  final case class BpeModel(learned: Seq[(Long, String, String, Long)],
+                            words: DataFrame)
+
+  /** Train once, share everywhere: the model behind [[bpeMerges]] /
+    * [[bpeVocab]] / [[bpeDocTokens]], exposed for deployment-shaped use. */
+  def bpeModel(docs: DataFrame, merges: Int,
+               sampleCap: Int = DefaultSampleCap): BpeModel = {
+    val (learned, words) = train(docs, merges, sampleCap)
+    BpeModel(learned, words)
+  }
+
+  /** The merge table of a trained model: (step, lhs, rhs, cnt). */
+  def mergesOf(model: BpeModel): DataFrame = {
+    val spark = model.words.sparkSession
+    import spark.implicits._
+    model.learned.toDF("step", "lhs", "rhs", "cnt")
+  }
+
+  /** The vocabulary surface of a trained model: (subword, cnt). */
+  def vocabOf(model: BpeModel): DataFrame =
+    model.words.select(col("freq"), explode(col("syms")).as("subword"))
+      .groupBy("subword").agg(sum("freq").as("cnt"))
+
+  /** Per-document token counts under a trained model: one corpus scan
+    * joined to the vocabulary-sized word table (AQE broadcasts it).
+    * Output: (doc_id, n_subtokens). */
+  def docTokensOf(model: BpeModel, docs: DataFrame,
+                  idCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        explode(TextOps.tokens(col("text"))).as("w"))
+      .filter(length(col("w")) > 0)
+      .join(model.words.select(col("w"),
+        size(col("syms")).cast("long").as("n")), "w")
+      .groupBy("doc_id").agg(sum("n").as("n_subtokens"))
+
   /** Train `merges` BPE merges over the whitespace tokens of `text` and
     * return the merge table: (step, lhs, rhs, cnt). */
   def bpeMerges(docs: DataFrame, merges: Int,
-                sampleCap: Int = DefaultSampleCap): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val (learned, _) = train(docs, merges, sampleCap)
-    learned.toDF("step", "lhs", "rhs", "cnt")
-  }
+                sampleCap: Int = DefaultSampleCap): DataFrame =
+    mergesOf(bpeModel(docs, merges, sampleCap))
 
   /** The tokenizer's VOCABULARY after `merges` trained merges: every
     * subword symbol the segmented corpus uses, with its total occurrence
@@ -223,11 +262,8 @@ object BpeOps {
     * surface of [[bpeMerges]] (symbol table sizing, coverage checks).
     * Output: (subword, cnt). */
   def bpeVocab(docs: DataFrame, merges: Int,
-               sampleCap: Int = DefaultSampleCap): DataFrame = {
-    val (_, words) = train(docs, merges, sampleCap)
-    words.select(col("freq"), explode(col("syms")).as("subword"))
-      .groupBy("subword").agg(sum("freq").as("cnt"))
-  }
+               sampleCap: Int = DefaultSampleCap): DataFrame =
+    vocabOf(bpeModel(docs, merges, sampleCap))
 
   /** Per-document TOKEN COUNT under the trained tokenizer — the budget
     * number a context-packing / cost-estimation step actually needs (a
@@ -237,12 +273,6 @@ object BpeOps {
     * word table (AQE broadcasts it), one map-side-combined sum. Output:
     * (doc_id, n_subtokens). */
   def bpeDocTokens(docs: DataFrame, idCol: String, merges: Int,
-                   sampleCap: Int = DefaultSampleCap): DataFrame = {
-    val (_, words) = train(docs, merges, sampleCap)
-    docs.select(col(idCol).as("doc_id"),
-        explode(TextOps.tokens(col("text"))).as("w"))
-      .filter(length(col("w")) > 0)
-      .join(words.select(col("w"), size(col("syms")).cast("long").as("n")), "w")
-      .groupBy("doc_id").agg(sum("n").as("n_subtokens"))
-  }
+                   sampleCap: Int = DefaultSampleCap): DataFrame =
+    docTokensOf(bpeModel(docs, merges, sampleCap), docs, idCol)
 }

@@ -171,4 +171,27 @@ class BpeOpsSpec extends AnyFunSuite {
     assert(got.length <= 3 && got.nonEmpty)
     assert(got.map(_.getLong(0)).toSeq == (1L to got.length).toSeq)
   }
+
+  test("shared BpeModel: one training run yields the same merges, vocab, and doc tokens as retraining") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val docs = Seq((1L, "low lower lowest low"), (2L, "new newer newest"),
+      (3L, "low new low")).toDF("doc_id", "text")
+    graft.core.Caches.scoped {
+      // Deployment shape: train ONCE, derive every surface from the model.
+      val m = BpeOps.bpeModel(docs, 6)
+      val merges1 = BpeOps.mergesOf(m).collect().map(_.toSeq).toSeq
+      val vocab1 = BpeOps.vocabOf(m).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+      val toks1 = BpeOps.docTokensOf(m, docs, "doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      // Gate shape: each surface retrains from scratch. Results must be
+      // identical — the model is a pure cost optimization.
+      assert(BpeOps.bpeMerges(docs, 6).collect().map(_.toSeq).toSeq == merges1)
+      assert(BpeOps.bpeVocab(docs, 6).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet == vocab1)
+      assert(BpeOps.bpeDocTokens(docs, "doc_id", 6).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet == toks1)
+    }
+  }
 }
