@@ -79,10 +79,26 @@ object DedupScaleBench {
         docs, "doc_id", pairs)
       val nClustered = labels.filter(col("cluster") =!= col("doc_id")).count()
       val clusterSec = (System.nanoTime() - t2) / 1e9
+      graft.operators.DedupOps.unpersistPipelines()
+
+      // SUB-DOCUMENT leg (round 12): window-level coverage over the same
+      // corpus — 17 positioned spans per doc (24 tokens, k=8), so the
+      // span table is the biggest intermediate of the three legs and the
+      // one that proves the shape at 10×. The planted near-dups share
+      // their 22-word prefix, so windows 0..14 of every base/dup pair are
+      // duplicated — coverage volume is known to scale linearly with n.
+      val t3 = System.nanoTime()
+      val covAgg = graft.operators.DedupOps
+        .duplicatedSpanCoverage(docs, "doc_id", 8)
+        .agg(sum(when(col("covered_tokens") > 0, 1L).otherwise(0L))
+            .as("docs_cov"),
+          sum(col("covered_tokens")).as("tok_cov")).head()
+      val (docsCov, tokCov) = (covAgg.getLong(0), covAgg.getLong(1))
+      val substrSec = (System.nanoTime() - t3) / 1e9
 
       graft.operators.DedupOps.unpersistPipelines()
       docs.unpersist(blocking = true)
-      f"""{"n":$n,"gen_sec":$genSec%.2f,"pairs_sec":$pairSec%.2f,"n_pairs":$nPairs,"cluster_sec":$clusterSec%.2f,"n_clustered":$nClustered}"""
+      f"""{"n":$n,"gen_sec":$genSec%.2f,"pairs_sec":$pairSec%.2f,"n_pairs":$nPairs,"cluster_sec":$clusterSec%.2f,"n_clustered":$nClustered,"substr_sec":$substrSec%.2f,"docs_with_dup_spans":$docsCov,"covered_tokens":$tokCov}"""
     }
 
     val line =

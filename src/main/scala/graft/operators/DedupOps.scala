@@ -178,6 +178,52 @@ object DedupOps {
         coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"))
   }
 
+  /** MAXIMAL duplicated runs — the variable-length readout built from the
+    * fixed-`k` primitive of [[duplicatedSpanCoverage]]: consecutive
+    * duplicated windows whose starts sit ≤ `k` apart merge into one
+    * contiguous covered run (abutting counts as contiguous — their token
+    * intervals touch), and each document reports its run count and its
+    * longest run's token length — the per-doc shape of Lee et al.'s
+    * duplicated-substring length distribution, without a suffix array.
+    * Output (docs with no duplicated window are absent): (doc_id, n_runs,
+    * max_run_tokens, covered_tokens) with covered_tokens = Σ run lengths
+    * (equals [[duplicatedSpanCoverage]]'s union size by construction —
+    * the cross-operator consistency a consumer can assert).
+    *
+    * Scale shape: identical to [[duplicatedSpanCoverage]] through the
+    * dup semi-join; the run segmentation is two window passes over the
+    * SAME doc_id partitioning (lag-break flags, then a running break
+    * count as the island id) plus two aggregates that reuse it — one
+    * exchange of the duplicated instances, total, same as the coverage
+    * operator. */
+  def duplicatedSpanRuns(docs: DataFrame, idCol: String, k: Int): DataFrame = {
+    require(k >= 2 && k <= 1000, s"window width out of range: $k")
+    import org.apache.spark.sql.expressions.Window
+    val sp = cachePersist(
+      docs.select(col(idCol).as("doc_id"),
+          posexplode(shingles(col("text"), k)))
+        .select(col("doc_id"), col("pos"), md5(col("col")).as("sh")))
+    val dupSh = sp.groupBy("sh").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2).select("sh")
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    sp.join(dupSh, "sh")
+      .select(col("doc_id"), col("pos"))
+      // A break opens a new island when the previous duplicated start is
+      // more than k tokens back (strictly: gap > k leaves uncovered
+      // tokens between the two windows' intervals).
+      .withColumn("brk",
+        when(col("pos") - lag(col("pos"), 1).over(byDoc) > k, 1L)
+          .otherwise(lit(0L)))
+      .withColumn("run", sum(col("brk")).over(
+        byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("doc_id", "run")
+      .agg((max(col("pos")) - min(col("pos")) + k).cast("long").as("run_len"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_runs"),
+        max(col("run_len")).as("max_run_tokens"),
+        sum(col("run_len")).as("covered_tokens"))
+  }
+
   /** One row per id carrying all `k` minhash values (m0..m{k-1}): `k`
     * independent permutations approximated by seeding `xxhash64` with the
     * hash index; value j is the minimum hash of any shingle under seed j

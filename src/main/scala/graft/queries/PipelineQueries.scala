@@ -342,6 +342,16 @@ object PipelineQueries {
     "dedup_substr" -> ((s, d) =>
       graft.operators.DedupOps.duplicatedSpanCoverage(docs(s, d), "doc_id", 8)),
 
+    // The variable-length readout over the same primitive: maximal
+    // duplicated RUNS (consecutive duplicated windows ≤ 8 starts apart
+    // merge; abutting counts as contiguous) — per-doc run count, longest
+    // run, and Σ run lengths (= dedup_substr's interval union, the
+    // cross-operator consistency an auditor can assert). Docs with no
+    // duplicated window are absent. Oracle replays the lag-break /
+    // running-sum island segmentation.
+    "dedup_substr_runs" -> ((s, d) =>
+      graft.operators.DedupOps.duplicatedSpanRuns(docs(s, d), "doc_id", 8)),
+
     // MinHash+LSH near-dup pairs: word-3-gram shingles, 12 bands × 3 rows,
     // verified true Jaccard ≥ 1/2 (integer cross-multiply). The oracle is
     // the all-pairs check — a RECALL CONTRACT with the fixture, not an
@@ -2568,6 +2578,30 @@ object PipelineQueries {
         |  CAST(COALESCE(cov.ndw, 0) AS BIGINT) AS n_dup_windows,
         |  CAST(COALESCE(cov.covered, 0) AS BIGINT) AS covered_tokens
         |FROM documents d LEFT JOIN cov USING (doc_id)""".stripMargin,
+
+    // dedup_substr_runs: same span/count/dup CTEs, then the island
+    // segmentation — break when the previous duplicated start is > 8
+    // back, running break-sum as the island id, MAX−MIN+8 per island.
+    "dedup_substr_runs" ->
+      """WITH sp AS (
+        |  SELECT doc_id, u.pos AS pos, u.sh AS sh FROM (
+        |    SELECT doc_id, unnest([{'pos': i - 1, 'sh': md5(array_to_string(w[i:i+7], ' '))}
+        |                           for i in range(1, greatest(len(w) - 6, 1))]) AS u
+        |    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))),
+        |cnt AS (SELECT sh, COUNT(*) AS c FROM sp GROUP BY sh),
+        |ds AS (SELECT sp.doc_id, sp.pos,
+        |         CASE WHEN sp.pos - LAG(sp.pos) OVER (PARTITION BY sp.doc_id ORDER BY sp.pos) > 8
+        |           THEN 1 ELSE 0 END AS brk
+        |       FROM sp JOIN cnt USING (sh) WHERE cnt.c >= 2),
+        |isl AS (SELECT doc_id, pos,
+        |          SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS run
+        |        FROM ds),
+        |runs AS (SELECT doc_id, run, MAX(pos) - MIN(pos) + 8 AS run_len
+        |         FROM isl GROUP BY 1, 2)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_runs,
+        |  CAST(MAX(run_len) AS BIGINT) AS max_run_tokens,
+        |  CAST(SUM(run_len) AS BIGINT) AS covered_tokens
+        |FROM runs GROUP BY doc_id""".stripMargin,
 
     // mm_decode: GROUND-TRUTH dimensions straight from doc_id — the oracle
     // never builds or parses a BMP, so the Spark side's build→parse round

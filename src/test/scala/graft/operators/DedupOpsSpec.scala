@@ -419,6 +419,79 @@ class DedupOpsSpec extends AnyFunSuite with PropHelpers {
     assert(got(3L)._3 == 2L && got(3L)._4 == 16L)
   }
 
+  /** Ground truth for duplicatedSpanRuns straight from the covered
+    * boolean array: maximal true-runs. */
+  private def bruteRuns(rows: Seq[(Long, String)], k: Int)
+      : Map[Long, (Long, Long, Long)] = {
+    val toks = rows.map { case (id, t) => id -> t.split(" ", -1).toSeq }.toMap
+    val wins = rows.flatMap { case (id, _) =>
+      toks(id).sliding(k).zipWithIndex.collect {
+        case (w, i) if w.size == k => (id, i, w.mkString(" "))
+      }
+    }
+    val cnt = wins.groupBy(_._3).view.mapValues(_.size).toMap
+    rows.flatMap { case (id, _) =>
+      val n = toks(id).size
+      val covered = Array.fill(n)(false)
+      wins.filter(w => w._1 == id && cnt(w._3) >= 2)
+        .foreach { case (_, i, _) =>
+          (i until math.min(i + k, n)).foreach(covered(_) = true) }
+      // Maximal true-runs of the coverage array.
+      val runs = scala.collection.mutable.ListBuffer.empty[Int]
+      var cur = 0
+      covered.foreach { c =>
+        if (c) cur += 1
+        else if (cur > 0) { runs += cur; cur = 0 }
+      }
+      if (cur > 0) runs += cur
+      if (runs.isEmpty) None
+      else Some(id -> ((runs.size.toLong, runs.max.toLong, runs.sum.toLong)))
+    }.toMap
+  }
+
+  test("duplicatedSpanRuns: island merge at gap <= k, split at gap > k, matches coverage") {
+    val boiler = "b1 b2 b3 b4 b5 b6 b7 b8"
+    val rows = Seq(
+      // Two copies of the boilerplate INSIDE one doc separated by one
+      // token (gap 9 > k=8 → two runs) plus a doc where they abut
+      // (gap 8 = k → one merged 16-token run).
+      1L -> s"$boiler x $boiler",
+      2L -> s"$boiler $boiler",
+      3L -> s"pre1 pre2 $boiler post1 post2",
+      4L -> "only unique tokens here at all")
+    val k = 8
+    val got = DedupOps.duplicatedSpanRuns(docsDF(rows: _*), "doc_id", k)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    DedupOps.unpersistPipelines()
+    assert(got == bruteRuns(rows, k))
+    assert(got(1L) == ((2L, 8L, 16L)), "gap > k must split runs")
+    assert(got(2L)._1 == 1L, "abutting windows must merge into one run")
+    assert(!got.contains(4L), "docs with no duplicated window are absent")
+    // Cross-operator consistency: covered_tokens equals the coverage
+    // operator's interval union.
+    val cov = DedupOps.duplicatedSpanCoverage(docsDF(rows: _*), "doc_id", k)
+      .collect().map(r => r.getLong(0) -> r.getLong(4)).toMap
+    DedupOps.unpersistPipelines()
+    got.foreach { case (id, (_, _, covered)) => assert(cov(id) == covered) }
+  }
+
+  test("duplicatedSpanRuns matches brute force on random corpora (property)") {
+    val docGen = Gen.chooseNum(0, 14).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a", "b", "c")).map(_.mkString(" ")))
+    val corpusGen = Gen.chooseNum(2, 8).flatMap(m =>
+      Gen.listOfN(m, docGen).map(_.zipWithIndex.map { case (t, i) => (i.toLong, t) }))
+    forAll(Gen.zip(corpusGen, Gen.chooseNum(2, 4)), 12) { case (rows, k) =>
+      val got = DedupOps.duplicatedSpanRuns(docsDF(rows: _*), "doc_id", k)
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+        .toMap
+      DedupOps.unpersistPipelines()
+      assert(got == bruteRuns(rows, k), s"k=$k rows=$rows")
+    }
+  }
+
   test("duplicatedSpanCoverage matches brute force on random corpora (property)") {
     // Small token alphabet forces genuine cross-doc and within-doc window
     // collisions; doc lengths straddle k so the empty-window path is hit.
