@@ -532,6 +532,54 @@ object DedupOps {
       .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("cluster"))
   }
 
+  /** Connected components for VALUE-SPACE-BOUNDED pair graphs — the
+    * perceptual-hash case, where nodes are distinct w-bit hash CLASSES
+    * (≤ 2^16 for the 16-bit formats) rather than documents, so the edge
+    * list is model-sized driver state BY CONSTRUCTION, like k-means
+    * centroids or a Bloom bitset. The distributed pointer-doubling loop
+    * of [[nearDupClusters]] pays O(log d) whole Spark rounds (count +
+    * checkpoint each) — right for corpus-sized graphs, pure scheduling
+    * overhead for a few hundred class nodes. Here: one bounded collect,
+    * union-find with min-id representatives on the driver, one broadcast
+    * join back to label every node (absent nodes are their own cluster).
+    * Same output contract as [[nearDupClusters]]: (doc_id, cluster),
+    * cluster = minimum reachable id. Long ids only (the hash-class
+    * domain); `maxEdges` hard-fails rather than silently collecting an
+    * unbounded graph — callers pass their format's value-space bound. */
+  def smallNearDupClusters(docs: DataFrame, idCol: String, pairs: DataFrame,
+                           maxEdges: Int = 1 << 20): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val edges = pairs.select(col("id_a").cast("long"), col("id_b").cast("long"))
+      .limit(maxEdges + 1).as[(Long, Long)].collect()
+    require(edges.length <= maxEdges,
+      s"pair graph exceeds the declared value-space bound ($maxEdges edges) — " +
+        "use nearDupClusters (distributed) for corpus-sized graphs")
+    // Union-find with path compression; representative = any root, then a
+    // second pass maps every member to its component's MINIMUM id (the
+    // nearDupClusters label convention).
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(rb) = ra
+      parent.getOrElseUpdate(ra, ra)
+    }
+    val nodes = edges.iterator.flatMap(e => Iterator(e._1, e._2)).toSet
+    val minOfRoot = nodes.groupBy(find).map { case (r, m) => r -> m.min }
+    val labels = nodes.toSeq.map(n => (n, minOfRoot(find(n))))
+      .toDF("doc_id", "lbl")
+    docs.select(col(idCol).cast("long").as("doc_id"))
+      .join(broadcast(labels), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("cluster"))
+  }
+
   /** The shared near-dup model a DEPLOYMENT consumes: verified MinHash pair
     * graph and cluster labels computed ONCE (both persisted via
     * [[graft.core.Caches]]), feeding every downstream surface — keep-lists

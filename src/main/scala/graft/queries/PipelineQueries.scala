@@ -1458,7 +1458,10 @@ object PipelineQueries {
     // same pairs→components step text dedup runs (dedup_clusters), each
     // cluster keyed by its minimum member hash and rolled up to class +
     // document counts. Everything after the per-doc hash scales with the
-    // ≤ 2^16 distinct hash classes, not the corpus. Oracle: brute-force
+    // ≤ 2^16 distinct hash classes, not the corpus — and BECAUSE the node
+    // set is value-space-bounded, the collapse is the driver-side
+    // union-find (smallNearDupClusters, spec-pinned label-identical to
+    // the distributed loop), not O(log d) Spark rounds over ~100 nodes. Oracle: brute-force
     // class pairs over the independently recomputed hash + recursive-CTE
     // reachability.
     "mm_phash_clusters" -> ((s, d) => {
@@ -1470,10 +1473,11 @@ object PipelineQueries {
           asBlob(col("text"))), 4).as("p"))
         .filter(col("p.ahash").isNotNull)
         .groupBy(col("p.ahash").as("h")).agg(count(lit(1)).as("cnt")))
-      graft.operators.DedupOps.nearDupClusters(
+      graft.operators.DedupOps.smallNearDupClusters(
           classes.select(col("h")), "h",
           graft.operators.DedupOps.hammingPairs(
-            classes.select(col("h").as("id"), col("h")), 16, 2, 4))
+            classes.select(col("h").as("id"), col("h")), 16, 2, 4),
+          maxEdges = 1 << 23)
         .join(classes.withColumnRenamed("h", "doc_id"), "doc_id")
         .groupBy("cluster")
         .agg(count(lit(1)).as("n_classes"), sum(col("cnt")).as("n_docs"))
@@ -1526,10 +1530,11 @@ object PipelineQueries {
           AudioHashSegs).as("p"))
         .filter(col("p.fp").isNotNull)
         .groupBy(col("p.fp").as("h")).agg(count(lit(1)).as("cnt")))
-      graft.operators.DedupOps.nearDupClusters(
+      graft.operators.DedupOps.smallNearDupClusters(
           classes.select(col("h")), "h",
           graft.operators.DedupOps.hammingPairs(
-            classes.select(col("h").as("id"), col("h")), AudioHashSegs, 2, 4))
+            classes.select(col("h").as("id"), col("h")), AudioHashSegs, 2, 4),
+          maxEdges = 1 << 23)
         .join(classes.withColumnRenamed("h", "doc_id"), "doc_id")
         .groupBy("cluster")
         .agg(count(lit(1)).as("n_classes"), sum(col("cnt")).as("n_docs"))

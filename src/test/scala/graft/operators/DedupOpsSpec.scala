@@ -419,6 +419,37 @@ class DedupOpsSpec extends AnyFunSuite with PropHelpers {
     assert(got(3L)._3 == 2L && got(3L)._4 == 16L)
   }
 
+  test("smallNearDupClusters: label-identical to the distributed loop; edge bound hard-fails") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // Random pair graphs over a small id space: chains, cliques,
+    // singletons, and self-contained components must all label to the
+    // component minimum exactly as nearDupClusters does.
+    val edgesGen = Gen.chooseNum(0, 12).flatMap(m =>
+      Gen.listOfN(m, Gen.zip(Gen.chooseNum(0L, 15L), Gen.chooseNum(0L, 15L))
+        .suchThat { case (a, b) => a != b }))
+    forAll(edgesGen, 10) { edges =>
+      val nodes = (0L to 15L).toDF("h")
+      val pairs = (if (edges.isEmpty) Seq((99L, 98L)) else edges) // never-empty plan
+        .toDF("id_a", "id_b")
+        .filter(lit(edges.nonEmpty))
+      val small = DedupOps.smallNearDupClusters(nodes, "h", pairs)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      val dist = DedupOps.nearDupClusters(nodes, "h", pairs)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      DedupOps.unpersistPipelines()
+      assert(small == dist, s"edges=$edges")
+    }
+    // The value-space guard: more edges than declared must fail loudly,
+    // not silently truncate the graph.
+    val big = (0L until 40L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val ex = intercept[IllegalArgumentException] {
+      DedupOps.smallNearDupClusters((0L to 40L).toDF("h"), "h", big,
+        maxEdges = 10).collect()
+    }
+    assert(ex.getMessage.contains("value-space bound"))
+  }
+
   /** Ground truth for duplicatedSpanRuns straight from the covered
     * boolean array: maximal true-runs. */
   private def bruteRuns(rows: Seq[(Long, String)], k: Int)
