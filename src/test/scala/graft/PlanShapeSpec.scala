@@ -154,4 +154,32 @@ class PlanShapeSpec extends AnyFunSuite {
       !meta.contains("l_extendedprice"),
       s"profile scan not pruned to its columns: $meta")
   }
+
+  test("dedup_substr: no cartesian anywhere; the run twin adds NO exchange over coverage") {
+    // The window-dedup pair: coverage has exactly two data exchanges (one
+    // by span hash for the occurrence counts, one by doc_id for the
+    // interval union — the dup semi-join broadcasts or reuses the hash
+    // exchange, the final per-doc aggregate reuses the window's
+    // partitioning), and the runs variant segments islands with window
+    // passes over the SAME doc_id exchange, so its shuffle count must not
+    // exceed coverage's. An accidental all-pairs join or a lost
+    // partitioning reuse shows up here before it shows up at 100 TB.
+    val spark = TestSpark.spark
+    def shape(name: String): (Int, String) = {
+      val plan = graft.queries.PipelineQueries.queries(name)(spark, sf)
+        .queryExecution.sparkPlan
+      val tree = plan.treeString
+      val exchanges = "(?m)^\\s*(?:\\+- |:- )?Exchange hashpartitioning".r
+        .findAllIn(tree).length
+      (exchanges, tree)
+    }
+    val (covEx, covTree) = shape("dedup_substr")
+    val (runEx, runTree) = shape("dedup_substr_runs")
+    assert(!covTree.contains("CartesianProduct") &&
+      !runTree.contains("CartesianProduct"),
+      "window dedup must never plan a cartesian join")
+    assert(covEx <= 2, s"coverage grew extra shuffles ($covEx):\n$covTree")
+    assert(runEx <= covEx,
+      s"runs variant must reuse coverage's exchanges ($runEx > $covEx):\n$runTree")
+  }
 }
