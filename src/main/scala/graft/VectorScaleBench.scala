@@ -44,6 +44,13 @@ object VectorScaleBench {
           "left_semi")
         .count()
 
+    // Leg filter for incremental re-measurement (the LSH leg alone runs
+    // ~25 min at 10M — its clustered-data bucket concentration is the
+    // finding, not a harness defect): brute always runs (it is the recall
+    // baseline), the approximate legs run only when listed.
+    val legs = sys.env.getOrElse("SPARK_GRAFT_SCALE_LEGS", "lsh,ivf,sq8")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSet
+
     val cells = ns.map { n =>
       // center(id % 1024) + 0.3 · noise(id), every component hash-derived.
       def comp(seed: Int, key: Column, i: Column): Column =
@@ -67,27 +74,37 @@ object VectorScaleBench {
       val nBrute = brute.count()
       val bruteSec = (System.nanoTime() - t1) / 1e9
 
-      val t2 = System.nanoTime()
-      val lsh = graft.operators.VectorOps.knnLsh(
-        embs, "vec_id", "embedding", qp, 10, 4, 12, Dims)
-      val lshHits = recallAt10(lsh, brute)
-      val lshSec = (System.nanoTime() - t2) / 1e9
-      graft.core.Caches.releaseAll()
+      def leg(name: String)(body: => Long): (Double, Long) =
+        if (!legs(name)) (-1.0, -1L)
+        else {
+          val t = System.nanoTime()
+          val hits = body
+          graft.core.Caches.releaseAll()
+          ((System.nanoTime() - t) / 1e9, hits)
+        }
 
-      val t3 = System.nanoTime()
-      val ivf = graft.operators.VectorOps.knnIvf(
-        embs, "vec_id", "embedding", qp, 10,
-        col("vec_id") >= 1000L && col("vec_id") < 1064L, 8)
-      val ivfHits = recallAt10(ivf, brute)
-      val ivfSec = (System.nanoTime() - t3) / 1e9
-      graft.core.Caches.releaseAll()
+      val (lshSec, lshHits) = leg("lsh") {
+        recallAt10(graft.operators.VectorOps.knnLsh(
+          embs, "vec_id", "embedding", qp, 10, 4, 12, Dims), brute)
+      }
 
-      val t4 = System.nanoTime()
-      val sq8 = graft.operators.VectorOps.knnSq8(
-        embs, "vec_id", "embedding", qp, 10, 100)
-      val sq8Hits = recallAt10(sq8, brute)
-      val sq8Sec = (System.nanoTime() - t4) / 1e9
-      graft.core.Caches.releaseAll()
+      val (ivfSec, ivfHits) = leg("ivf") {
+        recallAt10(graft.operators.VectorOps.knnIvf(
+          embs, "vec_id", "embedding", qp, 10,
+          col("vec_id") >= 1000L && col("vec_id") < 1064L, 8), brute)
+      }
+
+      // Candidate pool scales with the corpus: a FIXED pool (the old 100)
+      // is 1e-5 of a 10M corpus, and int8 dot ties inside the query's own
+      // cluster make a pool that small effectively arbitrary — recall@10
+      // measured 26→10/80 across 1M→10M. n/10⁴ keeps the pool a constant
+      // FRACTION of the corpus (100 @ 1M, 1000 @ 10M): still a broadcast-
+      // sized winners table, exact re-rank cost unchanged in shape.
+      val (sq8Sec, sq8Hits) = leg("sq8") {
+        recallAt10(graft.operators.VectorOps.knnSq8(
+          embs, "vec_id", "embedding", qp, 10,
+          math.max(100, (n / 10000L).toInt)), brute)
+      }
 
       brute.unpersist(blocking = false)
       embs.unpersist(blocking = true)
