@@ -695,6 +695,41 @@ object CorpusOps {
       .reduce((a, b) => a * 31L + b)
   }
 
+  /** Deterministic GLOBAL TRAINING-ORDER SHUFFLE: every row gets its exact
+    * 0-based position under a seeded pseudo-random total order — the
+    * reproducible corpus permutation a training run consumes (same salt →
+    * same order on any cluster, any partitioning, any engine). The order
+    * is (bucket, draw, id): bucket = first md5 byte of the salted id,
+    * draw = [[hashDrawCol]] over the salted id, id as the final
+    * tie-break — a pure function of (salt, id), nothing positional.
+    *
+    * Scale shape (the reason this is NOT `row_number() OVER (ORDER BY
+    * hash)`, whose empty-over window moves the whole corpus through ONE
+    * task): ranks are two-level — per-bucket `row_number` windows whose
+    * partitions are ~n/256 each (the md5 byte is uniform), plus a
+    * 256-row bucket-offset table (cumulative counts over the VALUE-SPACE-
+    * bounded bucket domain — the [[discQuantiles]] pattern) broadcast
+    * back. One shuffle by bucket, bounded window memory, no global sort,
+    * no driver state. Output: (doc_id, shuffle_rank). */
+  def shuffleRank(df: DataFrame, idCol: String, salt: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sid = col(idCol).cast("string")
+    val keyed = df.select(col(idCol).as("doc_id"),
+      conv(substring(md5(concat(lit(salt), sid)), 1, 2), 16, 10)
+        .cast("long").as("bkt"),
+      hashDrawCol(sid, salt).as("h"))
+    val offsets = keyed.groupBy("bkt").agg(count(lit(1)).as("c"))
+      .withColumn("off", coalesce(sum(col("c")).over(
+        Window.orderBy("bkt")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("bkt"), col("off"))
+    keyed.join(broadcast(offsets), "bkt")
+      .withColumn("rin", row_number().over(
+        Window.partitionBy("bkt").orderBy(col("h"), col("doc_id"))))
+      .select(col("doc_id"),
+        (col("off") + col("rin") - 1).cast("long").as("shuffle_rank"))
+  }
+
   /** Weighted sample without replacement via PRIORITY SAMPLING
     * (Duffield–Lund–Thorup): each doc draws a deterministic uniform hash
     * h and gets priority w / h; the k largest priorities are the sample —

@@ -302,6 +302,14 @@ object PipelineQueries {
     "samp_weighted" -> ((s, d) =>
       graft.operators.CorpusOps.prioritySample(docs(s, d), "doc_id", 25)),
 
+    // Deterministic global training-order shuffle: every doc's exact
+    // 0-based position under the seeded pseudo-random total order
+    // (bucket, draw, id) — reproducible on any partitioning. The oracle
+    // replays the full order with one global ROW_NUMBER (oracle-side
+    // only; the Spark side is the two-level bounded-window shape).
+    "ord_shuffle" -> ((s, d) =>
+      graft.operators.CorpusOps.shuffleRank(docs(s, d), "doc_id", "shuf12:")),
+
     // Decision-stump (1R) length-router training: per candidate feature
     // the exact error-minimizing threshold rule (pred = +1 iff x ≥ θ),
     // found by integer counting over the feature's distinct values — the
@@ -3345,6 +3353,21 @@ object PipelineQueries {
          |    CAST(n_chars AS DOUBLE) / CAST($draw AS DOUBLE) AS prio
          |  FROM documents)
          |ORDER BY prio DESC, doc_id LIMIT 25""".stripMargin
+    },
+
+    // ord_shuffle: the same salted md5 bucket + base-31 ascii draw, ranked
+    // by ONE global window (the oracle may centralize; the engine must
+    // not — its two-level shape is the point under test via hash parity).
+    "ord_shuffle" -> {
+      val draw = (1 to 6)
+        .map(i => s"CAST(ascii(substr(md5('shuf12:' || CAST(doc_id AS VARCHAR)), $i, 1)) AS BIGINT)")
+        .reduce((a, b) => s"($a * 31 + $b)")
+      val hv1 = hexvalSql("substr(md5('shuf12:' || CAST(doc_id AS VARCHAR)), 1, 1)")
+      val hv2 = hexvalSql("substr(md5('shuf12:' || CAST(doc_id AS VARCHAR)), 2, 1)")
+      s"""SELECT doc_id,
+         |  CAST(ROW_NUMBER() OVER (ORDER BY ($hv1 * 16 + $hv2), $draw, doc_id) - 1
+         |    AS BIGINT) AS shuffle_rank
+         |FROM documents""".stripMargin
     },
 
     // model_stump / model_confusion: the full 1R training replay —

@@ -690,4 +690,25 @@ class CorpusOpsSpec extends AnyFunSuite with PropHelpers {
     assert(webScores.forall(_ < got(15L)._2),
       s"curated-vocabulary raw doc must outscore web docs: ${got(15L)._2} vs $webScores")
   }
+
+  test("shuffleRank: exact permutation, partitioning-invariant, salt-sensitive") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val df = spark.range(0, 300).select(col("id").as("doc_id"))
+    def ranks(d: org.apache.spark.sql.DataFrame, salt: String): Map[Long, Long] =
+      CorpusOps.shuffleRank(d, "doc_id", salt)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val r1 = ranks(df, "s1:")
+    // A true permutation: ranks are exactly 0..n-1, each once.
+    assert(r1.values.toSeq.sorted == (0L until 300L).toList)
+    // Pure function of (salt, id): any physical partitioning yields the
+    // identical order (the reproducible-training-order contract).
+    assert(ranks(df.repartition(7), "s1:") == r1)
+    assert(ranks(df.orderBy(col("doc_id").desc).coalesce(1), "s1:") == r1)
+    // A different salt is a different permutation (overwhelmingly).
+    assert(ranks(df, "s2:") != r1)
+    // And the order is actually shuffled, not identity-ish: some doc's
+    // rank differs from its id.
+    assert(r1.exists { case (id, rk) => id != rk })
+  }
 }
