@@ -151,12 +151,18 @@ object DedupOps {
     require(k >= 2 && k <= 1000, s"window width out of range: $k")
     import org.apache.spark.sql.expressions.Window
     // Positioned spans: pos = 0-based start token index. md5, not
-    // xxhash64: the gate's oracle must replay every hash engine-neutrally.
+    // xxhash64: the gate's oracle must replay every hash engine-neutrally
+    // (the hash never reaches the OUTPUT, but keeping the whole family on
+    // one recipe keeps the operators mutually auditable). Stored as the
+    // 16 raw digest BYTES, not the 32-char hex string — the span table is
+    // this operator's largest intermediate (17 rows per 24-token doc; the
+    // 10M-doc envelope cell spills it), and the binary form cuts the
+    // persisted row roughly a third with identical equality semantics.
     // Persisted — consumed twice (occurrence counts + the join back).
     val sp = cachePersist(
       docs.select(col(idCol).as("doc_id"),
           posexplode(shingles(col("text"), k)))
-        .select(col("doc_id"), col("pos"), md5(col("col")).as("sh")))
+        .select(col("doc_id"), col("pos"), unhex(md5(col("col"))).as("sh")))
     val dupSh = sp.groupBy("sh").agg(count(lit(1)).as("c"))
       .filter(col("c") >= 2).select("sh")
     val byDoc = Window.partitionBy("doc_id").orderBy("pos")
@@ -199,10 +205,11 @@ object DedupOps {
   def duplicatedSpanRuns(docs: DataFrame, idCol: String, k: Int): DataFrame = {
     require(k >= 2 && k <= 1000, s"window width out of range: $k")
     import org.apache.spark.sql.expressions.Window
+    // Same binary-digest span table as [[duplicatedSpanCoverage]].
     val sp = cachePersist(
       docs.select(col(idCol).as("doc_id"),
           posexplode(shingles(col("text"), k)))
-        .select(col("doc_id"), col("pos"), md5(col("col")).as("sh")))
+        .select(col("doc_id"), col("pos"), unhex(md5(col("col"))).as("sh")))
     val dupSh = sp.groupBy("sh").agg(count(lit(1)).as("c"))
       .filter(col("c") >= 2).select("sh")
     val byDoc = Window.partitionBy("doc_id").orderBy("pos")
