@@ -508,14 +508,16 @@ object DedupOps {
       // own label is one self-join away; a component-min label maps to
       // itself, which `least` ignores.
       val jump = labels.select(col("id").as("lbl"), col("lbl").as("j2"))
-      // `old` rides along so the change check needs no extra join, and
-      // the change COUNT rides an `observe` metric collected DURING the
-      // eager localCheckpoint's materialization (which also re-roots the
-      // plan — see the scaladoc): convergence costs zero extra actions
-      // per round (the separate `count()` job was a fixed per-round
-      // latency tax on every consumer of this collapse — clusters, size
-      // histograms, semantic dedup, the curation chain).
-      val obs = new org.apache.spark.sql.Observation()
+      // `old` rides along so the change check needs no extra join. The
+      // eager localCheckpoint materializes the round AND re-roots the plan
+      // (see the scaladoc) — the count below reads the STORED rows, so it
+      // is a cached scan, not a recompute. Convergence deliberately does
+      // NOT use the kCore `observe` trick here: measured at the 10M-doc
+      // envelope, a CollectMetrics node wrapping this round's THREE-WAY
+      // label join regressed the collapse 80.7 → 133–170 s (it sits in
+      // the expensive join stage and breaks its codegen span), while the
+      // checkpoint-scan count costs ~nothing. kCore keeps observe because
+      // its observed plan is a cheap degree filter, not the hot join.
       val next =
         labels.join(nbrMin.select(col("a").as("id"), col("nmin")), Seq("id"), "left")
           .join(jump, Seq("lbl"), "left")
@@ -524,12 +526,9 @@ object DedupOps {
               coalesce(col("nmin"), col("lbl")),
               coalesce(col("j2"), col("lbl"))).as("lbl"),
             col("lbl").as("old"))
-          .observe(obs,
-            sum(when(col("lbl") =!= col("old"), 1L)).as("n_changed"))
           .localCheckpoint()
+      changed = next.filter(col("lbl") =!= col("old")).count()
       labelsRdd.foreach(_.unpersist(blocking = false)) // superseded round
-      changed = Option(obs.get("n_changed"))
-        .map(_.asInstanceOf[Long]).getOrElse(0L)
       labels = next.select(col("id"), col("lbl"))
       labelsRdd = ckptRdd(next)
       iter += 1
