@@ -231,6 +231,62 @@ object DedupOps {
         sum(col("run_len")).as("covered_tokens"))
   }
 
+  /** CROSS-DOCUMENT boilerplate coverage — the document-frequency
+    * counterpart of [[duplicatedSpanCoverage]] (RefinedWeb/CCNet-style
+    * template detection at fixed-window granularity): a `k`-token window
+    * is BOILERPLATE when its exact text occurs in ≥ `minDocs` DISTINCT
+    * documents. Two deliberate deltas from the ExactSubstr gate: the
+    * count is per-document (a header pasted into 500 pages scores 500
+    * here regardless of per-page repetition), and self-repetition alone
+    * NEVER qualifies (a doc that stutters its own phrase is repetition —
+    * [[duplicatedSpanCoverage]]'s business — not template text). With
+    * `minDocs` = 2 on a corpus with no self-repeats the two span sets
+    * coincide; the operator earns its keep at `minDocs` ≥ 3, where it
+    * isolates the spans shared widely enough to be template rather than
+    * a single near-dup pair.
+    *
+    * Output, one row per input document: (doc_id, n_tokens, n_windows,
+    * n_bp_windows, bp_covered_tokens) — same interval-union arithmetic
+    * as the coverage gate, over the boilerplate span set.
+    *
+    * Scale shape: identical to [[duplicatedSpanCoverage]] except the
+    * frequency stage first collapses (doc_id, sh) duplicates — a
+    * partial-combining aggregate on the SAME span-hash key the
+    * frequency count then reuses (one exchange serves both), so the
+    * added distinct costs no extra shuffle of the corpus-sized span
+    * table. Driver state: none. */
+  def boilerplateCoverage(docs: DataFrame, idCol: String, k: Int,
+                          minDocs: Int): DataFrame = {
+    require(k >= 2 && k <= 1000, s"window width out of range: $k")
+    require(minDocs >= 2, s"minDocs must be >= 2: $minDocs")
+    import org.apache.spark.sql.expressions.Window
+    // Same binary-digest span table as [[duplicatedSpanCoverage]].
+    val sp = cachePersist(
+      docs.select(col(idCol).as("doc_id"),
+          posexplode(shingles(col("text"), k)))
+        .select(col("doc_id"), col("pos"), unhex(md5(col("col"))).as("sh")))
+    val bpSh = sp.select("doc_id", "sh").distinct()
+      .groupBy("sh").agg(count(lit(1)).as("ndocs"))
+      .filter(col("ndocs") >= minDocs).select("sh")
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val cov = sp.join(bpSh, "sh")
+      .select(col("doc_id"), col("pos"))
+      .withColumn("nxt", lead(col("pos"), 1).over(byDoc))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bp_windows"),
+        sum(when(col("nxt").isNotNull,
+            least(lit(k.toLong), (col("nxt") - col("pos")).cast("long")))
+          .otherwise(lit(k.toLong))).as("bp_covered_tokens"))
+    val nTok = size(split(col("text"), " "))
+    docs.select(col(idCol).as("doc_id"),
+        nTok.cast("long").as("n_tokens"),
+        greatest(nTok - (k - 1), lit(0)).cast("long").as("n_windows"))
+      .join(cov, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"), col("n_windows"),
+        coalesce(col("n_bp_windows"), lit(0L)).as("n_bp_windows"),
+        coalesce(col("bp_covered_tokens"), lit(0L)).as("bp_covered_tokens"))
+  }
+
   /** One row per id carrying all `k` minhash values (m0..m{k-1}): `k`
     * independent permutations approximated by seeding `xxhash64` with the
     * hash index; value j is the minimum hash of any shingle under seed j
@@ -404,6 +460,64 @@ object DedupOps {
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("long").as("c_inter"),
         size(array_union(col("sh_a"), col("sh_b"))).cast("long").as("c_union"))
       .filter(col("c_inter") * den >= col("c_union") * num)
+  }
+
+  /** ASYMMETRIC containment near-dups (Broder, "On the resemblance and
+    * containment of documents", SEQUENCES '97): pairs whose shingle-set
+    * CONTAINMENT |A∩B| / min(|A|,|B|) ≥ num/den — the relation Jaccard
+    * resemblance structurally misses: a short document pasted verbatim
+    * into a much longer one has containment ≈ 1 but Jaccard ≈ |A|/|B|,
+    * below any useful resemblance threshold. This is the whole-set
+    * complement of [[duplicatedSpanCoverage]] (which finds the pasted
+    * SPANS but not which document pairs subsume each other).
+    *
+    * EXACT at the declared threshold, like [[jaccardNearDups]], but the
+    * prefix-filter geometry differs: resemblance lets BOTH sides keep
+    * only a rare-first prefix; for containment only the SMALLER set's
+    * prefix argument holds (pigeonhole on s = min(|A|,|B|): if none of
+    * its ⌊s·(den−num)/den⌋+1 rarest shingles is shared, the intersection
+    * is < s·num/den), and the partner element may sit anywhere in the
+    * other document. So candidates come from prefix ⋈ FULL shingle rows,
+    * both orientations at once, collapsed to the unordered pair.
+    * Cost bound: the candidate join fans out df(s) per prefix row —
+    * prefixes are the globally RAREST shingles of each doc (same
+    * df-ascending order as the PPJoin path), so that fanout is small by
+    * construction; a production corpus with adversarial stop-shingle
+    * prefixes (tiny docs made of corpus-hot shingles) caps them with
+    * [[hotBuckets]]/[[dropHotBuckets]] like every other pairing path.
+    *
+    * Output: (id_a, id_b, c_inter, sz_a, sz_b) for pairs at containment
+    * ≥ num/den (integer cross-multiply; consumers derive the ratio). */
+  def containmentNearDups(docs: DataFrame, idCol: String, n: Int,
+                          num: Int, den: Int): DataFrame = {
+    require(num > 0 && den > 0 && num <= den,
+      s"containment threshold must be in (0, 1]: $num/$den")
+    import org.apache.spark.sql.expressions.Window
+    val sr = cachePersist(shingleRows(docs, idCol, n))
+    val dfreq = sr.groupBy("s").agg(count(lit(1)).as("df"))
+    val byDoc   = Window.partitionBy("id")
+    val ordered = Window.partitionBy("id").orderBy(col("df"), col("s"))
+    val prefix =
+      sr.join(dfreq, "s")
+        .select(col("id"), col("s"),
+          row_number().over(ordered).as("rnk"),
+          count(lit(1)).over(byDoc).as("sz"))
+        .filter(col("rnk") <= floor(col("sz") * (den - num) / den) + 1)
+        .select("id", "s")
+    val cand = prefix.as("a").join(sr.as("b"),
+        col("a.s") === col("b.s") && col("a.id") =!= col("b.id"))
+      .select(least(col("a.id"), col("b.id")).as("id_a"),
+        greatest(col("a.id"), col("b.id")).as("id_b"))
+      .distinct()
+    val sh = sr.groupBy("id").agg(collect_list(col("s")).as("sh"))
+    cand
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long").as("c_inter"),
+        size(col("sh_a")).cast("long").as("sz_a"),
+        size(col("sh_b")).cast("long").as("sz_b"))
+      .filter(col("c_inter") * den >= least(col("sz_a"), col("sz_b")) * num)
   }
 
   /** Estimator-accuracy readout for a MinHash design point: for every

@@ -227,4 +227,82 @@ object TextOps {
       .when(b < trainPct + valPct, lit("val"))
       .otherwise(lit("test"))
   }
+
+  /** The Gopher rule stop list (Rae et al. arXiv:2112.11446, Table A1's
+    * "required words"): a document must contain at least two of these. */
+  val GopherStops: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher quality-rule report (Rae et al., "Scaling Language Models:
+    * Methods, Analysis & Insights from Training Gopher",
+    * arXiv:2112.11446, Table A1) as per-rule INDEPENDENT violation
+    * counts over the corpus, plus a final `kept` row counting documents
+    * that violate no rule. The independent-count view is the audit a
+    * mixture designer reads BEFORE committing to a filter chain: a
+    * cascade like [[qualityScoreCol]]/curate_rules attributes each doc
+    * only to its first failing rule, so it cannot say which rule does
+    * the damage or how rules overlap.
+    *
+    * Rules, each the paper's bound rendered in exact integer arithmetic
+    * at the corpus' whitespace tokenization (a rule that never fires on
+    * a given corpus still reports its zero — that IS the audit):
+    *   - `word_count`:   n_tokens outside [50, 100000]
+    *   - `mean_word_len` mean word length outside [3, 10] chars
+    *     (letters = len(text) − (n_tokens − 1) at single-space wire
+    *     format; bound cross-multiplied, never divided)
+    *   - `alpha_words`:  words containing an ASCII letter < 80%
+    *   - `stop_words`:   fewer than 2 occurrences of [[GopherStops]]
+    *   - `top_bigram`:   the most frequent word bigram covers > 20% of
+    *     the doc's bigrams (the paper's top-2-gram character fraction,
+    *     at token granularity)
+    *   - `symbol_ratio`: '#'-bearing or '...'-suffixed tokens > 10%
+    *
+    * Output: (rule, n_violations), 7 rows (6 rules + `kept`), rule a
+    * stable snake_case key.
+    *
+    * Scale shape: every flag except `top_bigram` is one codegen'd
+    * projection over the doc scan; the bigram mode needs one
+    * partial-combined (doc_id, bigram) count and a per-doc max — both
+    * keyed aggregates bounded by document length, joined back 1:1 — and
+    * the rollup reduces to 7 driver rows. No windows, no driver state. */
+  def gopherReport(docs: DataFrame, idCol: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val base = docs.select(col(idCol).as("id"),
+      size(toks).as("nw"),
+      (length(col("text")) - (size(toks) - lit(1))).as("letters"),
+      size(filter(toks, t => t.rlike("[a-zA-Z]"))).as("alpha"),
+      hitCount(toks, GopherStops).as("stops"),
+      size(filter(toks,
+        t => t.contains("#") || t.endsWith("..."))).as("symbols"))
+    // Per-doc top-bigram count: groupBy + join-back (partial-combining
+    // aggregates bounded by doc length), NOT a window — the convention
+    // everywhere in this library for per-key modes.
+    val topBg = docs.select(col(idCol).as("id"),
+        explode(DedupOps.shingles(col("text"), 2)).as("bg"))
+      .groupBy("id", "bg").agg(count(lit(1)).as("c"))
+      .groupBy("id").agg(max(col("c")).as("top_bg"))
+    val nBigrams = greatest(col("nw") - 1, lit(0))
+    val flags: Seq[(String, Column)] = Seq(
+      "word_count"    -> (col("nw") < 50 || col("nw") > 100000),
+      "mean_word_len" -> (col("letters") < col("nw") * 3 ||
+                          col("letters") > col("nw") * 10),
+      "alpha_words"   -> (col("alpha") * 10 < col("nw") * 8),
+      "stop_words"    -> (col("stops") < 2),
+      "top_bigram"    -> (col("top_bg") * 5 > nBigrams),
+      "symbol_ratio"  -> (col("symbols") * 10 > col("nw")))
+    val aggCols = flags.map { case (n, f) =>
+      sum(when(f, 1L).otherwise(0L)).as(n)
+    } :+ sum(when(flags.map(_._2).reduce(_ || _), 0L).otherwise(1L))
+      .as("kept")
+    val counted = base
+      .join(topBg, Seq("id"), "left")
+      .withColumn("top_bg", coalesce(col("top_bg"), lit(0L)))
+      .agg(aggCols.head, aggCols.tail: _*)
+    counted.select(explode(array(
+        (flags.map(_._1) :+ "kept").map(n =>
+          struct(lit(n).as("rule"), col(n).as("n_violations"))): _*))
+        .as("r"))
+      .select(col("r.rule").as("rule"),
+        col("r.n_violations").as("n_violations"))
+  }
 }

@@ -360,6 +360,14 @@ object PipelineQueries {
     "dedup_substr_runs" -> ((s, d) =>
       graft.operators.DedupOps.duplicatedSpanRuns(docs(s, d), "doc_id", 8)),
 
+    // CROSS-DOCUMENT boilerplate (RefinedWeb/CCNet-style template
+    // detection): 8-token windows occurring in >= 3 DISTINCT documents,
+    // per-doc count + interval-union coverage. Differs from dedup_substr
+    // on both axes: document frequency (not occurrences), and threshold 3
+    // (a single near-dup pair is duplication, not template text).
+    "dedup_boilerplate" -> ((s, d) =>
+      graft.operators.DedupOps.boilerplateCoverage(docs(s, d), "doc_id", 8, 3)),
+
     // MinHash+LSH near-dup pairs: word-3-gram shingles, 12 bands × 3 rows,
     // verified true Jaccard ≥ 1/2 (integer cross-multiply). The oracle is
     // the all-pairs check — a RECALL CONTRACT with the fixture, not an
@@ -389,6 +397,15 @@ object PipelineQueries {
     // must produce the identical pair set through a different algorithm.
     "dedup_jaccard" -> ((s, d) =>
       graft.operators.DedupOps.jaccardNearDups(docs(s, d), "doc_id", 3, 1, 2)),
+
+    // ASYMMETRIC containment near-dups (Broder containment >= 7/10 on
+    // 3-gram shingle sets): catches short-document-pasted-into-long
+    // subsumption that Jaccard resemblance structurally misses. The
+    // smaller-set prefix filter is EXACT at the threshold, so the
+    // all-pairs oracle is an identity, not a recall contract.
+    "dedup_containment" -> ((s, d) =>
+      graft.operators.DedupOps.containmentNearDups(docs(s, d), "doc_id",
+        3, 7, 10)),
 
     // MinHash estimator accuracy: for every verified near-dup pair, the
     // agreeing slots out of 36 engine-neutral md5-fold minhash values
@@ -668,6 +685,16 @@ object PipelineQueries {
     "emb_kmeanspp" -> ((s, d) =>
       graft.operators.VectorOps.kmeansFarthestFirst(
         embs(s, d), "vec_id", "embedding", KmppK, KmIters, EmbDims)),
+
+    // Cluster-balanced (diversity-capped) sampling over the emb_kmeans
+    // cells: keep the 10 lowest ids per cell, reporting pre-cap cell
+    // population — the density-flattening sampler of the SemDeDup family
+    // (cells prune density here instead of duplicates). The oracle
+    // replays training, assignment, the per-cell rank, and the cap.
+    "samp_cluster" -> ((s, d) =>
+      graft.operators.VectorOps.clusterBalancedSample(
+        embs(s, d), "vec_id", "embedding",
+        col("vec_id").between(KmCentLo, KmCentHi), KmIters, EmbDims, 10)),
 
     // IVF search over the k-means-TRAINED coarse quantizer — the realistic
     // ANN pipeline (train → assign → multi-probe → exact re-rank), every
@@ -1241,6 +1268,14 @@ object PipelineQueries {
             .otherwise("kept").as("stage"))
         .groupBy("stage").agg(count(lit(1)).as("n_docs"))
     }),
+
+    // Gopher quality-rule report (Rae et al. arXiv:2112.11446 Table A1):
+    // per-rule INDEPENDENT violation counts + the kept row — the audit
+    // view curate_rules' first-failure cascade cannot produce. Rules that
+    // never fire on this corpus still report their zero (that IS the
+    // audit); thresholds are the paper's, in exact integer arithmetic.
+    "curate_gopher" -> ((s, d) =>
+      graft.operators.TextOps.gopherReport(docs(s, d), "doc_id")),
 
     // --------------------------------------------------------------- index
     // Inverted-index statistics: per-token document/collection frequency
@@ -2592,6 +2627,29 @@ object PipelineQueries {
         |  CAST(COALESCE(cov.covered, 0) AS BIGINT) AS covered_tokens
         |FROM documents d LEFT JOIN cov USING (doc_id)""".stripMargin,
 
+    // dedup_boilerplate: the dedup_substr replay with the frequency CTE
+    // counting DISTINCT documents (not occurrences) and the template
+    // threshold at >= 3.
+    "dedup_boilerplate" ->
+      """WITH sp AS (
+        |  SELECT doc_id, u.pos AS pos, u.sh AS sh FROM (
+        |    SELECT doc_id, unnest([{'pos': i - 1, 'sh': md5(array_to_string(w[i:i+7], ' '))}
+        |                           for i in range(1, greatest(len(w) - 6, 1))]) AS u
+        |    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))),
+        |cnt AS (SELECT sh, COUNT(DISTINCT doc_id) AS c FROM sp GROUP BY sh),
+        |ds AS (SELECT sp.doc_id, sp.pos,
+        |         LEAD(sp.pos) OVER (PARTITION BY sp.doc_id ORDER BY sp.pos) AS nxt
+        |       FROM sp JOIN cnt USING (sh) WHERE cnt.c >= 3),
+        |cov AS (SELECT doc_id, COUNT(*) AS ndw,
+        |          SUM(CASE WHEN nxt IS NULL THEN 8 ELSE LEAST(8, nxt - pos) END) AS covered
+        |        FROM ds GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+        |  CAST(greatest(len(string_split(d.text, ' ')) - 7, 0) AS BIGINT) AS n_windows,
+        |  CAST(COALESCE(cov.ndw, 0) AS BIGINT) AS n_bp_windows,
+        |  CAST(COALESCE(cov.covered, 0) AS BIGINT) AS bp_covered_tokens
+        |FROM documents d LEFT JOIN cov USING (doc_id)""".stripMargin,
+
     // dedup_substr_runs: same span/count/dup CTEs, then the island
     // segmentation — break when the previous duplicated start is > 8
     // back, running break-sum as the island id, MAX−MIN+8 per island.
@@ -3157,6 +3215,44 @@ object PipelineQueries {
         |  WHEN lang <> 'en' THEN 'non_english'
         |  ELSE 'kept' END AS stage, CAST(COUNT(*) AS BIGINT) AS n_docs
         |FROM m GROUP BY 1""".stripMargin,
+
+    // curate_gopher: per-doc flag columns (letters at the single-space
+    // wire format = len(text) − (n_tokens − 1)), the bigram-mode
+    // sub-aggregate, then the 6 independent rule sums + kept, unioned
+    // into (rule, n_violations) rows.
+    "curate_gopher" -> {
+      val viol = Seq(
+        "nw < 50 OR nw > 100000",
+        "letters < nw * 3 OR letters > nw * 10",
+        "alpha * 10 < nw * 8",
+        "stops < 2",
+        "top_bg * 5 > greatest(nw - 1, 0)",
+        "symbols * 10 > nw")
+      val names = Seq("word_count", "mean_word_len", "alpha_words",
+        "stop_words", "top_bigram", "symbol_ratio")
+      val sums = names.zip(viol).map { case (n, v) =>
+        s"SUM(CASE WHEN $v THEN 1 ELSE 0 END) AS $n"
+      }.mkString(",\n|  ")
+      val kept = viol.map(v => s"($v)").mkString(" OR ")
+      val rows = (names :+ "kept").map(n =>
+        s"SELECT '$n' AS rule, CAST($n AS BIGINT) AS n_violations FROM r")
+        .mkString("\n|UNION ALL ")
+      s"""WITH m AS (SELECT doc_id, string_split(text, ' ') AS w, len(text) AS lc FROM documents),
+         |f AS (SELECT doc_id, len(w) AS nw, lc - (len(w) - 1) AS letters,
+         |  len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]'))) AS alpha,
+         |  len(list_filter(w, x -> x IN ('the','be','to','of','and','that','have','with'))) AS stops,
+         |  len(list_filter(w, x -> contains(x, '#') OR x LIKE '%...')) AS symbols FROM m),
+         |bg AS (SELECT doc_id, MAX(c) AS top_bg FROM (
+         |  SELECT doc_id, bgr, COUNT(*) AS c FROM (
+         |    SELECT doc_id, unnest([array_to_string(w[i:i+1], ' ') for i in range(1, len(w))]) AS bgr
+         |    FROM m WHERE len(w) >= 2) GROUP BY 1, 2) GROUP BY 1),
+         |v AS (SELECT f.*, COALESCE(bg.top_bg, 0) AS top_bg FROM f LEFT JOIN bg USING (doc_id)),
+         |r AS (SELECT
+         |  $sums,
+         |  SUM(CASE WHEN NOT ($kept) THEN 1 ELSE 0 END) AS kept
+         |  FROM v)
+         |$rows""".stripMargin
+    },
 
     "idx_postings" ->
       """WITH td AS (SELECT t, doc_id, CAST(COUNT(*) AS BIGINT) AS tf FROM
@@ -3948,6 +4044,19 @@ object PipelineQueries {
          |  SELECT id, cid, d, ROW_NUMBER() OVER (PARTITION BY id ORDER BY d, cid) AS rn
          |  FROM (SELECT q.id, c.cid, $kmDistSql AS d FROM q, c$KmIters c)) WHERE rn = 1""".stripMargin,
 
+    // samp_cluster: the emb_kmeans training/assignment replay, then the
+    // per-cell id-order rank, the cap at 10, and the pre-cap cell sizes.
+    "samp_cluster" ->
+      s"""WITH $kmeansCteSql,
+         |asg AS (SELECT id, cid FROM (
+         |  SELECT id, cid, ROW_NUMBER() OVER (PARTITION BY id ORDER BY d, cid) AS rn
+         |  FROM (SELECT q.id, c.cid, $kmDistSql AS d FROM q, c$KmIters c)) WHERE rn = 1),
+         |sz AS (SELECT cid, COUNT(*) AS n FROM asg GROUP BY cid),
+         |rk AS (SELECT id, cid, ROW_NUMBER() OVER (PARTITION BY cid ORDER BY id) AS rn FROM asg)
+         |SELECT rk.id AS vec_id, rk.cid AS cid, CAST(rk.rn AS BIGINT) AS rn,
+         |  CAST(sz.n AS BIGINT) AS cell_n
+         |FROM rk JOIN sz USING (cid) WHERE rk.rn <= 10""".stripMargin,
+
     "emb_kmeanspp" ->
       s"""WITH $kmppCteSql
          |SELECT id AS vec_id, cid, CAST(d AS BIGINT) AS dist FROM (
@@ -4058,6 +4167,21 @@ object PipelineQueries {
         |  CAST(len(list_distinct(list_concat(a.s, b.s))) AS BIGINT) AS c_union
         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         |WHERE len(list_intersect(a.s, b.s)) * 2 >= len(list_distinct(list_concat(a.s, b.s)))""".stripMargin,
+
+    // dedup_containment: the smaller-set prefix filter is exact at the
+    // threshold, so the all-pairs check is an identity (unlike the
+    // banded-LSH gate's recall contract).
+    "dedup_containment" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT doc_id,
+        |  list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)]) AS s
+        |  FROM toks WHERE len(w) >= 3)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS c_inter,
+        |  CAST(len(a.s) AS BIGINT) AS sz_a,
+        |  CAST(len(b.s) AS BIGINT) AS sz_b
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE len(list_intersect(a.s, b.s)) * 10 >= least(len(a.s), len(b.s)) * 7""".stripMargin,
 
     "dedup_clusters" ->
       s"""$nearDupClusterCtes

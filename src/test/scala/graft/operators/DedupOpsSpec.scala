@@ -539,4 +539,109 @@ class DedupOpsSpec extends AnyFunSuite with PropHelpers {
       assert(got == bruteCoverage(rows, k), s"k=$k rows=$rows")
     }
   }
+
+  private def bruteBoiler(rows: Seq[(Long, String)], k: Int, minDocs: Int)
+      : Map[Long, (Long, Long, Long, Long)] = {
+    val toks = rows.map { case (id, t) => id -> t.split(" ", -1).toSeq }.toMap
+    val wins = rows.flatMap { case (id, _) =>
+      toks(id).sliding(k).zipWithIndex.collect {
+        case (w, i) if w.size == k => (id, i, w.mkString(" "))
+      }
+    }
+    val ndocs = wins.groupBy(_._3).view.mapValues(_.map(_._1).distinct.size).toMap
+    rows.map { case (id, _) =>
+      val n = toks(id).size
+      val bp = wins.filter(w => w._1 == id && ndocs(w._3) >= minDocs)
+      val covered = Array.fill(n)(false)
+      bp.foreach { case (_, i, _) =>
+        (i until math.min(i + k, n)).foreach(covered(_) = true) }
+      id -> ((n.toLong, math.max(n - k + 1, 0).toLong,
+        bp.size.toLong, covered.count(identity).toLong))
+    }.toMap
+  }
+
+  test("boilerplateCoverage: doc-frequency threshold — pair-dups and self-repeats excluded") {
+    val tpl = "sign up for our newsletter today and save" // 8 tokens
+    val rows = Seq(
+      1L -> s"$tpl a1 a2",
+      2L -> s"b1 b2 $tpl",
+      3L -> s"c1 $tpl c2",
+      4L -> "d1 d2 d3 d4 d5 d6 d7 d8 e d1 d2 d3 d4 d5 d6 d7 d8", // self-repeat only
+      5L -> "p1 p2 p3 p4 p5 p6 p7 p8 q1",
+      6L -> "p1 p2 p3 p4 p5 p6 p7 p8 q2") // two-doc dup: below minDocs = 3
+    val got = DedupOps.boilerplateCoverage(docsDF(rows: _*), "doc_id", 8, 3)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    DedupOps.unpersistPipelines()
+    assert(got == bruteBoiler(rows, 8, 3))
+    // The semantics the fixture encodes: only the 3-doc template counts;
+    // a self-repeat (duplicatedSpanCoverage's business) and a 2-doc dup
+    // both stay below the document-frequency threshold.
+    assert(got(1L)._3 == 1L && got(1L)._4 == 8L)
+    assert(got(4L) == ((17L, 10L, 0L, 0L)))
+    assert(got(5L)._3 == 0L && got(6L)._3 == 0L)
+  }
+
+  test("property: boilerplateCoverage matches doc-frequency brute force on random corpora") {
+    val docGen = Gen.chooseNum(0, 14).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a", "b", "c")).map(_.mkString(" ")))
+    val corpusGen = Gen.chooseNum(2, 8).flatMap(m =>
+      Gen.listOfN(m, docGen).map(_.zipWithIndex.map { case (t, i) => (i.toLong, t) }))
+    forAll(Gen.zip(corpusGen, Gen.chooseNum(2, 4), Gen.chooseNum(2, 3)), 10) {
+      case (rows, k, minDocs) =>
+        val got = DedupOps.boilerplateCoverage(docsDF(rows: _*), "doc_id", k, minDocs)
+          .collect()
+          .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+          .toMap
+        DedupOps.unpersistPipelines()
+        assert(got == bruteBoiler(rows, k, minDocs), s"k=$k minDocs=$minDocs rows=$rows")
+    }
+  }
+
+  test("containmentNearDups: verbatim-pasted short doc caught where Jaccard misses") {
+    val short = (1 to 10).map(i => s"s$i").mkString(" ")
+    val long  = short + " " + (1 to 30).map(i => s"l$i").mkString(" ")
+    val far   = (1 to 20).map(i => s"z$i").mkString(" ")
+    val df = docsDF(1L -> short, 2L -> long, 3L -> far)
+    val got = DedupOps.containmentNearDups(df, "doc_id", 3, 9, 10)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    DedupOps.unpersistPipelines()
+    // short: 8 distinct 3-shingles, every one inside long (40 tokens → 38
+    // shingles) → containment exactly 1 at wildly different sizes.
+    assert(got == Set((1L, 2L, 8L, 8L, 38L)))
+    // Jaccard at even the permissive 1/2 threshold misses it: 8/38.
+    val jac = DedupOps.jaccardNearDups(df, "doc_id", 3, 1, 2).collect()
+    DedupOps.unpersistPipelines()
+    assert(jac.isEmpty)
+  }
+
+  test("property: containmentNearDups equals brute force on tiny-vocab corpora") {
+    // Same hot-shingle regime as the Jaccard property test: a 6-word
+    // vocabulary makes every prefix shingle common, stressing the
+    // prefix ⋈ full candidate geometry.
+    val docGen = Gen.listOfN(8, Gen.choose(3, 12).flatMap(len =>
+      Gen.listOfN(len, Gen.oneOf("a", "b", "c", "d", "e", "f")).map(_.mkString(" "))))
+    def sh(t: String): Set[String] = {
+      val w = t.split(" ")
+      if (w.length < 2) Set.empty else w.sliding(2).map(_.mkString(" ")).toSet
+    }
+    forAll(docGen, n = 12) { texts =>
+      val rows = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val expected = (for {
+        (ta, a) <- texts.zipWithIndex; (tb, b) <- texts.zipWithIndex if a < b
+        sa = sh(ta); sb = sh(tb)
+        inter = (sa & sb).size
+        if sa.nonEmpty && sb.nonEmpty && inter * 3 >= math.min(sa.size, sb.size) * 2
+      } yield (a.toLong, b.toLong, inter.toLong, sa.size.toLong, sb.size.toLong)).toSet
+      val got = DedupOps.containmentNearDups(docsDF(rows: _*), "doc_id", 2, 2, 3)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toSet
+      assert(got == expected, s"docs=$texts\ngot $got\nexpected $expected")
+      DedupOps.unpersistPipelines()
+    }
+  }
 }

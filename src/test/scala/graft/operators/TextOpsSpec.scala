@@ -64,4 +64,55 @@ class TextOpsSpec extends AnyFunSuite {
     assert(piiRow("no pii here at all") == ((0L, 0L, 0L, "no pii here at all")))
     assert(piiRow("") == ((0L, 0L, 0L, "")))
   }
+
+  /** Scala brute force of the six Gopher rules, mirroring gopherReport's
+    * integer arithmetic exactly. */
+  private def gopherViol(t: String): Map[String, Boolean] = {
+    val w = t.split(" ", -1).toSeq
+    val nw = w.size
+    val letters = t.length - (nw - 1)
+    val alpha = w.count(_.exists(c =>
+      (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')))
+    val stops = w.count(TextOps.GopherStops.contains)
+    val symbols = w.count(x => x.contains("#") || x.endsWith("..."))
+    val topBg = if (nw < 2) 0
+      else w.sliding(2).map(_.mkString(" ")).toSeq
+        .groupBy(identity).map(_._2.size).max
+    Map(
+      "word_count"    -> (nw < 50 || nw > 100000),
+      "mean_word_len" -> (letters < nw * 3 || letters > nw * 10),
+      "alpha_words"   -> (alpha * 10 < nw * 8),
+      "stop_words"    -> (stops < 2),
+      "top_bigram"    -> (topBg * 5 > math.max(nw - 1, 0)),
+      "symbol_ratio"  -> (symbols * 10 > nw))
+  }
+
+  test("gopherReport: rules fire independently; kept counts fully clean docs") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val texts = Seq(
+      // Clean: 56 tokens, stops everywhere, varied bigrams, all-alpha.
+      Seq.fill(7)("the data and model that have with training").mkString(" "),
+      "the of",                                         // short (and short-word)
+      Seq.fill(60)("42 7 19").flatMap(_.split(" ")).mkString(" "), // numeric: alpha + stops fire
+      (1 to 60).map(i => s"tok$i").mkString(" "),       // no stop words
+      ("the of " + Seq.fill(30)("spam ham").mkString(" ")), // one dominant bigram
+      ("the of " + (1 to 60).map(_ => "#tag").mkString(" "))) // symbols
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val got = TextOps.gopherReport(docs, "doc_id")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val viols = texts.map(gopherViol)
+    val expected = gopherViol("x").keys.map(rule =>
+      rule -> viols.count(_(rule)).toLong).toMap +
+      ("kept" -> viols.count(v => !v.values.exists(identity)).toLong)
+    assert(got == expected, s"got $got expected $expected")
+    // The fixture's intent, pinned: exactly one doc is fully clean, and
+    // every rule except mean_word_len fires at least once (the numeric
+    // doc's 2-char tokens also trip the lower mean-word-length bound).
+    assert(got("kept") == 1L)
+    assert(gopherViol(texts(2))("mean_word_len"))
+    Seq("word_count", "alpha_words", "stop_words", "top_bigram",
+      "symbol_ratio").foreach(r => assert(got(r) >= 1L, r))
+  }
 }

@@ -625,4 +625,36 @@ class VectorOpsSpec extends AnyFunSuite {
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(got.toSet == Set((7, 1L, 0L, 2L), (7, 2L, 0L, 2L)))
   }
+
+  test("clusterBalancedSample caps each cell at the lowest ids and reports pre-cap sizes") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    def blob(center: Array[Float], n: Int, from: Long) =
+      (0 until n).map(i => (from + i,
+        center.map(c => c + (rnd.nextFloat() - 0.5f) * 0.1f)))
+    // One dense blob (over the cap), one sparse (under), one at the edge.
+    val rows = blob(Array(1f, 0f, 0f, 0f), 9, 0L) ++
+      blob(Array(0f, 1f, 0f, 0f), 2, 100L) ++
+      blob(Array(0f, 0f, 1f, 0f), 3, 200L)
+    val df = rows.toDF("vec_id", "embedding")
+    val pred = col("vec_id") === 0 || col("vec_id") === 100 || col("vec_id") === 200
+    val (asg, got) = graft.core.Caches.scoped {
+      (VectorOps.kmeansAssign(df, "vec_id", "embedding", pred, 3, 4)
+         .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq,
+       VectorOps.clusterBalancedSample(df, "vec_id", "embedding", pred, 3, 4, 3)
+         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq)
+    }
+    // Contract vs the assignment the sampler is built on: per cell, the
+    // cap lowest ids with 1-based ranks and the PRE-cap population.
+    val byCell = asg.groupBy(_._2).view.mapValues(_.map(_._1).sorted).toMap
+    val expected = byCell.flatMap { case (cid, ids) =>
+      ids.take(3).zipWithIndex.map { case (id, i) =>
+        (id, cid, (i + 1).toLong, ids.size.toLong) }
+    }.toSet
+    assert(got.toSet == expected, s"got ${got.toSet} expected $expected")
+    // The dense blob really was capped (9 → 3) and the sparse one kept whole.
+    assert(byCell.values.map(_.size).toSeq.sorted == Seq(2, 3, 9))
+    assert(got.size == byCell.values.map(ids => math.min(3, ids.size)).sum)
+  }
 }
