@@ -250,11 +250,16 @@ object DedupOps {
     * as the coverage gate, over the boilerplate span set.
     *
     * Scale shape: identical to [[duplicatedSpanCoverage]] except the
-    * frequency stage first collapses (doc_id, sh) duplicates — a
-    * partial-combining aggregate on the SAME span-hash key the
-    * frequency count then reuses (one exchange serves both), so the
-    * added distinct costs no extra shuffle of the corpus-sized span
-    * table. Driver state: none. */
+    * frequency stage first collapses (doc_id, sh) duplicates. That
+    * dedup is forced onto ONE exchange keyed by the span hash alone
+    * (an explicit repartition: hash(sh) satisfies the (sh, doc_id)
+    * clustering both aggregates need, so neither plans its own
+    * shuffle) — the naive `distinct().groupBy(sh)` shape would
+    * exchange the corpus-sized span table twice, once by (doc_id, sh)
+    * and again by sh. The trade: the sh-keyed exchange carries raw
+    * span rows without map-side pre-aggregation — free here, since
+    * spans are near-unique and partial combine would collapse almost
+    * nothing. Driver state: none. */
   def boilerplateCoverage(docs: DataFrame, idCol: String, k: Int,
                           minDocs: Int): DataFrame = {
     require(k >= 2 && k <= 1000, s"window width out of range: $k")
@@ -265,7 +270,8 @@ object DedupOps {
       docs.select(col(idCol).as("doc_id"),
           posexplode(shingles(col("text"), k)))
         .select(col("doc_id"), col("pos"), unhex(md5(col("col"))).as("sh")))
-    val bpSh = sp.select("doc_id", "sh").distinct()
+    val bpSh = sp.select("sh", "doc_id").repartition(col("sh"))
+      .distinct()
       .groupBy("sh").agg(count(lit(1)).as("ndocs"))
       .filter(col("ndocs") >= minDocs).select("sh")
     val byDoc = Window.partitionBy("doc_id").orderBy("pos")

@@ -182,4 +182,40 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(runEx <= covEx,
       s"runs variant must reuse coverage's exchanges ($runEx > $covEx):\n$runTree")
   }
+
+  test("dedup_boilerplate matches coverage's two-exchange budget (single sh-keyed dedup shuffle)") {
+    // The doc-frequency variant dedups (doc_id, sh) before counting; the
+    // explicit repartition by span hash must serve BOTH aggregates — a
+    // regression to distinct-then-count re-shuffles the corpus-sized span
+    // table by (doc_id, sh) first, a third full exchange at 100 TB.
+    val spark = TestSpark.spark
+    val plan = graft.queries.PipelineQueries.queries("dedup_boilerplate")(spark, sf)
+      .queryExecution.sparkPlan
+    val tree = plan.treeString
+    val exchanges = "(?m)^\\s*(?:\\+- |:- )?Exchange hashpartitioning".r
+      .findAllIn(tree).length
+    assert(!tree.contains("CartesianProduct"), "boilerplate planned a cartesian")
+    assert(exchanges <= 2, s"boilerplate grew extra shuffles ($exchanges):\n$tree")
+  }
+
+  test("dedup_containment plans no cartesian product (prefix ⋈ postings stays keyed)") {
+    val spark = TestSpark.spark
+    val tree = graft.queries.PipelineQueries.queries("dedup_containment")(spark, sf)
+      .queryExecution.sparkPlan.treeString
+    graft.operators.DedupOps.unpersistPipelines()
+    assert(!tree.contains("CartesianProduct"),
+      s"containment candidates must come from the shingle equi-join:\n$tree")
+  }
+
+  test("samp_cluster's per-cell cap plans as WindowGroupLimit (dense cells stay bounded)") {
+    val spark = TestSpark.spark
+    val tree = graft.core.Caches.scoped {
+      graft.queries.PipelineQueries.queries("samp_cluster")(spark, sf)
+        .queryExecution.sparkPlan.treeString
+    }
+    assert(tree.contains("WindowGroupLimit"),
+      s"cell cap not rewritten to a group limit:\n$tree")
+    assert(tree.contains("BroadcastHashJoin"),
+      s"cell-size table must join back by broadcast:\n$tree")
+  }
 }
