@@ -97,8 +97,37 @@ object DedupScaleBench {
       val substrSec = (System.nanoTime() - t3) / 1e9
 
       graft.operators.DedupOps.unpersistPipelines()
+
+      // BOILERPLATE leg (round 12, second wave): document-frequency
+      // coverage at minDocs=2 over the same corpus. This corpus has no
+      // self-repeats, so the result must EQUAL the occurrence-based
+      // coverage leg — the envelope doubles as a cross-operator
+      // consistency check at 10M (bp_tok_cov == covered_tokens), while
+      // the cost measures the sh-keyed dedup exchange the operator adds.
+      val t4 = System.nanoTime()
+      val bpAgg = graft.operators.DedupOps
+        .boilerplateCoverage(docs, "doc_id", 8, 2)
+        .agg(sum(when(col("bp_covered_tokens") > 0, 1L).otherwise(0L))
+            .as("docs_bp"),
+          sum(col("bp_covered_tokens")).as("tok_bp")).head()
+      val (docsBp, tokBp) = (bpAgg.getLong(0), bpAgg.getLong(1))
+      val bpSec = (System.nanoTime() - t4) / 1e9
+      graft.operators.DedupOps.unpersistPipelines()
+
+      // CONTAINMENT leg (round 12, second wave): the prefix ⋈ FULL
+      // postings candidate geometry — the one pairing shape in the
+      // library whose cost is bounded by prefix-shingle document
+      // frequency rather than banding or blocking. Planted pairs share
+      // a 22-word prefix (containment 20/22 > 7/10), so the qualifying
+      // pair volume is known to scale linearly with n.
+      val t5 = System.nanoTime()
+      val nContain = graft.operators.DedupOps
+        .containmentNearDups(docs, "doc_id", 3, 7, 10).count()
+      val containSec = (System.nanoTime() - t5) / 1e9
+      graft.operators.DedupOps.unpersistPipelines()
+
       docs.unpersist(blocking = true)
-      f"""{"n":$n,"gen_sec":$genSec%.2f,"pairs_sec":$pairSec%.2f,"n_pairs":$nPairs,"cluster_sec":$clusterSec%.2f,"n_clustered":$nClustered,"substr_sec":$substrSec%.2f,"docs_with_dup_spans":$docsCov,"covered_tokens":$tokCov}"""
+      f"""{"n":$n,"gen_sec":$genSec%.2f,"pairs_sec":$pairSec%.2f,"n_pairs":$nPairs,"cluster_sec":$clusterSec%.2f,"n_clustered":$nClustered,"substr_sec":$substrSec%.2f,"docs_with_dup_spans":$docsCov,"covered_tokens":$tokCov,"bp_sec":$bpSec%.2f,"docs_bp":$docsBp,"bp_covered_tokens":$tokBp,"contain_sec":$containSec%.2f,"n_contain":$nContain}"""
     }
 
     val line =

@@ -450,15 +450,21 @@ object DedupOps {
           count(lit(1)).over(byDoc).as("sz"))
         .filter(col("rnk") <= floor(col("sz") * (den - num) / den) + 1)
         .select("id", "s"))
-    val cand = prefix.as("a").join(prefix.as("b"),
-        col("a.s") === col("b.s") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
-    // Verification: exact set arithmetic over the FULL shingle sets — the
-    // same per-doc-array shape as the MinHash path (arrays bounded by doc
-    // length; the joins move one row per candidate side, never re-shuffling
-    // the corpus-sized shingle rows).
-    val sh = sr.groupBy("id").agg(collect_list(col("s")).as("sh"))
+    // Persisted: consumed by the candidate-id trim AND both verify joins.
+    val cand = cachePersist(
+      prefix.as("a").join(prefix.as("b"),
+          col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+        .distinct())
+    // Verification: exact set arithmetic over the FULL shingle sets of
+    // CANDIDATE documents only — the semi-join trims the per-doc array
+    // aggregation from corpus-sized to candidate-sized before any array
+    // materializes (most docs never reach the verify stage; aggregating
+    // their shingle arrays anyway is pure buffer pressure at 10M+ docs).
+    val candIds = cand.select(col("id_a").as("id"))
+      .unionAll(cand.select(col("id_b").as("id"))).distinct()
+    val sh = sr.join(candIds, Seq("id"), "left_semi")
+      .groupBy("id").agg(collect_list(col("s")).as("sh"))
     cand
       .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
@@ -510,12 +516,23 @@ object DedupOps {
           count(lit(1)).over(byDoc).as("sz"))
         .filter(col("rnk") <= floor(col("sz") * (den - num) / den) + 1)
         .select("id", "s")
-    val cand = prefix.as("a").join(sr.as("b"),
-        col("a.s") === col("b.s") && col("a.id") =!= col("b.id"))
-      .select(least(col("a.id"), col("b.id")).as("id_a"),
-        greatest(col("a.id"), col("b.id")).as("id_b"))
-      .distinct()
-    val sh = sr.groupBy("id").agg(collect_list(col("s")).as("sh"))
+    // Persisted: consumed by the candidate-id trim AND both verify joins.
+    val cand = cachePersist(
+      prefix.as("a").join(sr.as("b"),
+          col("a.s") === col("b.s") && col("a.id") =!= col("b.id"))
+        .select(least(col("a.id"), col("b.id")).as("id_a"),
+          greatest(col("a.id"), col("b.id")).as("id_b"))
+        .distinct())
+    // Verify arrays ONLY for documents that appear in a candidate pair —
+    // the semi-join trims the per-doc array aggregation from corpus-sized
+    // to candidate-sized (at 10M docs / 1M qualifying pairs that is a ~5×
+    // cut in aggregation-buffer footprint; without it the whole corpus'
+    // shingle arrays materialize in the groupBy even though most docs
+    // never reach the verify stage).
+    val candIds = cand.select(col("id_a").as("id"))
+      .unionAll(cand.select(col("id_b").as("id"))).distinct()
+    val sh = sr.join(candIds, Seq("id"), "left_semi")
+      .groupBy("id").agg(collect_list(col("s")).as("sh"))
     cand
       .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
