@@ -293,6 +293,32 @@ object DedupOps {
         coalesce(col("bp_covered_tokens"), lit(0L)).as("bp_covered_tokens"))
   }
 
+  /** Exact shared-shingle counts for candidate pairs WITHOUT per-doc
+    * arrays: expand each pair by its A-side shingle rows (one small side —
+    * a candidate row — against the persisted postings), keep the rows
+    * whose (id_b, s) also exists via a semi-join that reuses `sr`'s
+    * (id, s) clustering, and count per pair. Rows through the shuffle:
+    * Σ|A| per CANDIDATE, never the corpus — the previous shape
+    * (collect_list arrays for every document) shuffled the whole shingle
+    * table into array buffers even though most documents never reach
+    * verification (and at 10M docs those buffers were the envelope's OOM).
+    * Union/min sizes come from the longs-only per-doc size table
+    * (|A∪B| = |A| + |B| − |A∩B|), so no array ever materializes.
+    * Candidate pairs sharing NO shingle vanish from the count — harmless
+    * by construction: every caller thresholds with num > 0, which a zero
+    * intersection can never pass. Output: (id_a, id_b, c_inter). */
+  private def pairIntersections(sr: DataFrame, cand: DataFrame): DataFrame =
+    cand
+      .join(sr.as("x"), col("id_a") === col("x.id"))
+      .select(col("id_a"), col("id_b"), col("x.s").as("sx"))
+      .join(sr.as("y"),
+        col("id_b") === col("y.id") && col("sx") === col("y.s"), "left_semi")
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("c_inter"))
+
+  /** The longs-only per-doc distinct-shingle size table (id, sz). */
+  private def shingleSizes(sr: DataFrame): DataFrame =
+    sr.groupBy("id").agg(count(lit(1)).as("sz"))
+
   /** One row per id carrying all `k` minhash values (m0..m{k-1}): `k`
     * independent permutations approximated by seeding `xxhash64` with the
     * hash index; value j is the minimum hash of any shingle under seed j
@@ -387,13 +413,12 @@ object DedupOps {
       s"Jaccard threshold must be in (0, 1]: $num/$den")
     val sr  = cachePersist(shingleRows(docs, idCol, n))
     val sig = cachePersist(bandedSignatures(sr, b, r))
-    val sh = sr.groupBy("id").agg(collect_list(col("s")).as("sh"))
-    candidatePairs(sig, r, maxBucket)
-      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
-      .select(col("id_a"), col("id_b"),
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long").as("c_inter"),
-        size(array_union(col("sh_a"), col("sh_b"))).cast("long").as("c_union"))
+    val sz = shingleSizes(sr)
+    pairIntersections(sr, candidatePairs(sig, r, maxBucket))
+      .join(sz.select(col("id").as("id_a"), col("sz").as("sz_a")), "id_a")
+      .join(sz.select(col("id").as("id_b"), col("sz").as("sz_b")), "id_b")
+      .select(col("id_a"), col("id_b"), col("c_inter"),
+        (col("sz_a") + col("sz_b") - col("c_inter")).as("c_union"))
       .filter(col("c_inter") * den >= col("c_union") * num)
   }
 
@@ -450,27 +475,18 @@ object DedupOps {
           count(lit(1)).over(byDoc).as("sz"))
         .filter(col("rnk") <= floor(col("sz") * (den - num) / den) + 1)
         .select("id", "s"))
-    // Persisted: consumed by the candidate-id trim AND both verify joins.
-    val cand = cachePersist(
-      prefix.as("a").join(prefix.as("b"),
-          col("a.s") === col("b.s") && col("a.id") < col("b.id"))
-        .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-        .distinct())
-    // Verification: exact set arithmetic over the FULL shingle sets of
-    // CANDIDATE documents only — the semi-join trims the per-doc array
-    // aggregation from corpus-sized to candidate-sized before any array
-    // materializes (most docs never reach the verify stage; aggregating
-    // their shingle arrays anyway is pure buffer pressure at 10M+ docs).
-    val candIds = cand.select(col("id_a").as("id"))
-      .unionAll(cand.select(col("id_b").as("id"))).distinct()
-    val sh = sr.join(candIds, Seq("id"), "left_semi")
-      .groupBy("id").agg(collect_list(col("s")).as("sh"))
-    cand
-      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
-      .select(col("id_a"), col("id_b"),
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long").as("c_inter"),
-        size(array_union(col("sh_a"), col("sh_b"))).cast("long").as("c_union"))
+    val cand = prefix.as("a").join(prefix.as("b"),
+        col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    // Verification via [[pairIntersections]] — exact shared-shingle
+    // counts per candidate, no per-doc arrays; union from the size table.
+    val sz = shingleSizes(sr)
+    pairIntersections(sr, cand)
+      .join(sz.select(col("id").as("id_a"), col("sz").as("sz_a")), "id_a")
+      .join(sz.select(col("id").as("id_b"), col("sz").as("sz_b")), "id_b")
+      .select(col("id_a"), col("id_b"), col("c_inter"),
+        (col("sz_a") + col("sz_b") - col("c_inter")).as("c_union"))
       .filter(col("c_inter") * den >= col("c_union") * num)
   }
 
@@ -516,30 +532,19 @@ object DedupOps {
           count(lit(1)).over(byDoc).as("sz"))
         .filter(col("rnk") <= floor(col("sz") * (den - num) / den) + 1)
         .select("id", "s")
-    // Persisted: consumed by the candidate-id trim AND both verify joins.
-    val cand = cachePersist(
-      prefix.as("a").join(sr.as("b"),
-          col("a.s") === col("b.s") && col("a.id") =!= col("b.id"))
-        .select(least(col("a.id"), col("b.id")).as("id_a"),
-          greatest(col("a.id"), col("b.id")).as("id_b"))
-        .distinct())
-    // Verify arrays ONLY for documents that appear in a candidate pair —
-    // the semi-join trims the per-doc array aggregation from corpus-sized
-    // to candidate-sized (at 10M docs / 1M qualifying pairs that is a ~5×
-    // cut in aggregation-buffer footprint; without it the whole corpus'
-    // shingle arrays materialize in the groupBy even though most docs
-    // never reach the verify stage).
-    val candIds = cand.select(col("id_a").as("id"))
-      .unionAll(cand.select(col("id_b").as("id"))).distinct()
-    val sh = sr.join(candIds, Seq("id"), "left_semi")
-      .groupBy("id").agg(collect_list(col("s")).as("sh"))
-    cand
-      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
-      .select(col("id_a"), col("id_b"),
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long").as("c_inter"),
-        size(col("sh_a")).cast("long").as("sz_a"),
-        size(col("sh_b")).cast("long").as("sz_b"))
+    val cand = prefix.as("a").join(sr.as("b"),
+        col("a.s") === col("b.s") && col("a.id") =!= col("b.id"))
+      .select(least(col("a.id"), col("b.id")).as("id_a"),
+        greatest(col("a.id"), col("b.id")).as("id_b"))
+      .distinct()
+    // Verification via [[pairIntersections]] — exact shared-shingle
+    // counts per candidate, no per-doc arrays; sizes from the size table.
+    val sz = shingleSizes(sr)
+    pairIntersections(sr, cand)
+      .join(sz.select(col("id").as("id_a"), col("sz").as("sz_a")), "id_a")
+      .join(sz.select(col("id").as("id_b"), col("sz").as("sz_b")), "id_b")
+      .select(col("id_a"), col("id_b"), col("c_inter"),
+        col("sz_a"), col("sz_b"))
       .filter(col("c_inter") * den >= least(col("sz_a"), col("sz_b")) * num)
   }
 
@@ -950,13 +955,16 @@ object DedupOps {
     val cand = g.as("a").join(g.as("b"), cond)
       .select(col("a.id").as("id_new"), col("b.id").as("id_old"))
       .distinct()
-    val sh = sr.groupBy("id").agg(collect_list(col("s")).as("sh"))
-    val fuzzyDropped = cand
-      .join(sh.select(col("id").as("id_new"), col("sh").as("sh_n")), "id_new")
-      .join(sh.select(col("id").as("id_old"), col("sh").as("sh_o")), "id_old")
-      .filter(size(array_intersect(col("sh_n"), col("sh_o"))) * den >=
-        size(array_union(col("sh_n"), col("sh_o"))) * num)
-      .select(col("id_new").as("id")).distinct()
+    // Same array-free verify as the batch paths: [[pairIntersections]]
+    // counts shared shingles per candidate, sizes give the union.
+    val sz = shingleSizes(sr)
+    val fuzzyDropped = pairIntersections(sr,
+        cand.select(col("id_new").as("id_a"), col("id_old").as("id_b")))
+      .join(sz.select(col("id").as("id_a"), col("sz").as("sz_a")), "id_a")
+      .join(sz.select(col("id").as("id_b"), col("sz").as("sz_b")), "id_b")
+      .filter(col("c_inter") * den >=
+        (col("sz_a") + col("sz_b") - col("c_inter")) * num)
+      .select(col("id_a").as("id")).distinct()
     exactSurvivors.join(fuzzyDropped, Seq("id"), "left_anti")
       .select(col("id").as(idCol))
   }
