@@ -407,6 +407,15 @@ object PipelineQueries {
       graft.operators.DedupOps.containmentNearDups(docs(s, d), "doc_id",
         3, 7, 10)),
 
+    // Subsumption GROUPS: the same min-label component collapse text
+    // dedup has, over the containment pair graph — "which documents are
+    // versions/supersets of each other", the keep-longest decision input.
+    "dedup_containment_clusters" -> ((s, d) => {
+      val dd = docs(s, d)
+      graft.operators.DedupOps.nearDupClusters(dd, "doc_id",
+        graft.operators.DedupOps.containmentNearDups(dd, "doc_id", 3, 7, 10))
+    }),
+
     // MinHash estimator accuracy: for every verified near-dup pair, the
     // agreeing slots out of 36 engine-neutral md5-fold minhash values
     // next to the exact intersection/union — the empirical "matches/k ≈ J"
@@ -2203,26 +2212,30 @@ object PipelineQueries {
        |  $out)""".stripMargin
   }
 
-  /** Shared recursive-CTE replay of the minhash pair graph + component
-    * collapse: yields `lblfull(doc_id, cluster)` — every doc labeled with
-    * its cluster's min id (singletons by their own id). Consumed by the
-    * dedup_clusters and dedup_cluster_sizes oracles. */
-  private val nearDupClusterCtes: String =
-    """WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-      |sh AS (SELECT doc_id,
-      |  list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)]) AS s
-      |  FROM toks WHERE len(w) >= 3),
-      |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
-      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-      |  WHERE len(list_intersect(a.s, b.s)) * 2 >= len(list_distinct(list_concat(a.s, b.s)))),
-      |edges AS (SELECT id_a AS a, id_b AS b FROM pairs UNION ALL SELECT id_b, id_a FROM pairs),
-      |reach(id, r) AS (
-      |  SELECT a, a FROM edges
-      |  UNION
-      |  SELECT re.id, e.b FROM reach re JOIN edges e ON e.a = re.r),
-      |lbl AS (SELECT id, MIN(r) AS cluster FROM reach GROUP BY id),
-      |lblfull AS (SELECT d.doc_id, CAST(COALESCE(l.cluster, d.doc_id) AS BIGINT) AS cluster
-      |  FROM documents d LEFT JOIN lbl l ON d.doc_id = l.id)""".stripMargin
+  /** Shared recursive-CTE replay of a shingle pair graph + component
+    * collapse, parameterized by the pair predicate: yields
+    * `lblfull(doc_id, cluster)` — every doc labeled with its cluster's
+    * min id (singletons by their own id). Consumed by the dedup_clusters,
+    * dedup_cluster_sizes, and dedup_containment_clusters oracles. */
+  private def clusterCtes(pairWhere: String): String =
+    s"""WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |sh AS (SELECT doc_id,
+       |  list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)]) AS s
+       |  FROM toks WHERE len(w) >= 3),
+       |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |  WHERE $pairWhere),
+       |edges AS (SELECT id_a AS a, id_b AS b FROM pairs UNION ALL SELECT id_b, id_a FROM pairs),
+       |reach(id, r) AS (
+       |  SELECT a, a FROM edges
+       |  UNION
+       |  SELECT re.id, e.b FROM reach re JOIN edges e ON e.a = re.r),
+       |lbl AS (SELECT id, MIN(r) AS cluster FROM reach GROUP BY id),
+       |lblfull AS (SELECT d.doc_id, CAST(COALESCE(l.cluster, d.doc_id) AS BIGINT) AS cluster
+       |  FROM documents d LEFT JOIN lbl l ON d.doc_id = l.id)""".stripMargin
+
+  private val nearDupClusterCtes: String = clusterCtes(
+    "len(list_intersect(a.s, b.s)) * 2 >= len(list_distinct(list_concat(a.s, b.s)))")
 
   val oracles: Map[String, String] = Map(
     "txt_stats" ->
@@ -4186,6 +4199,16 @@ object PipelineQueries {
     "dedup_clusters" ->
       s"""$nearDupClusterCtes
          |SELECT doc_id, cluster FROM lblfull""".stripMargin,
+
+    // dedup_containment_clusters: the component replay over the EXACT
+    // containment pair set (same recursive reachability, different edge
+    // rule).
+    "dedup_containment_clusters" -> {
+      val ctes = clusterCtes(
+        "len(list_intersect(a.s, b.s)) * 10 >= least(len(a.s), len(b.s)) * 7")
+      s"""$ctes
+         |SELECT doc_id, cluster FROM lblfull""".stripMargin
+    },
 
     // dedup_cluster_sizes: the same cluster labeling reduced to its
     // decision surface — how many clusters of each size, covering how
