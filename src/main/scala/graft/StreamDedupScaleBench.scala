@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Streaming-dedup scale envelope: throughput and STATE BOUNDEDNESS of
+  * the ingestion-time sub-document filter
+  * ([[graft.streaming.StreamSubstrDedup.flagDupSpans]]) over the same
+  * planted-dup corpus as [[DedupScaleBench]], fed as a stream of block
+  * indices flatMapped executor-side to documents (the driver never holds
+  * a document — the [[StreamScaleBench]] feed discipline).
+  *
+  * Per scale n: `blocks` micro-batches of n/blocks docs each (base docs
+  * first, the 10% near-dup tail in the last blocks — so every dup's base
+  * has already streamed through, the regime an ingestion filter sees),
+  * each k=8 window flagged against stream history. The JSON records per
+  * cell: ingest wall seconds, docs/sec, flagged instance count next to
+  * the expected planted count (15 shared windows per dup doc — base/dup
+  * pairs share their 22-token prefix), and the state-store row count
+  * from the query's final progress — the number that must track DISTINCT
+  * spans in the horizon (~17 per doc), not stream length, for the
+  * "runs forever" claim to hold.
+  *
+  * Run: `sbt -batch "runMain graft.StreamDedupScaleBench"` (env knobs:
+  * SPARK_GRAFT_CPUS, SPARK_GRAFT_SCALE_NS="300000,1000000",
+  * SPARK_GRAFT_SCALE_OUT=SCALE_SDEDUP_out.json). Heap note: the state
+  * store keeps one entry per distinct span in the horizon (md5-hex key +
+  * boolean) — size SPARK_DRIVER_MEM for ~100 B × 17 × n.
+  */
+object StreamDedupScaleBench {
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val ns = sys.env.getOrElse("SPARK_GRAFT_SCALE_NS", "300000,1000000")
+      .split(",").map(_.trim.toLong).toSeq
+    val blocks = 10
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val cells = ns.map { n =>
+      val nBase = (n * 9) / 10
+      val blockSz = n / blocks
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val feed = MemoryStream[Int]
+      // Block b → ids [b*blockSz, (b+1)*blockSz); same generator as
+      // DedupScaleBench: 24 words from a 4k vocab, hash-distinct streams
+      // per seed, dups re-seeded from their base with the last 2 words
+      // perturbed. ts advances one minute per block; watermark far behind
+      // so nothing evicts inside the run (boundedness is read from the
+      // state row count, eviction is spec-tested).
+      val docs = feed.toDF.select(
+          explode(sequence(col("value").cast("long") * blockSz,
+            (col("value").cast("long") + 1) * blockSz - 1)).as("doc_id"),
+          col("value"))
+        .select(col("doc_id"),
+          timestamp_seconds(lit(1700000000L) + col("value") * 60L).as("ts"),
+          when(col("doc_id") < nBase, col("doc_id"))
+            .otherwise((col("doc_id") - nBase) * 9L).as("seed"),
+          (col("doc_id") >= nBase).as("isdup"))
+        .select(col("doc_id"), col("ts"), concat_ws(" ",
+          (0 until 24).map { j =>
+            val base = concat(lit("w"),
+              pmod(xxhash64(col("seed"), lit(j)), lit(4096L)).cast("string"))
+            if (j >= 22)
+              when(col("isdup"),
+                concat(lit("p"), pmod(col("doc_id"), lit(97L)).cast("string")))
+                .otherwise(base)
+            else base
+          }: _*).as("text"))
+      val out = graft.streaming.StreamSubstrDedup.flagDupSpans(
+        docs, "doc_id", "ts", 8, "600 minutes")
+      // foreachBatch count sink: only two longs per micro-batch reach the
+      // driver, never the flagged rows.
+      var flagged = 0L
+      var total = 0L
+      val q = out.toDF.writeStream
+        .outputMode("append")
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          val r = df.agg(count(lit(1)), sum(when(col("dup"), 1L).otherwise(0L))).head()
+          total += r.getLong(0)
+          flagged += (if (r.isNullAt(1)) 0L else r.getLong(1))
+        }
+        .start()
+      val t0 = System.nanoTime()
+      try {
+        (0 until blocks).foreach { b =>
+          feed.addData(b)
+          q.processAllAvailable()
+        }
+      } finally {
+        val _ = q.lastProgress // touch before stop
+      }
+      val ingestSec = (System.nanoTime() - t0) / 1e9
+      val stateRows = Option(q.lastProgress)
+        .flatMap(p => p.stateOperators.headOption)
+        .map(_.numRowsTotal).getOrElse(-1L)
+      q.stop()
+      val expFlagged = (n - nBase) * 15L
+      f"""{"n":$n,"ingest_sec":$ingestSec%.2f,"docs_per_sec":${(n / ingestSec).toLong},"spans":$total,"flagged":$flagged,"exp_flagged":$expFlagged,"state_rows":$stateRows}"""
+    }
+
+    val line =
+      s"""{"metric":"scale_stream_dedup","cells":${cells.mkString("[", ",", "]")},"planted_dup_share":0.1,"k":8,"blocks":10}"""
+    println(line)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "SCALE_SDEDUP_out.json")), line)
+    spark.stop()
+  }
+}
