@@ -207,6 +207,19 @@ class PlanShapeSpec extends AnyFunSuite {
       s"containment candidates must come from the shingle equi-join:\n$tree")
   }
 
+  test("minhash/jaccard pair queries plan no cartesian (pair-expansion verify stays keyed)") {
+    // The array-free verify joins candidates against shingle postings on
+    // equi-keys end-to-end; a regression to an unkeyed join (or a lost
+    // candidate key) would plan a cartesian and melt at corpus scale.
+    val spark = TestSpark.spark
+    Seq("dedup_minhash", "dedup_jaccard").foreach { name =>
+      val tree = graft.queries.PipelineQueries.queries(name)(spark, sf)
+        .queryExecution.sparkPlan.treeString
+      graft.operators.DedupOps.unpersistPipelines()
+      assert(!tree.contains("CartesianProduct"), s"$name planned a cartesian:\n$tree")
+    }
+  }
+
   test("samp_cluster's per-cell cap plans as WindowGroupLimit (dense cells stay bounded)") {
     val spark = TestSpark.spark
     val tree = graft.core.Caches.scoped {

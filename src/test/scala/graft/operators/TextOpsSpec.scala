@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.TestSpark
 
-class TextOpsSpec extends AnyFunSuite {
+class TextOpsSpec extends AnyFunSuite with graft.core.PropHelpers {
 
   private def piiRow(text: String): (Long, Long, Long, String) = {
     val spark = TestSpark.spark
@@ -114,5 +114,30 @@ class TextOpsSpec extends AnyFunSuite {
     assert(gopherViol(texts(2))("mean_word_len"))
     Seq("word_count", "alpha_words", "stop_words", "top_bigram",
       "symbol_ratio").foreach(r => assert(got(r) >= 1L, r))
+  }
+
+  test("property: gopherReport equals the brute-force rule replay on random corpora") {
+    import org.scalacheck.Gen
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // Tokens spanning every rule's trigger surface: stops, long words,
+    // numerics (no letters), symbol shapes, and a tiny repeat pool that
+    // makes top-bigram dominance reachable.
+    val tokGen = Gen.oneOf("the", "and", "xyzzy", "42", "#tag", "ok...",
+      "superlongword", "a1", "b2")
+    val docGen = Gen.chooseNum(1, 70).flatMap(len =>
+      Gen.listOfN(len, tokGen).map(_.mkString(" ")))
+    val corpusGen = Gen.chooseNum(1, 8).flatMap(m => Gen.listOfN(m, docGen))
+    forAll(corpusGen, n = 10) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val got = TextOps.gopherReport(docs, "doc_id")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val viols = texts.map(gopherViol)
+      val expected = gopherViol("x").keys.map(rule =>
+        rule -> viols.count(_(rule)).toLong).toMap +
+        ("kept" -> viols.count(v => !v.values.exists(identity)).toLong)
+      assert(got == expected, s"texts=$texts\ngot $got\nexpected $expected")
+    }
   }
 }
