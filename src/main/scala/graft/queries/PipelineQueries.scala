@@ -416,6 +416,25 @@ object PipelineQueries {
         graft.operators.DedupOps.containmentNearDups(dd, "doc_id", 3, 7, 10))
     }),
 
+    // Cross-source NEAR-DUP matrix: verified fuzzy pairs (exact Jaccard
+    // >= 1/2 on 3-shingles) rolled up by unordered source pair — the
+    // mixture-design contamination signal corp_overlap gives for exact
+    // 8-token spans, at the near-duplicate level (which sources RESELL
+    // each other's documents, not just quote them). Self-pairs count
+    // within-source duplication. One broadcast-sized source table joined
+    // to the pair ends; the pair set is the oracle-green dedup_jaccard
+    // set, so the oracle replays all-pairs + the rollup.
+    "dedup_source_matrix" -> ((s, d) => {
+      val dd = docs(s, d)
+      val srcs = dd.select(col("doc_id"), col("source"))
+      graft.operators.DedupOps.jaccardNearDups(dd, "doc_id", 3, 1, 2)
+        .join(srcs.select(col("doc_id").as("id_a"), col("source").as("sa")), "id_a")
+        .join(srcs.select(col("doc_id").as("id_b"), col("source").as("sb")), "id_b")
+        .select(least(col("sa"), col("sb")).as("src_a"),
+          greatest(col("sa"), col("sb")).as("src_b"))
+        .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_pairs"))
+    }),
+
     // MinHash estimator accuracy: for every verified near-dup pair, the
     // agreeing slots out of 36 engine-neutral md5-fold minhash values
     // next to the exact intersection/union — the empirical "matches/k ≈ J"
@@ -4199,6 +4218,20 @@ object PipelineQueries {
     "dedup_clusters" ->
       s"""$nearDupClusterCtes
          |SELECT doc_id, cluster FROM lblfull""".stripMargin,
+
+    // dedup_source_matrix: the all-pairs Jaccard replay joined to doc
+    // sources, rolled up by unordered source pair.
+    "dedup_source_matrix" ->
+      """WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT doc_id, source,
+        |  list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)]) AS s
+        |  FROM toks WHERE len(w) >= 3),
+        |pr AS (SELECT a.source AS sa, b.source AS sb
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.s, b.s)) * 2 >= len(list_distinct(list_concat(a.s, b.s))))
+        |SELECT least(sa, sb) AS src_a, greatest(sa, sb) AS src_b,
+        |  CAST(COUNT(*) AS BIGINT) AS n_pairs
+        |FROM pr GROUP BY 1, 2""".stripMargin,
 
     // dedup_containment_clusters: the component replay over the EXACT
     // containment pair set (same recursive reachability, different edge
