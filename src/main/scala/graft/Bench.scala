@@ -130,6 +130,27 @@ object Bench {
           graft.operators.BpeOps.vocabOf(bm).count())
         deployEntries += "bpe_doc_tokens" -> timed(
           graft.operators.BpeOps.docTokensOf(bm, dd, "doc_id").count())
+        // k-means family: train+assign once (the gate-independence cost
+        // every emb_kmeans-chain gate pays from scratch), then time the
+        // cell consumers reusing the persisted assignment.
+        val ee = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        val asg = {
+          var a: org.apache.spark.sql.DataFrame = null
+          val t = timed {
+            a = graft.operators.VectorOps.kmeansAssign(
+                ee, "vec_id", "embedding",
+                col("vec_id").between(8, 15), 3, 64)
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            a.count()
+          }
+          deployEntries += "kmeans_model" -> t
+          a
+        }
+        deployEntries += "kmeans_cells" -> timed(
+          asg.groupBy("cid").agg(count(lit(1))).count())
+        deployEntries += "kmeans_sample" -> timed(
+          graft.operators.VectorOps.clusterBalancedSampleFrom(asg, 10).count())
+        asg.unpersist(blocking = false)
       } catch { case e: Throwable =>
         System.err.println(s"[graft.Bench] deploy lane: ${e.getMessage}")
       } finally {
