@@ -88,19 +88,22 @@ object StreamDedupScaleBench {
         }
         .start()
       val t0 = System.nanoTime()
-      try {
+      val ingestSec = try {
         (0 until blocks).foreach { b =>
           feed.addData(b)
           q.processAllAvailable()
         }
+        (System.nanoTime() - t0) / 1e9
       } finally {
         val _ = q.lastProgress // touch before stop
+        // stop() inside the finally: a throw from addData/
+        // processAllAvailable must not leak a running query (the bench
+        // process would hang on the next cell's fresh query otherwise).
+        q.stop()
       }
-      val ingestSec = (System.nanoTime() - t0) / 1e9
       val stateRows = Option(q.lastProgress)
         .flatMap(p => p.stateOperators.headOption)
         .map(_.numRowsTotal).getOrElse(-1L)
-      q.stop()
       val expFlagged = (n - nBase) * 15L
       f"""{"n":$n,"ingest_sec":$ingestSec%.2f,"docs_per_sec":${(n / ingestSec).toLong},"spans":$total,"flagged":$flagged,"exp_flagged":$expFlagged,"state_rows":$stateRows}"""
     }

@@ -178,7 +178,16 @@ object MultimodalOps {
     * NULL for anything that is not a BMP (the corrupt-payload /
     * wrong-modality guard a curation filter keys on). A negative stored
     * height (top-down row order) decodes to its magnitude — row order is a
-    * layout detail, not a dimension. */
+    * layout detail, not a dimension.
+    *
+    * ACCEPTANCE DIVERGENCE vs the featurizer paths (deliberate): this
+    * header parse has no downstream position arithmetic, so it imposes NO
+    * dimension bound — an extreme-aspect BMP (say h=1, w ≈ 2^28) decodes
+    * to its metadata here while [[bmpPixelGridSum]]/[[bmpAHash]] return
+    * NULL for the same blob ([[bmpHeader]] bounds w, h < 2^22 to keep the
+    * eagerly-evaluated lattice products inside long — see its scaladoc).
+    * Metadata-only consumers keep the wider acceptance; pixel consumers
+    * treat past-bound dimensions as undecodable. */
   def decodeBmp(bin: Column): Column = {
     val hx = hex(bin)
     def byteAt(off: Int) = hx.substr(lit(off * 2 + 1), lit(2)) // off 0-based
