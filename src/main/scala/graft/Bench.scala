@@ -151,6 +151,80 @@ object Bench {
         deployEntries += "kmeans_sample" -> timed(
           graft.operators.VectorOps.clusterBalancedSampleFrom(asg, 10).count())
         asg.unpersist(blocking = false)
+        // ANN family: ONE trained coarse quantizer (+ PQ codebooks, + the
+        // residual books) shared by every search / recall / semantic-dedup
+        // consumer — the re-training cost each gate pays from scratch is
+        // paid exactly once here.
+        import graft.operators.VectorOps
+        val ivf = {
+          var m: VectorOps.IvfModel = null
+          val t = timed {
+            m = VectorOps.ivfModel(ee, "vec_id", "embedding",
+              col("vec_id").between(8, 15), 3, 64)
+            m.cells.count() // materialize the persisted index
+          }
+          deployEntries += "ivf_model" -> t
+          m
+        }
+        deployEntries += "knn_ivf_kmeans" -> timed(
+          VectorOps.knnIvfKmeansFrom(ivf, ee, "vec_id",
+            col("vec_id") < 8, 5, 3).count())
+        deployEntries += "ann_recall_ivf" -> timed(
+          graft.queries.PipelineQueries.annRecall(
+            VectorOps.knnIvfKmeansFrom(ivf, ee, "vec_id",
+              col("vec_id") < 8, 5, 3), ee).count())
+        deployEntries += "semdedup" -> timed(
+          VectorOps.semDedupClustersFrom(ivf, ee, "vec_id", 0.35).count())
+        val pq = {
+          var m: VectorOps.IvfPqModel = null
+          val t = timed {
+            m = VectorOps.ivfPqModel(ivf, 2, 4)
+            m.coded.count() // materialize the persisted codes
+          }
+          deployEntries += "ivfpq_model" -> t
+          m
+        }
+        deployEntries += "knn_ivfpq" -> timed(
+          VectorOps.knnIvfPqFrom(pq, ee, "vec_id",
+            col("vec_id") < 8, 5, 3).count())
+        deployEntries += "ann_recall_ivfpq" -> timed(
+          graft.queries.PipelineQueries.annRecall(
+            VectorOps.knnIvfPqFrom(pq, ee, "vec_id",
+              col("vec_id") < 8, 5, 3), ee).count())
+        val pqr = {
+          var m: VectorOps.IvfPqResModel = null
+          val t = timed {
+            m = VectorOps.ivfPqResidualModel(ivf, 2, 4)
+            m.coded.count()
+          }
+          deployEntries += "ivfpq_res_model" -> t
+          m
+        }
+        deployEntries += "ann_recall_ivfpq_res" -> timed(
+          graft.queries.PipelineQueries.annRecall(
+            VectorOps.knnIvfPqResidualFrom(pqr, ee, "vec_id",
+              col("vec_id") < 8, 5, 3), ee).count())
+        graft.operators.DedupOps.unpersistPipelines()
+        // Fuzzy-pair family: ONE shingle pass + PPJoin pair graph (+ the
+        // estimator signature table) shared by the contamination rollup
+        // and the estimator-accuracy readout.
+        val fm = {
+          var m: graft.operators.DedupOps.FuzzyPairModel = null
+          val t = timed {
+            m = graft.operators.DedupOps.fuzzyPairModel(
+              dd, "doc_id", 3, 1, 2, 36)
+            m.pairs.count() // materialize shingles + pairs
+          }
+          deployEntries += "jaccard_model" -> t
+          m
+        }
+        deployEntries += "minhash_sigs" -> timed(fm.sigs.count())
+        deployEntries += "dedup_source_matrix" -> timed(
+          graft.operators.DedupOps.sourcePairMatrix(
+            fm.pairs, dd, "doc_id", "source").count())
+        deployEntries += "minhash_est" -> timed(
+          graft.operators.DedupOps.minhashEstimatesFrom(
+            fm.pairs, fm.sigs).count())
       } catch { case e: Throwable =>
         System.err.println(s"[graft.Bench] deploy lane: ${e.getMessage}")
       } finally {

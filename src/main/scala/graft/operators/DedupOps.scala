@@ -449,11 +449,19 @@ object DedupOps {
     * the result — [[unpersistPipelines]] / [[withDedupCaches]].
     */
   def jaccardNearDups(docs: DataFrame, idCol: String, n: Int,
-                      num: Int, den: Int): DataFrame = {
+                      num: Int, den: Int): DataFrame =
+    jaccardNearDupsFromShingles(
+      cachePersist(shingleRows(docs, idCol, n)), num, den)
+
+  /** [[jaccardNearDups]] from an already-built (and persisted) distinct
+    * shingle table — the stage split that lets a shared-model pipeline
+    * shingle the corpus ONCE for the pair detection, the estimator
+    * signatures, and any other shingle consumer ([[fuzzyPairModel]]). */
+  def jaccardNearDupsFromShingles(sr: DataFrame,
+                                  num: Int, den: Int): DataFrame = {
     require(num > 0 && den > 0 && num <= den,
       s"Jaccard threshold must be in (0, 1]: $num/$den")
     import org.apache.spark.sql.expressions.Window
-    val sr = cachePersist(shingleRows(docs, idCol, n))
     // Global shingle document frequency via groupBy + join-back, NOT a
     // window over partitionBy(s): a hot shingle would concentrate its whole
     // (possibly corpus-sized) partition in ONE window task — the exact
@@ -567,21 +575,34 @@ object DedupOps {
     * est_matches ∈ 0..k). */
   def minhashEstimates(docs: DataFrame, idCol: String, n: Int, k: Int,
                        num: Int, den: Int): DataFrame = {
-    require(k >= 1 && k <= 128, s"k out of range: $k")
     val sr = cachePersist(shingleRows(docs, idCol, n))
-    val sigs = sr.groupBy("id")
+    minhashEstimatesFrom(jaccardNearDupsFromShingles(sr, num, den),
+      mdSignatures(sr, k))
+  }
+
+  /** The engine-neutral md5-fold signature table of [[minhashEstimates]]:
+    * one (id, sig array<k>) row per doc, built from the shared distinct
+    * shingle table with the one-groupBy k-min-aggregate shape. */
+  def mdSignatures(sr: DataFrame, k: Int): DataFrame = {
+    require(k >= 1 && k <= 128, s"k out of range: $k")
+    sr.groupBy("id")
       .agg(min(CorpusOps.hashDrawCol(col("s"), "mh0:")).as("g0"),
         (1 until k).map(j =>
           min(CorpusOps.hashDrawCol(col("s"), s"mh$j:")).as(s"g$j")): _*)
       .select(col("id"), array((0 until k).map(j => col(s"g$j")): _*).as("sig"))
-    jaccardNearDups(docs, idCol, n, num, den)
+  }
+
+  /** [[minhashEstimates]]'s join stage over existing verified pairs and
+    * signatures — the shared-model consumer: two model-table joins and one
+    * zip_with, no shingling, banding, or verification re-run. */
+  def minhashEstimatesFrom(pairs: DataFrame, sigs: DataFrame): DataFrame =
+    pairs
       .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
       .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
       .select(col("id_a"), col("id_b"), col("c_inter"), col("c_union"),
         aggregate(zip_with(col("sig_a"), col("sig_b"),
             (x, y) => when(x === y, 1L).otherwise(0L)),
           lit(0L), _ + _).as("est_matches"))
-  }
 
   /** Near-duplicate cluster ids: connected components over a near-dup pair
     * graph, each document labeled with the minimum doc id reachable from it
@@ -759,6 +780,46 @@ object DedupOps {
     val clusters = graft.core.Caches.persistTracked(
       nearDupClusters(docs, idCol, pairs))
     NearDupModel(pairs, clusters)
+  }
+
+  /** Shared EXACT-Jaccard (PPJoin) artifacts — the fuzzy-pair model a
+    * deployment builds once and every contamination / estimator / rollup
+    * consumer reuses: `shingles` the persisted distinct (id, s) table,
+    * `pairs` the persisted verified pair graph
+    * (id_a, id_b, c_inter, c_union), and [[sigs]] the lazily-persisted
+    * k-slot md5-fold signature table ([[mdSignatures]]) for estimator
+    * readouts. Same release contract as [[NearDupModel]]
+    * ([[unpersistPipelines]] / [[withDedupCaches]] after consuming). */
+  final case class FuzzyPairModel(shingles: DataFrame, pairs: DataFrame,
+                                  k: Int) {
+    lazy val sigs: DataFrame =
+      graft.core.Caches.persistTracked(mdSignatures(shingles, k))
+  }
+
+  /** Build a [[FuzzyPairModel]]: shingle ONCE → persist →
+    * [[jaccardNearDupsFromShingles]] → persist; signatures on demand. */
+  def fuzzyPairModel(docs: DataFrame, idCol: String, n: Int,
+                     num: Int, den: Int, k: Int = 36): FuzzyPairModel = {
+    val sr = cachePersist(shingleRows(docs, idCol, n))
+    FuzzyPairModel(sr,
+      graft.core.Caches.persistTracked(
+        jaccardNearDupsFromShingles(sr, num, den)), k)
+  }
+
+  /** Cross-source near-dup matrix over an existing verified pair graph —
+    * the shared-model consumer behind the `dedup_source_matrix` gate: the
+    * broadcast-sized (id, source) table joins to both pair ends and the
+    * unordered source pair rolls up. Self-pairs count within-source
+    * duplication. Output: (src_a ≤ src_b, n_pairs). */
+  def sourcePairMatrix(pairs: DataFrame, docs: DataFrame, idCol: String,
+                       srcCol: String): DataFrame = {
+    val srcs = docs.select(col(idCol).as("id"), col(srcCol).as("src"))
+    pairs
+      .join(srcs.select(col("id").as("id_a"), col("src").as("sa")), "id_a")
+      .join(srcs.select(col("id").as("id_b"), col("src").as("sb")), "id_b")
+      .select(least(col("sa"), col("sb")).as("src_a"),
+        greatest(col("sa"), col("sb")).as("src_b"))
+      .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_pairs"))
   }
 
   /** `bits`-wide SimHash over whitespace tokens: bit p is set iff the sum

@@ -426,13 +426,9 @@ object PipelineQueries {
     // set, so the oracle replays all-pairs + the rollup.
     "dedup_source_matrix" -> ((s, d) => {
       val dd = docs(s, d)
-      val srcs = dd.select(col("doc_id"), col("source"))
-      graft.operators.DedupOps.jaccardNearDups(dd, "doc_id", 3, 1, 2)
-        .join(srcs.select(col("doc_id").as("id_a"), col("source").as("sa")), "id_a")
-        .join(srcs.select(col("doc_id").as("id_b"), col("source").as("sb")), "id_b")
-        .select(least(col("sa"), col("sb")).as("src_a"),
-          greatest(col("sa"), col("sb")).as("src_b"))
-        .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_pairs"))
+      graft.operators.DedupOps.sourcePairMatrix(
+        graft.operators.DedupOps.jaccardNearDups(dd, "doc_id", 3, 1, 2),
+        dd, "doc_id", "source")
     }),
 
     // MinHash estimator accuracy: for every verified near-dup pair, the
@@ -1786,7 +1782,7 @@ object PipelineQueries {
     * neighbors, n_hit = those the method also returned. Integer counts,
     * engine-exact — shared by all four `ann_recall*` gates. Both sides are
     * query-set-sized (8 × 5 rows), so the join is trivially broadcast. */
-  private def annRecall(method: DataFrame, e: DataFrame): DataFrame = {
+  private[graft] def annRecall(method: DataFrame, e: DataFrame): DataFrame = {
     val brute = graft.operators.VectorOps.knnBrute(
       e, "vec_id", "embedding", col("vec_id") < 8, 5)
     brute.select(col("qid"), col("nid"))

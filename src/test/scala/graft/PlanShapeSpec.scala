@@ -220,6 +220,119 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  // ---- Deploy-lane pins: shared-model CONSUMERS must read the persisted
+  // model, never re-train. Structural assertions via SparkPlan.collect,
+  // which does NOT descend into an InMemoryTableScan's cached plan — so
+  // "no FileSourceScanExec / no WindowExec in the consumer plan" means the
+  // consumer itself re-scans nothing and re-ranks nothing; the training
+  // pipeline (scans, PPJoin prefix windows, probe windows) lives entirely
+  // inside the cached model. A regression that silently re-trains per
+  // consumer (the exact cost the deploy lane exists to avoid) re-surfaces
+  // those nodes here before it shows up in BENCH_out's deploy map.
+
+  private def consumerNodes(df: org.apache.spark.sql.DataFrame)
+      : (Int, Int, Int, Int, String) = {
+    val plan = df.queryExecution.sparkPlan
+    val files = plan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f }.length
+    val caches = plan.collect {
+      case i: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec => i }.length
+    val wins = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w }.length
+    val shuffles = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e }.length
+    (files, caches, wins, shuffles, plan.treeString)
+  }
+
+  test("near-dup model consumers read the persisted pair graph (no re-shingle, no re-verify)") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f g h", "s0"), (2L, "a b c d e f g x", "s0"),
+      (3L, "p q r s t u v w", "s1"), (4L, "p q r s t u v y", "s1"),
+      (5L, "z z z unrelated doc", "s2"))
+      .toDF("doc_id", "text", "source")
+    graft.core.Caches.scoped {
+      val m = graft.operators.DedupOps.fuzzyPairModel(docs, "doc_id", 3, 1, 2, 8)
+      m.pairs.count(); m.sigs.count() // materialize the model
+      val matrix = graft.operators.DedupOps.sourcePairMatrix(
+        m.pairs, docs, "doc_id", "source")
+      val (f1, c1, w1, s1, t1) = consumerNodes(matrix)
+      assert(c1 >= 1, s"source matrix must read the cached pair graph:\n$t1")
+      assert(w1 == 0, s"source matrix re-ran a ranking window (PPJoin retrain?):\n$t1")
+      assert(s1 <= 3, s"source matrix grew extra shuffles ($s1):\n$t1")
+      val est = graft.operators.DedupOps.minhashEstimatesFrom(m.pairs, m.sigs)
+      val (f2, c2, w2, _, t2) = consumerNodes(est)
+      assert(c2 >= 2, s"estimator must read cached pairs AND sigs:\n$t2")
+      assert(w2 == 0 && f2 == 0 && f1 == 0,
+        s"estimator consumer re-derived model state:\n$t2")
+      // keep-list over the banded model: a cache-read filter, zero shuffles.
+      val nm = graft.operators.DedupOps.nearDupModel(docs, "doc_id", 3, 4, 2, 1, 2)
+      nm.clusters.count()
+      val keep = nm.clusters.filter(col("doc_id") === col("cluster"))
+      val (f3, c3, w3, s3, t3) = consumerNodes(keep)
+      assert(c3 >= 1 && f3 == 0 && w3 == 0 && s3 == 0,
+        s"keep-list must be a pure filter over the cached clusters:\n$t3")
+    }
+  }
+
+  test("IVF/PQ model consumers read the persisted index (no training scan in the search plan)") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val dims = 8
+    val embs = (0L until 40L).map { i =>
+      (i, Array.tabulate(dims)(j => ((i * 7 + j * 3) % 13 - 6).toFloat))
+    }.toDF("vec_id", "embedding")
+    graft.core.Caches.scoped {
+      val ivf = graft.operators.VectorOps.ivfModel(
+        embs, "vec_id", "embedding", col("vec_id").between(8, 11), 2, dims)
+      ivf.cells.count() // materialize the index
+      val search = graft.operators.VectorOps.knnIvfKmeansFrom(
+        ivf, embs, "vec_id", col("vec_id") < 4, 3, 2)
+      val (f1, c1, _, _, t1) = consumerNodes(search)
+      assert(c1 >= 2, s"search must read the cached quant corpus AND cells:\n$t1")
+      assert(f1 == 0, s"search re-scanned the corpus source:\n$t1")
+      val pq = graft.operators.VectorOps.ivfPqModel(ivf, 1, 2)
+      pq.coded.count()
+      val pqSearch = graft.operators.VectorOps.knnIvfPqFrom(
+        pq, embs, "vec_id", col("vec_id") < 4, 3, 2)
+      val (f2, c2, _, _, t2) = consumerNodes(pqSearch)
+      assert(c2 >= 2 && f2 == 0,
+        s"ADC search must read cached quant + coded index only:\n$t2")
+    }
+  }
+
+  test("k-means and BPE model consumers stay model-read-only") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val dims = 8
+    val embs = (0L until 40L).map { i =>
+      (i, Array.tabulate(dims)(j => ((i * 5 + j) % 11 - 5).toFloat))
+    }.toDF("vec_id", "embedding")
+    graft.core.Caches.scoped {
+      val asg = graft.operators.VectorOps.kmeansAssign(
+          embs, "vec_id", "embedding", col("vec_id").between(8, 11), 2, dims)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        asg.count()
+        val cells = asg.groupBy("cid").agg(count(lit(1)).as("n"))
+        val (f1, c1, w1, s1, t1) = consumerNodes(cells)
+        assert(c1 >= 1 && f1 == 0 && w1 == 0 && s1 <= 1,
+          s"cell census must be one aggregate over the cached assignment:\n$t1")
+      } finally asg.unpersist(blocking = false)
+    }
+    val docs = Seq((1L, "a b a b c"), (2L, "a b c d"), (3L, "b c d e"))
+      .toDF("doc_id", "text")
+    graft.core.Caches.scoped {
+      val bm = graft.operators.BpeOps.bpeModel(docs, 4)
+      bm.words.count()
+      val vocab = graft.operators.BpeOps.vocabOf(bm)
+      val (f2, c2, w2, _, t2) = consumerNodes(vocab)
+      assert(c2 >= 1 && f2 == 0 && w2 == 0,
+        s"vocab must aggregate the cached segmented words only:\n$t2")
+    }
+  }
+
   test("samp_cluster's per-cell cap plans as WindowGroupLimit (dense cells stay bounded)") {
     val spark = TestSpark.spark
     val tree = graft.core.Caches.scoped {
