@@ -88,6 +88,23 @@ object VectorScaleBench {
           embs, "vec_id", "embedding", qp, 10, 4, 12, Dims), brute)
       }
 
+      // The clustered-corpus hardening of the lsh leg: MORE bits
+      // (smaller, more selective buckets — at 12 bits a 10M corpus
+      // packs ~25k rows per bucket and any useful cap truncates the
+      // query's own cluster, measured 42/80), margin-guided flipped
+      // probes to recover the per-table recall the extra bits give up,
+      // and a per-(table, bucket) candidate cap that bounds per-query
+      // work at tables × (1+flips) × cap regardless of cluster density.
+      // Design point env-tunable: SPARK_GRAFT_MP="tables,bits,flips,cap".
+      val Array(mpT, mpB, mpF, mpCap) =
+        sys.env.getOrElse("SPARK_GRAFT_MP", "4,14,3,8192")
+          .split(",").map(_.trim.toInt)
+      val (mpSec, mpHits) = leg("lshmp") {
+        recallAt10(graft.operators.VectorOps.knnLshMultiProbe(
+          embs, "vec_id", "embedding", qp, 10, mpT, mpB, mpF, Dims,
+          bucketCap = mpCap), brute)
+      }
+
       val (ivfSec, ivfHits) = leg("ivf") {
         recallAt10(graft.operators.VectorOps.knnIvf(
           embs, "vec_id", "embedding", qp, 10,
@@ -110,6 +127,7 @@ object VectorScaleBench {
       embs.unpersist(blocking = true)
       f"""{"n":$n,"gen_sec":$genSec%.2f,"brute_sec":$bruteSec%.2f,""" +
         f""""n_brute":$nBrute,"lsh_sec":$lshSec%.2f,"lsh_hits":$lshHits,""" +
+        f""""lshmp_sec":$mpSec%.2f,"lshmp_hits":$mpHits,""" +
         f""""ivf_sec":$ivfSec%.2f,"ivf_hits":$ivfHits,""" +
         f""""sq8_sec":$sq8Sec%.2f,"sq8_hits":$sq8Hits}"""
     }

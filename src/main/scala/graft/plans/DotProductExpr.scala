@@ -86,6 +86,7 @@ case class DotProduct(left: Expression, right: Expression)
 object GraftFunctions {
   val DotName = "graft_dot"
   val ZOrderName = "graft_zorder"
+  val LshBucketsName = "graft_lsh_buckets"
 
   /** The native-function catalog, one entry per expression — shared by
     * the in-process [[register]] path and the `spark.sql.extensions`
@@ -97,7 +98,16 @@ object GraftFunctions {
       (children: Seq[Expression]) => DotProduct(children(0), children(1))),
     (FunctionIdentifier(ZOrderName),
       new ExpressionInfo(classOf[ZOrder2].getName, ZOrderName),
-      (children: Seq[Expression]) => ZOrder2(children(0), children(1))))
+      (children: Seq[Expression]) => ZOrder2(children(0), children(1))),
+    (FunctionIdentifier(LshBucketsName),
+      new ExpressionInfo(classOf[LshBuckets].getName, LshBucketsName),
+      (children: Seq[Expression]) => children match {
+        case Seq(v, p,
+            org.apache.spark.sql.catalyst.expressions.Literal(b: Int,
+              org.apache.spark.sql.types.IntegerType)) => LshBuckets(v, p, b)
+        case _ => throw new IllegalArgumentException(
+          s"$LshBucketsName(vector, planes, bits) needs a literal int bits")
+      }))
 
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry

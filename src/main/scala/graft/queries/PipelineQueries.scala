@@ -509,6 +509,28 @@ object PipelineQueries {
         embs(s, d), "vec_id", "embedding", col("vec_id") < 8, 5,
         LshTables, LshBits, EmbDims)),
 
+    // MULTI-PROBE LSH top-5 (Lv et al. VLDB'07): knn_lsh's 4-bit
+    // geometry at 3 tables instead of 4, with 2 single-bit-flip probes
+    // per table — the flips recover MORE recall than the dropped table
+    // cost (31/40 vs 28/40 at sf0.01) on 3/4 the index. The oracle
+    // replays base buckets, per-bit margins, the flip ranking, and the
+    // exact re-rank.
+    "knn_lsh_mp" -> ((s, d) =>
+      graft.operators.VectorOps.knnLshMultiProbe(
+        embs(s, d), "vec_id", "embedding", col("vec_id") < 8, 5,
+        MpTables, MpBits, MpFlips, EmbDims)),
+
+    // Recall@5 of the multi-probe path vs the exact baseline — the
+    // number that validates trading tables for flips.
+    "ann_recall_mp" -> ((s, d) => {
+      val e = embs(s, d)
+      annRecall(
+        graft.operators.VectorOps.knnLshMultiProbe(
+          e, "vec_id", "embedding", col("vec_id") < 8, 5,
+          MpTables, MpBits, MpFlips, EmbDims),
+        e)
+    }),
+
     // Scalar-quantized (SQ8) top-10: integer-dot candidate ranking over
     // the int8-quantized index (4× compression, no codebook training),
     // top-30 candidates re-ranked by exact cosine. The quantization and
@@ -1686,6 +1708,13 @@ object PipelineQueries {
   private val KmCentLo  = 8
   private val KmCentHi  = 15
   private val KmIters   = 3
+  // knn_lsh's 4-bit hyperplane geometry with ONE FEWER table and 2
+  // single-bit-flip probes: measured recall@5 at sf0.01 is 31/40 vs
+  // knn_lsh's 28/40 — the flips more than pay back the dropped table
+  // (the multi-probe trade the operator exists for).
+  private val MpTables  = 3
+  private val MpBits    = 4
+  private val MpFlips   = 2
   private val KmppK     = 8
   private val PqM       = 4
   private val PqIters   = 2
@@ -1827,6 +1856,38 @@ object PipelineQueries {
 
   /** DuckDB double-precision cosine with the same sequential fold and the
     * same float→double casts as [[graft.operators.VectorOps.cosine]]. */
+  /** CTE chain ending in `e` (raw vectors) and `mpcand(qid, nid)` — the
+    * multi-probe LSH candidate replay: projections per (query, plane),
+    * base buckets, the (ABS(margin), bit) flip ranking, XOR'd probe
+    * buckets (base ∪ flips rn ≤ MpFlips), corpus buckets, and the probe ⋈
+    * bucket candidate join. Shared by the knn_lsh_mp / ann_recall_mp
+    * oracles; replayed UNCAPPED, per the documented bucket-cap contract
+    * ([[graft.operators.DedupOps.DefaultMaxBucket]]). */
+  private def mpCtes: String = {
+    val pdot = s"list_sum([CAST(e.v[i] AS DOUBLE) * pl.p[i] for i in range(1, ${EmbDims + 1})])"
+    s"""planes(t, b, p) AS (VALUES
+       |${planesValuesSqlFor(MpTables, MpBits)}),
+       |e AS (SELECT vec_id, embedding AS v FROM embeddings),
+       |qproj AS (SELECT e.vec_id AS qid, pl.t, pl.b, $pdot AS pd
+       |  FROM e, planes pl WHERE e.vec_id < 8),
+       |qbase AS (SELECT qid, t,
+       |  CAST(SUM(CASE WHEN pd >= 0 THEN (1 << b) ELSE 0 END) AS INTEGER) AS base
+       |  FROM qproj GROUP BY 1, 2),
+       |qflip AS (SELECT qid, t, b,
+       |  ROW_NUMBER() OVER (PARTITION BY qid, t ORDER BY ABS(pd), b) AS rn FROM qproj),
+       |probes AS (SELECT qid, t, base AS bucket FROM qbase
+       |  UNION ALL
+       |  SELECT f.qid, f.t, CAST(xor(qb.base, (1 << f.b)) AS INTEGER) AS bucket
+       |  FROM qflip f JOIN qbase qb ON qb.qid = f.qid AND qb.t = f.t
+       |  WHERE f.rn <= $MpFlips),
+       |buck AS (SELECT e.vec_id AS id, pl.t,
+       |  CAST(SUM(CASE WHEN $pdot >= 0 THEN (1 << pl.b) ELSE 0 END) AS INTEGER) AS bucket
+       |  FROM e, planes pl GROUP BY 1, 2),
+       |mpcand AS (SELECT p.qid, x.id AS nid
+       |  FROM probes p JOIN buck x ON x.t = p.t AND x.bucket = p.bucket
+       |  WHERE x.id != p.qid GROUP BY 1, 2)""".stripMargin
+  }
+
   private def cosSql(a: String, b: String): String = {
     def d(x: String, y: String) =
       s"list_sum([CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE) for i in range(1, ${EmbDims + 1})])"
@@ -3641,6 +3702,42 @@ object PipelineQueries {
          |SELECT qid, nid, CAST(rnk AS BIGINT) AS rnk FROM (
          |  SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rnk FROM s)
          |WHERE rnk <= 5""".stripMargin
+    },
+
+    // knn_lsh_mp: the multi-probe replay — per-(query, plane) projections,
+    // base buckets, ABS-margin flip ranking (ties to the lowest bit, the
+    // array_sort struct order), XOR'd probe buckets, the (t, bucket)
+    // candidate join, and the exact cosine re-rank.
+    "knn_lsh_mp" -> {
+      val cos = cosSql("a.v", "b.v")
+      s"""WITH $mpCtes,
+         |s AS (SELECT c.qid, c.nid, $cos AS sim
+         |  FROM mpcand c JOIN e a ON a.vec_id = c.qid JOIN e b ON b.vec_id = c.nid)
+         |SELECT qid, nid, CAST(rnk AS BIGINT) AS rnk FROM (
+         |  SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rnk FROM s)
+         |WHERE rnk <= 5""".stripMargin
+    },
+
+    // ann_recall_mp: the knn_brute and knn_lsh_mp replays side by side,
+    // truncated to the same k, left-joined per (qid, nid).
+    "ann_recall_mp" -> {
+      val bcos = cosSql("q.v", "x.v")
+      val lcos = cosSql("a.v", "b.v")
+      s"""WITH $mpCtes,
+         |bs AS (SELECT q.vec_id AS qid, x.vec_id AS nid, $bcos AS sim
+         |  FROM e q, e x WHERE q.vec_id < 8 AND x.vec_id != q.vec_id),
+         |bt AS (SELECT qid, nid FROM (
+         |  SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rnk FROM bs)
+         |  WHERE rnk <= 5),
+         |ls AS (SELECT c.qid, c.nid, $lcos AS sim
+         |  FROM mpcand c JOIN e a ON a.vec_id = c.qid JOIN e b ON b.vec_id = c.nid),
+         |lt AS (SELECT qid, nid FROM (
+         |  SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rnk FROM ls)
+         |  WHERE rnk <= 5)
+         |SELECT bt.qid, CAST(COUNT(*) AS BIGINT) AS n_true,
+         |  CAST(SUM(CASE WHEN lt.nid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+         |FROM bt LEFT JOIN lt ON bt.qid = lt.qid AND bt.nid = lt.nid
+         |GROUP BY 1""".stripMargin
     },
 
     // ann_recall: the knn_brute and knn_lsh replays side by side (shared

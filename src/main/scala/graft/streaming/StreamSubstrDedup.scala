@@ -38,8 +38,13 @@ object StreamSubstrDedup {
 
   /** Internal span row (public: the generated deserializer must reach the
     * constructor — a `private` nested case class fails Janino compilation
-    * of the safe projection). */
-  final case class SpanIn(sh: String, docId: Long,
+    * of the safe projection). `sh` is the RAW 16-byte md5 digest
+    * (`unhex(md5(...))`), not the 32-char hex string — the state-store
+    * group key carries these bytes for the whole watermark horizon, so
+    * hex keys would double every key's footprint for the same identity
+    * (the batch span table made the same move; grouping compares the
+    * ENCODED key bytes, so a binary key groups correctly). */
+  final case class SpanIn(sh: Array[Byte], docId: Long,
                           ts: java.sql.Timestamp, pos: Int)
 
   /** (idCol, tsCol, text) stream → flagged window stream (doc_id, pos,
@@ -54,25 +59,31 @@ object StreamSubstrDedup {
       .select(col(idCol).cast("long").as("docId"), col(tsCol).as("ts"),
         posexplode(DedupOps.shingles(col("text"), k)))
       .withWatermark("ts", lateness)
-      .select(md5(col("col")).as("sh"), col("docId"), col("ts"),
+      .select(unhex(md5(col("col"))).as("sh"), col("docId"), col("ts"),
         col("pos").cast("int"))
       .as[SpanIn]
     spans
       .groupByKey(_.sh)
       .flatMapGroupsWithState[Boolean, SpanFlag](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (_: String, rows: Iterator[SpanIn], state: GroupState[Boolean]) =>
+        (_: Array[Byte], rows: Iterator[SpanIn], state: GroupState[Boolean]) =>
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
             val sorted = rows.toArray
               .sortBy(r => (r.ts.getTime, r.docId, r.pos))
-            var seen = state.getOption.getOrElse(false)
+            val seen0 = state.getOption.getOrElse(false)
+            var seen = seen0
             val out = sorted.map { r =>
               val dup = seen
               seen = true
               SpanFlag(r.docId, r.pos, dup)
             }
-            state.update(true)
+            // Write the value only on the first sighting: every update is
+            // a state-store put replayed into the changelog/delta per
+            // batch, and `true` never changes once set. The timeout
+            // refresh below is the write that MUST happen per batch (it
+            // extends the eviction horizon past this sighting).
+            if (!seen0) state.update(true)
             // Evict once the watermark passes the last sighting + horizon.
             // Batch execution drops the watermark node and rejects timeout
             // timestamps (UnsupportedOperation / IllegalArgument depending

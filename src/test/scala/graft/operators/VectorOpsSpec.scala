@@ -516,6 +516,68 @@ class VectorOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("knnLshMultiProbe: flips=0 uncapped equals knnLsh; flips only add candidates") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    val df = (0L until 200L).map(i =>
+      (i, Array.fill(16)(rnd.nextFloat() * 2 - 1))).toDF("vec_id", "embedding")
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // flips=0, no cap: base buckets only — the candidate set (and so the
+    // exact re-rank) must be EXACTLY knnLsh's at the same design point.
+    val base = rows(VectorOps.knnLsh(
+      df, "vec_id", "embedding", col("vec_id") < 3, 5, 4, 3, 16))
+    val mp0 = rows(VectorOps.knnLshMultiProbe(
+      df, "vec_id", "embedding", col("vec_id") < 3, 5, 4, 3, 0, 16))
+    assert(mp0 == base, "flips=0 multi-probe must reproduce knnLsh")
+    // flips>0: candidate superset ⇒ per-query hit set vs brute top-5 can
+    // only grow, and ranks stay gapless 1..n.
+    val brute5 = VectorOps.knnBrute(df, "vec_id", "embedding", col("vec_id") < 3, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mp2all = VectorOps.knnLshMultiProbe(
+      df, "vec_id", "embedding", col("vec_id") < 3, 5, 4, 3, 2, 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    mp2all.groupBy(_._1).foreach { case (_, rs) =>
+      assert(rs.map(_._3).sorted.toSeq == (1L to rs.length).toSeq)
+    }
+    val mp2 = mp2all.map(t => (t._1, t._2)).toSet
+    assert((mp0.map(t => (t._1, t._2)) & brute5).subsetOf(mp2 & brute5),
+      "probing flipped buckets lost base-bucket recall")
+  }
+
+  test("knnLshMultiProbe bucket cap: bounded cells, deterministic, WindowGroupLimit plan") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // 3 tight clusters of 40 co-located vectors each: every cluster shares
+    // its bucket in every table, so an uncapped join sees 40-row cells.
+    val rnd = new scala.util.Random(11)
+    val centers = Array.fill(3)(Array.fill(16)(rnd.nextFloat() * 2 - 1))
+    val df = (0L until 120L).map { i =>
+      val c = centers((i % 3).toInt)
+      (i, c.map(x => x + (rnd.nextFloat() - 0.5f) * 0.02f))
+    }.toDF("vec_id", "embedding")
+    val capped = VectorOps.knnLshMultiProbe(
+      df, "vec_id", "embedding", col("vec_id") < 3, 5, 2, 6, 1, 16,
+      bucketCap = 8)
+    // Deterministic under re-evaluation (the hash-draw rank is content-
+    // derived, not partition-derived).
+    val a = capped.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val b = capped.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(a == b && a.nonEmpty)
+    // Ranks gapless per query; at cap 8 with 2 tables × 2 probes no query
+    // can see more than 32 candidates.
+    a.groupBy(_._1).foreach { case (_, rs) =>
+      assert(rs.size <= 5)
+      assert(rs.map(_._3).toSeq.sorted == (1L to rs.size).toSeq)
+    }
+    // The cap plans as a rank-limited window (WindowGroupLimit) — the
+    // property that keeps a corpus-sized degenerate cell out of one task.
+    val tree = capped.queryExecution.sparkPlan.treeString
+    assert(tree.contains("WindowGroupLimit"),
+      s"bucket cap must plan as WindowGroupLimit:\n$tree")
+  }
+
   test("knnSq8: full-candidate re-rank equals brute force; narrow candidates stay a re-ranked subset") {
     val spark = TestSpark.spark
     import spark.implicits._
