@@ -39,8 +39,11 @@ object StreamBoilerplate {
 
   /** Internal span row (public: the generated deserializer must reach the
     * constructor — a `private` nested case class fails Janino compilation
-    * of the safe projection). */
-  final case class SpanIn(sh: String, docId: Long,
+    * of the safe projection). `sh` is the raw 16-byte md5 digest — the
+    * state-store group key carries these bytes for the whole watermark
+    * horizon, so hex keys would double every key's footprint
+    * ([[StreamSubstrDedup.SpanIn]]'s rationale). */
+  final case class SpanIn(sh: Array[Byte], docId: Long,
                           ts: java.sql.Timestamp, pos: Int)
 
   /** (idCol, tsCol, text) stream → flagged window stream (doc_id, pos,
@@ -56,25 +59,29 @@ object StreamBoilerplate {
       .select(col(idCol).cast("long").as("docId"), col(tsCol).as("ts"),
         posexplode(DedupOps.shingles(col("text"), k)))
       .withWatermark("ts", lateness)
-      .select(md5(col("col")).as("sh"), col("docId"), col("ts"),
+      .select(unhex(md5(col("col"))).as("sh"), col("docId"), col("ts"),
         col("pos").cast("int"))
       .as[SpanIn]
     spans
       .groupByKey(_.sh)
       .flatMapGroupsWithState[List[Long], SpanFlag](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (_: String, rows: Iterator[SpanIn], state: GroupState[List[Long]]) =>
+        (_: Array[Byte], rows: Iterator[SpanIn], state: GroupState[List[Long]]) =>
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
             val sorted = rows.toArray
               .sortBy(r => (r.ts.getTime, r.docId, r.pos))
-            var seen = state.getOption.getOrElse(Nil)
+            val seen0 = state.getOption.getOrElse(Nil)
+            var seen = seen0
             val out = sorted.map { r =>
               if (seen.size < minDocs && !seen.contains(r.docId))
                 seen = r.docId :: seen
               SpanFlag(r.docId, r.pos, seen.size >= minDocs)
             }
-            state.update(seen)
+            // Write only when the doc set actually grew: a saturated
+            // span's list never changes again, and every update is a
+            // state-store put replayed into the changelog per batch.
+            if (seen ne seen0) state.update(seen)
             // Evict once the watermark passes the last sighting + horizon.
             // Batch execution drops the watermark node and rejects timeout
             // timestamps (UnsupportedOperation / IllegalArgument depending
