@@ -173,8 +173,25 @@ object Bench {
           graft.queries.PipelineQueries.annRecall(
             VectorOps.knnIvfKmeansFrom(ivf, ee, "vec_id",
               col("vec_id") < 8, 5, 3), ee).count())
-        deployEntries += "semdedup" -> timed(
-          VectorOps.semDedupClustersFrom(ivf, ee, "vec_id", 0.35).count())
+        // Semantic dedup: the deployable artifact is the CLUSTER TABLE
+        // (like dedup_model's) — the within-cell pair join + component
+        // collapse is the model build; consumers read the persisted
+        // labels.
+        val sem = {
+          var c: org.apache.spark.sql.DataFrame = null
+          val t = timed {
+            c = VectorOps.semDedupClustersFrom(ivf, ee, "vec_id", 0.35)
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            c.count()
+          }
+          deployEntries += "semdedup_model" -> t
+          c
+        }
+        deployEntries += "semdedup_keep_list" -> timed(
+          sem.filter(col("doc_id") === col("cluster")).count())
+        deployEntries += "semdedup_cluster_sizes" -> timed(
+          sem.groupBy("cluster").agg(count(lit(1))).count())
+        sem.unpersist(blocking = false)
         val pq = {
           var m: VectorOps.IvfPqModel = null
           val t = timed {

@@ -111,6 +111,17 @@ object VectorScaleBench {
           col("vec_id") >= 1000L && col("vec_id") < 1064L, 8), brute)
       }
 
+      // TRAINED coarse quantizer (the realistic IVF pipeline): the same
+      // 64 seed vectors Lloyd-refined for 3 iterations over the int8-
+      // quantized corpus, then the same 8-probe search. Per-scan cost is
+      // the native graft_cell_dists loop (the per-centroid higher-order
+      // formulation ran interpreted — the LSH lesson, same fix).
+      val (ivfkSec, ivfkHits) = leg("ivfk") {
+        recallAt10(graft.operators.VectorOps.knnIvfKmeans(
+          embs, "vec_id", "embedding", qp, 10,
+          col("vec_id") >= 1000L && col("vec_id") < 1064L, 3, 8, Dims), brute)
+      }
+
       // Candidate pool scales with the corpus: a FIXED pool (the old 100)
       // is 1e-5 of a 10M corpus, and int8 dot ties inside the query's own
       // cluster make a pool that small effectively arbitrary — recall@10
@@ -129,6 +140,7 @@ object VectorScaleBench {
         f""""n_brute":$nBrute,"lsh_sec":$lshSec%.2f,"lsh_hits":$lshHits,""" +
         f""""lshmp_sec":$mpSec%.2f,"lshmp_hits":$mpHits,""" +
         f""""ivf_sec":$ivfSec%.2f,"ivf_hits":$ivfHits,""" +
+        f""""ivfk_sec":$ivfkSec%.2f,"ivfk_hits":$ivfkHits,""" +
         f""""sq8_sec":$sq8Sec%.2f,"sq8_hits":$sq8Hits}"""
     }
 

@@ -1,0 +1,116 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** Integer squared-L2 distances of a quantized vector to EVERY trained
+  * centroid in ONE native loop: `graft_cell_dists(v, cents)` returns
+  * `array<bigint>` of length K where element k is
+  * Σ_i (v_i − c_{k,i})² — bit-for-bit the per-centroid `intL2` column
+  * ([[graft.operators.VectorOps]]) for all K cells at once (integer
+  * arithmetic — summation order is immaterial to the value, and the SQL
+  * oracles replay the same integers).
+  *
+  * WHY AN EXPRESSION: the per-centroid formulation is K
+  * `aggregate(zip_with(...))` higher-order calls per row — interpreted
+  * lambda evaluation, outside whole-stage codegen (the same failure
+  * measured at ~140 μs/row on the LSH bucket pass,
+  * [[LshBuckets]]'s scaladoc). Every trained-quantizer consumer pays it
+  * per corpus row per Lloyd scan: k-means assignment, IVF probe lists,
+  * PQ encoding and ADC tables. Here the flattened centroid matrix folds
+  * to a primitive long[] once and the whole distance computation is a
+  * single K × dims primitive loop.
+  *
+  * `cents` must be a FOLDABLE array<bigint> laid out k-major (centroid
+  * k's components at [k·dims, (k+1)·dims)). NULL on a null vector or
+  * when cents.length is not a positive multiple of v.length. */
+case class CellDists(left: Expression, right: Expression)
+    extends BinaryExpression with Serializable {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        if (right.foldable) TypeCheckResult.TypeCheckSuccess
+        else TypeCheckResult.TypeCheckFailure(
+          s"$prettyName expects a foldable (literal) centroid matrix")
+      case _ =>
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName expects two array<bigint> inputs, got " +
+            s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+    }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullable: Boolean = true
+
+  override def prettyName: String = "graft_cell_dists"
+
+  @transient private lazy val centsArr: Array[Long] =
+    right.eval().asInstanceOf[ArrayData].toLongArray()
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val c = centsArr
+    val n = v.numElements()
+    if (n == 0 || c.length % n != 0) return null
+    val k = c.length / n
+    val res = new Array[Long](k)
+    var off = 0
+    var j = 0
+    while (j < k) {
+      var s = 0L
+      var i = 0
+      while (i < n) {
+        val d = v.getLong(i) - c(off + i)
+        s += d * d
+        i += 1
+      }
+      off += n
+      res(j) = s
+      j += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(res)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cRef = ctx.addReferenceObj("cellCents", centsArr, "long[]")
+    nullSafeCodeGen(ctx, ev, (v, _) => {
+      val n = ctx.freshName("n")
+      val k = ctx.freshName("k")
+      val res = ctx.freshName("res")
+      val off = ctx.freshName("off")
+      val j = ctx.freshName("j")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      val d = ctx.freshName("d")
+      s"""
+         |int $n = $v.numElements();
+         |if ($n == 0 || $cRef.length % $n != 0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $k = $cRef.length / $n;
+         |  long[] $res = new long[$k];
+         |  int $off = 0;
+         |  for (int $j = 0; $j < $k; $j++) {
+         |    long $s = 0L;
+         |    for (int $i = 0; $i < $n; $i++) {
+         |      long $d = $v.getLong($i) - $cRef[$off + $i];
+         |      $s += $d * $d;
+         |    }
+         |    $off += $n;
+         |    $res[$j] = $s;
+         |  }
+         |  ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($res);
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CellDists =
+    copy(left = newLeft, right = newRight)
+}

@@ -87,6 +87,7 @@ object GraftFunctions {
   val DotName = "graft_dot"
   val ZOrderName = "graft_zorder"
   val LshBucketsName = "graft_lsh_buckets"
+  val CellDistsName = "graft_cell_dists"
 
   /** The native-function catalog, one entry per expression — shared by
     * the in-process [[register]] path and the `spark.sql.extensions`
@@ -107,7 +108,10 @@ object GraftFunctions {
               org.apache.spark.sql.types.IntegerType)) => LshBuckets(v, p, b)
         case _ => throw new IllegalArgumentException(
           s"$LshBucketsName(vector, planes, bits) needs a literal int bits")
-      }))
+      }),
+    (FunctionIdentifier(CellDistsName),
+      new ExpressionInfo(classOf[CellDists].getName, CellDistsName),
+      (children: Seq[Expression]) => CellDists(children(0), children(1))))
 
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
