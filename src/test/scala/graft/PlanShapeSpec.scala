@@ -333,6 +333,28 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("knn_lsh_mp: broadcast probe join, no cartesian, rank as WindowGroupLimit") {
+    // The multi-probe search must never shuffle the corpus for its
+    // candidate join (the probe side is queries × tables × (1+flips)
+    // rows — always broadcast) and the top-k must plan as a group limit;
+    // a regression to a sort-merge corpus join or a full window sort is
+    // the difference between seconds and hours at 10M vectors.
+    val spark = TestSpark.spark
+    val plan = graft.core.Caches.scoped {
+      graft.queries.PipelineQueries.queries("knn_lsh_mp")(spark, sf)
+        .queryExecution.sparkPlan
+    }
+    val tree = plan.treeString
+    assert(!tree.contains("CartesianProduct"),
+      s"multi-probe candidates must come from the (t, bucket) equi-join:\n$tree")
+    assert(tree.contains("WindowGroupLimit"),
+      s"top-k must plan as a group limit:\n$tree")
+    val smj = plan.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j }
+    assert(smj.isEmpty,
+      s"the corpus must never be shuffle-joined for candidates:\n$tree")
+  }
+
   test("samp_cluster's per-cell cap plans as WindowGroupLimit (dense cells stay bounded)") {
     val spark = TestSpark.spark
     val tree = graft.core.Caches.scoped {
