@@ -516,7 +516,7 @@ class VectorOpsSpec extends AnyFunSuite {
     }
   }
 
-  test("knnLshMultiProbe: flips=0 uncapped equals knnLsh; flips only add candidates") {
+  test("knnLshMultiProbe: flips=0 uncapped equals an independent per-bit replay; flips only add candidates") {
     val spark = TestSpark.spark
     import spark.implicits._
     val rnd = new scala.util.Random(3)
@@ -524,13 +524,40 @@ class VectorOpsSpec extends AnyFunSuite {
       (i, Array.fill(16)(rnd.nextFloat() * 2 - 1))).toDF("vec_id", "embedding")
     def rows(d: org.apache.spark.sql.DataFrame) =
       d.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
-    // flips=0, no cap: base buckets only — the candidate set (and so the
-    // exact re-rank) must be EXACTLY knnLsh's at the same design point.
-    val base = rows(VectorOps.knnLsh(
+    // INDEPENDENT reimplementation of base-bucket LSH from the public
+    // per-bit bucketCol (the original wide-row formulation knnLsh used
+    // before it delegated to the multi-probe dataflow) — the
+    // cross-implementation check that pins candidates AND ranking.
+    def naive(k: Int, tables: Int, bits: Int, dims: Int) = {
+      val e = df.select(col("vec_id").as("id"),
+        VectorOps.asDouble(col("embedding")).as("v"))
+      val bucketed = e.select(col("id"), col("v"),
+          explode(array((0 until tables).map(t => struct(lit(t).as("t"),
+            VectorOps.bucketCol(col("v"), t, bits, dims).as("bucket"))): _*)).as("tb"))
+        .select(col("id"), col("v"), col("tb.t").as("t"), col("tb.bucket").as("bucket"))
+      val qb = bucketed.filter(col("id") < 3)
+        .select(col("id").as("qid"), col("v").as("qv"), col("t"), col("bucket"))
+      import org.apache.spark.sql.expressions.Window
+      qb.join(bucketed, Seq("t", "bucket"))
+        .filter(col("id") =!= col("qid"))
+        .select(col("qid"), col("qv"), col("id").as("nid"), col("v"))
+        .dropDuplicates("qid", "nid")
+        .select(col("qid"), col("nid"),
+          VectorOps.cosine(col("qv"), col("v")).as("sim"))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy("qid").orderBy(col("sim").desc, col("nid"))))
+        .filter(col("rnk") <= k)
+        .select(col("qid"), col("nid"), col("rnk").cast("long").as("rnk"))
+    }
+    graft.plans.GraftFunctions.register(spark)
+    val base = rows(naive(5, 4, 3, 16))
+    // knnLsh (which delegates to flips=0 multi-probe) must reproduce it.
+    val lsh = rows(VectorOps.knnLsh(
       df, "vec_id", "embedding", col("vec_id") < 3, 5, 4, 3, 16))
+    assert(lsh == base, "knnLsh must equal the independent per-bit replay")
     val mp0 = rows(VectorOps.knnLshMultiProbe(
       df, "vec_id", "embedding", col("vec_id") < 3, 5, 4, 3, 0, 16))
-    assert(mp0 == base, "flips=0 multi-probe must reproduce knnLsh")
+    assert(mp0 == base, "flips=0 multi-probe must reproduce base-bucket LSH")
     // flips>0: candidate superset ⇒ per-query hit set vs brute top-5 can
     // only grow, and ranks stay gapless 1..n.
     val brute5 = VectorOps.knnBrute(df, "vec_id", "embedding", col("vec_id") < 3, 5)
