@@ -222,6 +222,36 @@ object Bench {
             VectorOps.knnIvfPqResidualFrom(pqr, ee, "vec_id",
               col("vec_id") < 8, 5, 3), ee).count())
         graft.operators.DedupOps.unpersistPipelines()
+        // kNN-GRAPH family: the similarity graph is built ONCE (the cost
+        // every graph_* gate pays from scratch) and the persisted edge
+        // list feeds each algorithm consumer — what remains per consumer
+        // is the algorithm itself (iteration rounds, wedge closure),
+        // which is the honest deployment cost.
+        val kgEdges = {
+          var e: org.apache.spark.sql.DataFrame = null
+          val t = timed {
+            e = VectorOps.knnGraph(ee, "vec_id", "embedding", 3, 4, 4, 64)
+              .select(col("qid").as("src"), col("nid").as("dst"))
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            e.count()
+          }
+          deployEntries += "kgraph_model" -> t
+          e
+        }
+        deployEntries += "graph_degrees" -> timed(
+          kgEdges.groupBy("src").agg(count(lit(1)).as("deg"))
+            .groupBy("deg").agg(count(lit(1))).count())
+        deployEntries += "graph_pagerank" -> timed(
+          graft.operators.GraphOps.pageRank(kgEdges, 5).count())
+        deployEntries += "graph_triangles" -> timed(
+          graft.operators.GraphOps.triangles(kgEdges).count())
+        deployEntries += "graph_components" -> timed(
+          graft.operators.DedupOps.nearDupClusters(
+              ee.select(col("vec_id")), "vec_id",
+              kgEdges.select(col("src").as("id_a"), col("dst").as("id_b")))
+            .groupBy("cluster").agg(count(lit(1))).count())
+        kgEdges.unpersist(blocking = false)
+        graft.operators.DedupOps.unpersistPipelines()
         // Fuzzy-pair family: ONE shingle pass + PPJoin pair graph (+ the
         // estimator signature table) shared by the contamination rollup
         // and the estimator-accuracy readout.
