@@ -54,7 +54,7 @@ object StreamBoilScaleBench {
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
       val feed = MemoryStream[Int]
       val isTpl = pmod(col("doc_id"), lit(10L)) === 9
-      val docs = feed.toDF.select(
+      val docs = feed.toDF().select(
           explode(sequence(col("value").cast("long") * blockSz,
             (col("value").cast("long") + 1) * blockSz - 1)).as("doc_id"),
           col("value"))
@@ -80,7 +80,7 @@ object StreamBoilScaleBench {
         docs, "doc_id", "ts", 8, 3, "600 minutes")
       var flagged = 0L
       var total = 0L
-      val q = out.toDF.writeStream
+      val q = out.toDF().writeStream
         .outputMode("append")
         .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
           val r = df.agg(count(lit(1)),

@@ -69,7 +69,7 @@ object StreamDedupScaleBench {
       // perturbed. ts advances one minute per block; watermark far behind
       // so nothing evicts inside the run (boundedness is read from the
       // state row count, eviction is spec-tested).
-      val docs = feed.toDF.select(
+      val docs = feed.toDF().select(
           explode(sequence(col("value").cast("long") * blockSz,
             (col("value").cast("long") + 1) * blockSz - 1)).as("doc_id"),
           col("value"))
@@ -94,7 +94,7 @@ object StreamDedupScaleBench {
       // driver, never the flagged rows.
       var flagged = 0L
       var total = 0L
-      val q = out.toDF.writeStream
+      val q = out.toDF().writeStream
         .outputMode("append")
         .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
           val r = df.agg(count(lit(1)), sum(when(col("dup"), 1L).otherwise(0L))).head()

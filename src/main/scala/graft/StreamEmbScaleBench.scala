@@ -63,7 +63,7 @@ object StreamEmbScaleBench {
       val vec = transform(sequence(lit(0), lit(Dims - 1)), i =>
         ((pmod(xxhash64(lit(31), slot, i), lit(2001L)).cast("double") /
           lit(1000.0)) - lit(1.0)).cast("float"))
-      val docs = feed.toDF.select(
+      val docs = feed.toDF().select(
           explode(sequence(col("value").cast("long") * blockSz,
             (col("value").cast("long") + 1) * blockSz - 1)).as("vec_id"),
           col("value"))
@@ -75,7 +75,7 @@ object StreamEmbScaleBench {
         cap = 16384, lateness = "600 minutes")
       var flagged = 0L
       var total = 0L
-      val q = out.toDF.writeStream
+      val q = out.toDF().writeStream
         .outputMode("append")
         .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
           val r = df.agg(count(lit(1)),
