@@ -25,17 +25,27 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * single K × dims primitive loop.
   *
   * `cents` must be a FOLDABLE array<bigint> laid out k-major (centroid
-  * k's components at [k·dims, (k+1)·dims)). NULL on a null vector or
-  * when cents.length is not a positive multiple of v.length. */
-case class CellDists(left: Expression, right: Expression)
+  * k's components at [k·dims, (k+1)·dims)) whose length is an exact
+  * multiple of the foldable positive int `dims`. NULL on a null vector
+  * or whenever v.length ≠ dims — the EXPLICIT dims makes any drifted
+  * vector surface as a visible null (a divisibility-only guard would
+  * silently accept a shorter vector that happens to divide the matrix
+  * and emit garbage distances for a wrong K). */
+case class CellDists(left: Expression, right: Expression, dims: Int)
     extends BinaryExpression with Serializable {
 
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
+      case _ if dims < 1 =>
+        TypeCheckResult.TypeCheckFailure(s"dims must be >= 1: $dims")
       case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
-        if (right.foldable) TypeCheckResult.TypeCheckSuccess
-        else TypeCheckResult.TypeCheckFailure(
+        if (!right.foldable) TypeCheckResult.TypeCheckFailure(
           s"$prettyName expects a foldable (literal) centroid matrix")
+        else if (right.eval().asInstanceOf[ArrayData]
+            .numElements() % dims != 0)
+          TypeCheckResult.TypeCheckFailure(
+            s"$prettyName centroid matrix length must be a multiple of dims=$dims")
+        else TypeCheckResult.TypeCheckSuccess
       case _ =>
         TypeCheckResult.TypeCheckFailure(
           s"$prettyName expects two array<bigint> inputs, got " +
@@ -54,21 +64,20 @@ case class CellDists(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val v = a.asInstanceOf[ArrayData]
     val c = centsArr
-    val n = v.numElements()
-    if (n == 0 || c.length % n != 0) return null
-    val k = c.length / n
+    if (v.numElements() != dims) return null
+    val k = c.length / dims
     val res = new Array[Long](k)
     var off = 0
     var j = 0
     while (j < k) {
       var s = 0L
       var i = 0
-      while (i < n) {
+      while (i < dims) {
         val d = v.getLong(i) - c(off + i)
         s += d * d
         i += 1
       }
-      off += n
+      off += dims
       res(j) = s
       j += 1
     }
@@ -79,7 +88,6 @@ case class CellDists(left: Expression, right: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val cRef = ctx.addReferenceObj("cellCents", centsArr, "long[]")
     nullSafeCodeGen(ctx, ev, (v, _) => {
-      val n = ctx.freshName("n")
       val k = ctx.freshName("k")
       val res = ctx.freshName("res")
       val off = ctx.freshName("off")
@@ -88,20 +96,19 @@ case class CellDists(left: Expression, right: Expression)
       val s = ctx.freshName("s")
       val d = ctx.freshName("d")
       s"""
-         |int $n = $v.numElements();
-         |if ($n == 0 || $cRef.length % $n != 0) {
+         |if ($v.numElements() != ${dims}) {
          |  ${ev.isNull} = true;
          |} else {
-         |  int $k = $cRef.length / $n;
+         |  int $k = $cRef.length / ${dims};
          |  long[] $res = new long[$k];
          |  int $off = 0;
          |  for (int $j = 0; $j < $k; $j++) {
          |    long $s = 0L;
-         |    for (int $i = 0; $i < $n; $i++) {
+         |    for (int $i = 0; $i < ${dims}; $i++) {
          |      long $d = $v.getLong($i) - $cRef[$off + $i];
          |      $s += $d * $d;
          |    }
-         |    $off += $n;
+         |    $off += ${dims};
          |    $res[$j] = $s;
          |  }
          |  ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($res);
@@ -113,4 +120,17 @@ case class CellDists(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): CellDists =
     copy(left = newLeft, right = newRight)
+}
+
+object CellDists {
+  /** Registry builder: `dims` accepts any FOLDABLE int expression,
+    * folded at resolution time. */
+  private[plans] def fromChildren(children: Seq[Expression]): CellDists =
+    children match {
+      case Seq(v, c, d) if d.foldable &&
+          d.dataType == org.apache.spark.sql.types.IntegerType =>
+        CellDists(v, c, d.eval().asInstanceOf[Int])
+      case _ => throw new IllegalArgumentException(
+        "graft_cell_dists(vector, centroids, dims) needs a foldable int dims")
+    }
 }

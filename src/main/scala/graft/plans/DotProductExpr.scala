@@ -102,16 +102,10 @@ object GraftFunctions {
       (children: Seq[Expression]) => ZOrder2(children(0), children(1))),
     (FunctionIdentifier(LshBucketsName),
       new ExpressionInfo(classOf[LshBuckets].getName, LshBucketsName),
-      (children: Seq[Expression]) => children match {
-        case Seq(v, p,
-            org.apache.spark.sql.catalyst.expressions.Literal(b: Int,
-              org.apache.spark.sql.types.IntegerType)) => LshBuckets(v, p, b)
-        case _ => throw new IllegalArgumentException(
-          s"$LshBucketsName(vector, planes, bits) needs a literal int bits")
-      }),
+      (children: Seq[Expression]) => LshBuckets.fromChildren(children)),
     (FunctionIdentifier(CellDistsName),
       new ExpressionInfo(classOf[CellDists].getName, CellDistsName),
-      (children: Seq[Expression]) => CellDists(children(0), children(1))))
+      (children: Seq[Expression]) => CellDists.fromChildren(children)))
 
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry

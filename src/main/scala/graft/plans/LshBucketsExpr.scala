@@ -26,21 +26,32 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
   *
   * `planes` must be a FOLDABLE array<double> laid out t-major
   * ([[graft.operators.VectorOps.planeValue]]'s (t·bits + b)·dims + i
-  * indexing); `bits` a foldable positive int. NULL on a null vector or
-  * when planes.length is not a multiple of bits × v.length (dims drift
-  * surfaces as a visible null, like graft_dot).
+  * indexing) whose length is an exact multiple of bits × dims; `bits`
+  * and `dims` foldable positive ints. NULL on a null vector or whenever
+  * v.length ≠ dims — the EXPLICIT dims makes any drifted vector surface
+  * as a visible null (a divisibility-only guard would silently accept a
+  * shorter vector that happens to divide the plane matrix and emit
+  * plausible-but-wrong buckets for a wrong table count).
   */
-case class LshBuckets(left: Expression, right: Expression, bits: Int)
+case class LshBuckets(left: Expression, right: Expression, bits: Int,
+                      dims: Int)
     extends BinaryExpression with Serializable {
 
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
       case _ if bits < 1 || bits > 30 =>
         TypeCheckResult.TypeCheckFailure(s"bits must be in 1..30: $bits")
+      case _ if dims < 1 =>
+        TypeCheckResult.TypeCheckFailure(s"dims must be >= 1: $dims")
       case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
-        if (right.foldable) TypeCheckResult.TypeCheckSuccess
-        else TypeCheckResult.TypeCheckFailure(
+        if (!right.foldable) TypeCheckResult.TypeCheckFailure(
           s"$prettyName expects a foldable (literal) plane matrix")
+        else if (right.eval().asInstanceOf[ArrayData]
+            .numElements() % (bits * dims) != 0)
+          TypeCheckResult.TypeCheckFailure(
+            s"$prettyName plane matrix length must be a multiple of " +
+              s"bits × dims = ${bits * dims}")
+        else TypeCheckResult.TypeCheckSuccess
       case _ =>
         TypeCheckResult.TypeCheckFailure(
           s"$prettyName expects two array<double> inputs, got " +
@@ -59,9 +70,8 @@ case class LshBuckets(left: Expression, right: Expression, bits: Int)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val v = a.asInstanceOf[ArrayData]
     val p = planesArr
-    val n = v.numElements()
-    if (n == 0 || p.length % (bits * n) != 0) return null
-    val tables = p.length / (bits * n)
+    if (v.numElements() != dims) return null
+    val tables = p.length / (bits * dims)
     val res = new Array[Int](tables)
     var off = 0
     var t = 0
@@ -71,8 +81,8 @@ case class LshBuckets(left: Expression, right: Expression, bits: Int)
       while (b < bits) {
         var s = 0.0
         var i = 0
-        while (i < n) { s += v.getDouble(i) * p(off + i); i += 1 }
-        off += n
+        while (i < dims) { s += v.getDouble(i) * p(off + i); i += 1 }
+        off += dims
         if (s >= 0) bkt |= (1 << b)
         b += 1
       }
@@ -88,7 +98,6 @@ case class LshBuckets(left: Expression, right: Expression, bits: Int)
     // double[] reference — no per-row ArrayData access on the constant.
     val pRef = ctx.addReferenceObj("lshPlanes", planesArr, "double[]")
     nullSafeCodeGen(ctx, ev, (v, _) => {
-      val n = ctx.freshName("n")
       val tables = ctx.freshName("tables")
       val res = ctx.freshName("res")
       val off = ctx.freshName("off")
@@ -98,21 +107,20 @@ case class LshBuckets(left: Expression, right: Expression, bits: Int)
       val s = ctx.freshName("s")
       val bkt = ctx.freshName("bkt")
       s"""
-         |int $n = $v.numElements();
-         |if ($n == 0 || $pRef.length % (${bits} * $n) != 0) {
+         |if ($v.numElements() != ${dims}) {
          |  ${ev.isNull} = true;
          |} else {
-         |  int $tables = $pRef.length / (${bits} * $n);
+         |  int $tables = $pRef.length / (${bits} * ${dims});
          |  int[] $res = new int[$tables];
          |  int $off = 0;
          |  for (int $t = 0; $t < $tables; $t++) {
          |    int $bkt = 0;
          |    for (int $b = 0; $b < ${bits}; $b++) {
          |      double $s = 0.0;
-         |      for (int $i = 0; $i < $n; $i++) {
+         |      for (int $i = 0; $i < ${dims}; $i++) {
          |        $s += $v.getDouble($i) * $pRef[$off + $i];
          |      }
-         |      $off += $n;
+         |      $off += ${dims};
          |      if ($s >= 0) $bkt |= (1 << $b);
          |    }
          |    $res[$t] = $bkt;
@@ -126,4 +134,24 @@ case class LshBuckets(left: Expression, right: Expression, bits: Int)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): LshBuckets =
     copy(left = newLeft, right = newRight)
+}
+
+object LshBuckets {
+  /** Registry builder: `bits`/`dims` accept any FOLDABLE int expression
+    * (a bare literal, a cast, constant arithmetic — the documented
+    * contract), folded here at resolution time. */
+  private[plans] def fromChildren(children: Seq[Expression]): LshBuckets = {
+    def foldInt(e: Expression, what: String): Int = e.dataType match {
+      case org.apache.spark.sql.types.IntegerType if e.foldable =>
+        e.eval().asInstanceOf[Int]
+      case _ => throw new IllegalArgumentException(
+        s"graft_lsh_buckets needs a foldable int $what, got $e")
+    }
+    children match {
+      case Seq(v, p, b, d) =>
+        LshBuckets(v, p, foldInt(b, "bits"), foldInt(d, "dims"))
+      case _ => throw new IllegalArgumentException(
+        "graft_lsh_buckets(vector, planes, bits, dims)")
+    }
+  }
 }

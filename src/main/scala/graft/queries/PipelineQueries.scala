@@ -515,10 +515,15 @@ object PipelineQueries {
     // cost (31/40 vs 28/40 at sf0.01) on 3/4 the index. The oracle
     // replays base buckets, per-bit margins, the flip ranking, and the
     // exact re-rank.
+    // bucketCap = DefaultMaxBucket: exercises the capped production
+    // path (bounded candidates → the broadcast corpus-prune plan the
+    // PlanShapeSpec pin asserts); a no-op on the fixture per the
+    // documented cap contract, so the oracle replays uncapped.
     "knn_lsh_mp" -> ((s, d) =>
       graft.operators.VectorOps.knnLshMultiProbe(
         embs(s, d), "vec_id", "embedding", col("vec_id") < 8, 5,
-        MpTables, MpBits, MpFlips, EmbDims)),
+        MpTables, MpBits, MpFlips, EmbDims,
+        bucketCap = graft.operators.DedupOps.DefaultMaxBucket)),
 
     // Recall@5 of the multi-probe path vs the exact baseline — the
     // number that validates trading tables for flips.
@@ -527,7 +532,8 @@ object PipelineQueries {
       annRecall(
         graft.operators.VectorOps.knnLshMultiProbe(
           e, "vec_id", "embedding", col("vec_id") < 8, 5,
-          MpTables, MpBits, MpFlips, EmbDims),
+          MpTables, MpBits, MpFlips, EmbDims,
+          bucketCap = graft.operators.DedupOps.DefaultMaxBucket),
         e)
     }),
 

@@ -42,7 +42,9 @@ object StreamBoilerplate {
     * of the safe projection). `sh` is the raw 16-byte md5 digest — the
     * state-store group key carries these bytes for the whole watermark
     * horizon, so hex keys would double every key's footprint
-    * ([[StreamSubstrDedup.SpanIn]]'s rationale). */
+    * ([[StreamSubstrDedup.SpanIn]]'s rationale, including its
+    * checkpoint-incompatibility note: pre-change checkpoints cannot be
+    * restored across the string→binary key change). */
   final case class SpanIn(sh: Array[Byte], docId: Long,
                           ts: java.sql.Timestamp, pos: Int)
 

@@ -43,7 +43,10 @@ object StreamSubstrDedup {
     * group key carries these bytes for the whole watermark horizon, so
     * hex keys would double every key's footprint for the same identity
     * (the batch span table made the same move; grouping compares the
-    * ENCODED key bytes, so a binary key groups correctly). */
+    * ENCODED key bytes, so a binary key groups correctly). NOTE: this is
+    * a state-SCHEMA change — a checkpoint written by the earlier
+    * hex-string-keyed build cannot be restored (the state compatibility
+    * checker rejects string→binary keys); restart such queries fresh. */
   final case class SpanIn(sh: Array[Byte], docId: Long,
                           ts: java.sql.Timestamp, pos: Int)
 

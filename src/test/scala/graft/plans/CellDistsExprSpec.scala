@@ -33,7 +33,7 @@ class CellDistsExprSpec extends AnyFunSuite {
     val rnd = new scala.util.Random(17)
     for (_ <- 0 until 200) {
       val v = Array.fill(dims)((rnd.nextInt(255) - 127).toLong)
-      val got = CellDists(lit(v), lit(cents)).eval(null)
+      val got = CellDists(lit(v), lit(cents), dims).eval(null)
         .asInstanceOf[ArrayData].toLongArray()
       assert(got.toSeq == ref(v).toSeq)
     }
@@ -54,24 +54,30 @@ class CellDistsExprSpec extends AnyFunSuite {
         (x, y) => (x - y) * (x - y)),
       slit(0L), _ + _)
     val both = df.select(col("id"),
-      call_function(GraftFunctions.CellDistsName, col("v"), centsCol).as("fast"),
+      call_function(GraftFunctions.CellDistsName, col("v"), centsCol,
+        slit(dims)).as("fast"),
       array((0 until k).map(hof): _*).as("slow"))
     val bad = both.filter(not(col("fast") <=> col("slow"))).count()
     assert(bad == 0, "native cell distances diverged from the HOF formula")
   }
 
   test("null on dims drift and null vector; rejects non-literal centroids") {
-    val v = Array.fill(dims)(1L)
-    assert(CellDists(lit(v), lit(cents.dropRight(1))).eval(null) == null)
+    // Drifted vector lengths → null, INCLUDING lengths that divide the
+    // centroid matrix (silent-garbage case under a divisibility guard).
+    assert(CellDists(lit(Array.fill(dims / 2)(1L)), lit(cents), dims)
+      .eval(null) == null)
+    assert(CellDists(lit(Array.fill(dims + 1)(1L)), lit(cents), dims)
+      .eval(null) == null)
     assert(CellDists(
-      Literal.create(null, ArrayType(LongType)), lit(cents)).eval(null) == null)
+      Literal.create(null, ArrayType(LongType)), lit(cents), dims)
+      .eval(null) == null)
     val spark = TestSpark.spark
     GraftFunctions.register(spark)
     import spark.implicits._
     val df = Seq((Array.fill(dims)(1L), Array.fill(dims * k)(2L))).toDF("v", "c")
     val err = intercept[Exception] {
       df.select(call_function(GraftFunctions.CellDistsName,
-        col("v"), col("c"))).collect()
+        col("v"), col("c"), slit(dims))).collect()
     }
     assert(err.getMessage.toLowerCase.contains("foldable"),
       s"expected a foldable-centroids analysis error, got: ${err.getMessage}")

@@ -37,7 +37,7 @@ class LshBucketsExprSpec extends AnyFunSuite {
     val rnd = new scala.util.Random(13)
     for (_ <- 0 until 200) {
       val v = Array.fill(dims)(rnd.nextDouble() * 2 - 1)
-      val got = LshBuckets(lit(v), lit(planes), bits).eval(null)
+      val got = LshBuckets(lit(v), lit(planes), bits, dims).eval(null)
         .asInstanceOf[ArrayData].toIntArray()
       assert(got.toSeq == ref(v).toSeq)
     }
@@ -54,7 +54,7 @@ class LshBucketsExprSpec extends AnyFunSuite {
     val planesCol = array(planes.map(slit(_)): _*)
     val both = df.select(col("id"),
       call_function(GraftFunctions.LshBucketsName, col("v"), planesCol,
-        slit(bits)).as("fast"),
+        slit(bits), slit(dims)).as("fast"),
       array((0 until tables).map(t =>
         graft.operators.VectorOps.bucketCol(col("v"), t, bits, dims)): _*)
         .as("slow"))
@@ -63,11 +63,15 @@ class LshBucketsExprSpec extends AnyFunSuite {
   }
 
   test("null on dims drift and on a null vector; rejects non-literal planes") {
-    // planes length not a multiple of bits × |v| → null, like graft_dot.
-    val v = Array.fill(dims)(0.5)
-    assert(LshBuckets(lit(v), lit(planes.dropRight(1)), bits).eval(null) == null)
+    // Any vector whose length differs from the declared dims → null,
+    // INCLUDING lengths that happen to divide the plane matrix (the
+    // silent-garbage case a divisibility-only guard would accept).
+    assert(LshBuckets(lit(Array.fill(dims / 2)(0.5)), lit(planes),
+      bits, dims).eval(null) == null)
+    assert(LshBuckets(lit(Array.fill(dims + 1)(0.5)), lit(planes),
+      bits, dims).eval(null) == null)
     assert(LshBuckets(
-      Literal.create(null, ArrayType(DoubleType)), lit(planes), bits)
+      Literal.create(null, ArrayType(DoubleType)), lit(planes), bits, dims)
       .eval(null) == null)
     val spark = TestSpark.spark
     GraftFunctions.register(spark)
@@ -79,7 +83,7 @@ class LshBucketsExprSpec extends AnyFunSuite {
         transform(col("p"), _.cast("double")).as("p"))
     val err = intercept[Exception] {
       df.select(call_function(GraftFunctions.LshBucketsName,
-        col("v"), col("p"), slit(bits))).collect()
+        col("v"), col("p"), slit(bits), slit(dims))).collect()
     }
     assert(err.getMessage.toLowerCase.contains("foldable"),
       s"expected a foldable-planes analysis error, got: ${err.getMessage}")
