@@ -57,25 +57,30 @@ object Bench {
       // back to the successful first time. Only a double failure records the
       // -1 sentinel and the name in `errors`.
       val first = once()
-      val best =
+      val (best, n) =
         if (first < 0) {
           // The retry is a fresh single sample, so it needs its own min-of-2
           // when it lands above the repeat threshold — otherwise one
           // contended retry fakes a regression through the error path.
           val r = once()
-          if (r < 0 || r < 0.5) r else math.min(r, once())
+          if (r < 0 || r < 0.5) (r, 2) else (math.min(r, once()), 3)
         }
-        else if (first < 0.5) first
-        else { val second = once(); if (second < 0) first else math.min(first, second) }
+        else if (first < 0.5) (first, 1)
+        else { val second = once(); if (second < 0) (first, 2) else (math.min(first, second), 2) }
       if (best < 0) errors += name
-      (name, first, best)
+      (name, first, best, n)
     }
     // `queries` stays a flat name→seconds map (the driver's schema) holding
     // the MIN; `first` is the parallel first-run map so a noisy box shows up
-    // as first≫min instead of faking a regression or an improvement.
-    val qs = results.map { case (k, _, v) => s"\"" + k + "\":" + v }
+    // as first≫min instead of faking a regression or an improvement; `n` is
+    // the samples-per-query map so the artifact records the protocol
+    // (min-of-N; sub-0.5 s queries skip the repeat — their noise floor is
+    // below any decision threshold).
+    val qs = results.map { case (k, _, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val fs = results.map { case (k, f, _) => s"\"" + k + "\":" + f }
+    val fs = results.map { case (k, f, _, _) => s"\"" + k + "\":" + f }
+      .mkString("{", ",", "}")
+    val ns = results.map { case (k, _, _, n) => s"\"" + k + "\":" + n }
       .mkString("{", ",", "}")
     val total = results.map(_._3).filter(_ >= 0).sum
     val errs = errors.distinct.map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -89,9 +94,14 @@ object Bench {
     // histogram / keep-list) and BPE (BpeOps.bpeModel → merge table /
     // vocabulary / per-doc budgets). Failures degrade to whatever entries
     // completed — the lane must never take down the gate bench.
-    // Opt out with SPARK_GRAFT_DEPLOY=0.
-    val deployEntries = scala.collection.mutable.ListBuffer.empty[(String, Double)]
-    if (sys.env.getOrElse("SPARK_GRAFT_DEPLOY", "1") != "0") {
+    // Opt out with SPARK_GRAFT_DEPLOY=0. The lane runs under the SAME
+    // min-of-N protocol as the gate map (SPARK_GRAFT_DEPLOY_N full passes,
+    // default 2, min per entry): model builds and consumers alike get a
+    // second uncontended sample, so a one-off contended build no longer
+    // reads as a regression (round-13's graph tail was exactly that —
+    // 10.7 s single-shot vs ~5 s real).
+    def runDeployLane(): Seq[(String, Double)] = {
+      val deployEntries = scala.collection.mutable.ListBuffer.empty[(String, Double)]
       import org.apache.spark.sql.functions.{col, count, lit}
       def timed(body: => Unit): Double = {
         val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
@@ -278,10 +288,21 @@ object Bench {
         graft.operators.DedupOps.unpersistPipelines()
         spark.catalog.clearCache()
       }
+      deployEntries.toSeq
     }
-    val deploy = deployEntries
-      .map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"first":$fs,"sf":"$sfDir","errors":$errs,"deploy":$deploy}"""
+    val deployN =
+      if (sys.env.getOrElse("SPARK_GRAFT_DEPLOY", "1") == "0") 0
+      else sys.env.getOrElse("SPARK_GRAFT_DEPLOY_N", "2").toInt.max(1)
+    val deployRuns = (1 to deployN).map(_ => runDeployLane())
+    // Min per entry across passes, keyed in first-pass order; an entry a
+    // failed pass never reached degrades to the passes that have it.
+    val deployKeys = deployRuns.flatMap(_.map(_._1)).distinct
+    val deployMin = deployRuns.flatten.groupBy(_._1).map { case (k, vs) =>
+      k -> vs.map(_._2).min
+    }
+    val deploy = deployKeys
+      .map { k => f""""$k":${deployMin(k)}%.3f""" }.mkString("{", ",", "}")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"first":$fs,"n":$ns,"sf":"$sfDir","errors":$errs,"deploy":$deploy,"deploy_n":$deployN}"""
     // Emit BOTH ways: bare on stdout, and to a file — sbt prefixes stdout
     // with [info], which defeats line-oriented JSON parsing downstream.
     println(line)

@@ -33,19 +33,29 @@ object GraphOps {
     * any node with an edge ranks at least one out-neighbor). Nodes nobody
     * links to keep the base term via the left join.
     *
-    * Scale shape: the rank table is |V| rows × two longs; each round is
-    * one hash join (edges ⋈ ranks on src — AQE broadcasts the rank side
-    * when it is small, otherwise both sides co-partition on src) feeding a
-    * partially-aggregated groupBy(dst) shuffle, then a left join back to
-    * the node list. Every round re-roots through an eager
-    * `localCheckpoint` with the superseded round's blocks freed
-    * immediately ([[graft.core.Caches.checkpointRdd]] — the
-    * [[DedupOps.nearDupClusters]] lifecycle), so plan size and storage
-    * stay CONSTANT in the iteration count: a 50-round production run is 50
-    * bounded shuffles over the rank table, never a growing lineage. */
+    * Scale shape: the rank table is |V| rows × three longs (out-degree
+    * rides in the rank table, so each round is ONE hash join — edges ⋈
+    * ranks on src, AQE broadcasts the rank side when it is small,
+    * otherwise both sides co-partition on src) feeding a partially-
+    * aggregated groupBy(dst) shuffle, then a left join back to the node
+    * list. Rounds COMPOSE LAZILY and re-root through an eager
+    * `localCheckpoint` only every `ckptEvery` rounds (superseded
+    * checkpoints freed immediately — [[graft.core.Caches.checkpointRdd]],
+    * the [[DedupOps.nearDupClusters]] lifecycle), so plan size stays
+    * BOUNDED (≤ ckptEvery rounds deep) while a short run — e.g. the
+    * 5-round gate — executes as ONE job instead of one materialization
+    * per round: at small graph sizes the per-round checkpoint job was
+    * pure scheduling overhead (~5× the useful work), and at production
+    * sizes the composed rounds still shuffle identically, they just skip
+    * the intermediate block writes. The final round is returned LAZY —
+    * consumers pay the composed tail once; persist it before consuming
+    * it more than once. */
   def pageRank(edges: DataFrame, iters: Int,
-               scale: Long = 1000000000000L): DataFrame = {
+               scale: Long = 1000000000000L,
+               ckptEvery: Int = 8): DataFrame = {
     require(iters >= 1 && iters <= 1000, s"iters out of range: $iters")
+    require(ckptEvery >= 1 && ckptEvery <= 16,
+      s"ckptEvery out of range: $ckptEvery")
     // Both the degree table and every round's join consume the edge list.
     val e = graft.core.Caches.persistTracked(
       edges.select(col("src").cast("long").as("src"),
@@ -56,32 +66,36 @@ object GraphOps {
     require(n > 0, "pageRank on an empty edge list")
     val r0 = scale / n
     val base = (15L * r0) / 100L
-    var ranks = deg.select(col("src").as("id"), lit(r0).as("r"))
-      .localCheckpoint()
-    var ranksRdd = graft.core.Caches.checkpointRdd(ranks)
+    var ranks = deg.select(col("src").as("id"), col("deg"), lit(r0).as("r"))
+    // Backing storage of the checkpoint the CURRENT plan reads (if any):
+    // freed when a newer checkpoint supersedes it, tracked for the
+    // registry once it feeds the returned plan.
+    var liveCkpt: Option[org.apache.spark.rdd.RDD[_]] = None
     var t = 0
     while (t < iters) {
       val contrib = e
-        .join(ranks.select(col("id").as("src"), col("r")), "src")
-        .join(deg, "src")
-        .select(col("dst"), expr("r div deg").as("share"))
+        .join(ranks.select(col("id").as("src"),
+          expr("r div deg").as("share")), "src")
         .groupBy("dst").agg(sum(col("share")).as("contrib"))
-      val next = deg.select(col("src").as("id"))
+      var next = deg.select(col("src").as("id"), col("deg"))
         .join(contrib.select(col("dst").as("id"), col("contrib")),
           Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("deg"),
           (lit(base) +
             expr("(85 * coalesce(contrib, CAST(0 AS BIGINT))) div 100"))
             .as("r"))
-        .localCheckpoint()
-      ranksRdd.foreach(_.unpersist(blocking = false)) // superseded round
-      ranks = next
-      ranksRdd = graft.core.Caches.checkpointRdd(ranks)
       t += 1
+      if (t % ckptEvery == 0 && t < iters) {
+        next = next.localCheckpoint() // eager: materializes BEFORE the free
+        liveCkpt.foreach(_.unpersist(blocking = false)) // superseded round
+        liveCkpt = graft.core.Caches.checkpointRdd(next)
+      }
+      ranks = next
     }
-    // The returned plan reads the final checkpoint — released only after
-    // the caller consumes it (the registry's consume-then-release contract).
-    ranksRdd.foreach(graft.core.Caches.trackRdd)
+    // The returned plan may read the last intermediate checkpoint —
+    // released only after the caller consumes it (the registry's
+    // consume-then-release contract).
+    liveCkpt.foreach(graft.core.Caches.trackRdd)
     ranks.select(col("id").as("vec_id"), col("r").as("pr"))
   }
 
@@ -323,12 +337,18 @@ object GraphOps {
     *
     * Scale shape identical to [[pageRank]]: per round one edges ⋈ ranks
     * equi-join into a partially-aggregated groupBy(dst), left-joined back
-    * to the node list; rounds re-root through eager localCheckpoints with
-    * superseded blocks freed, so plan size and storage are constant in
-    * the iteration count. The seed table is model-sized and broadcasts. */
+    * to the node list; rounds compose lazily and re-root through an eager
+    * localCheckpoint every `ckptEvery` rounds with superseded blocks
+    * freed, so plan size stays bounded while short runs execute as one
+    * job (the [[pageRank]] lifecycle — the returned final round is lazy;
+    * persist before consuming more than once). The seed table is
+    * model-sized and broadcasts. */
   def personalizedPageRank(edges: DataFrame, seeds: DataFrame, iters: Int,
-                           scale: Long = 1000000000000L): DataFrame = {
+                           scale: Long = 1000000000000L,
+                           ckptEvery: Int = 8): DataFrame = {
     require(iters >= 1 && iters <= 1000, s"iters out of range: $iters")
+    require(ckptEvery >= 1 && ckptEvery <= 16,
+      s"ckptEvery out of range: $ckptEvery")
     val e = graft.core.Caches.persistTracked(
       edges.select(col("src").cast("long").as("src"),
         col("dst").cast("long").as("dst")))
@@ -346,31 +366,38 @@ object GraphOps {
     def withSeedFlag(n: DataFrame): DataFrame = n
       .join(sd.select(col("id"), lit(1L).as("_s")), Seq("id"), "left")
       .select(col("id"), coalesce(col("_s"), lit(0L)).as("s"))
-    val flagged = graft.core.Caches.persistTracked(withSeedFlag(nodes))
+    // Out-degree rides in the node table (1 for edge-less seeds — nothing
+    // joins them on src, so the value never divides anything), fusing the
+    // per-round deg join away exactly as in [[pageRank]].
+    val flagged = graft.core.Caches.persistTracked(
+      withSeedFlag(nodes)
+        .join(deg.select(col("src").as("id"), col("deg")), Seq("id"), "left")
+        .select(col("id"), col("s"), coalesce(col("deg"), lit(1L)).as("deg")))
     var ranks = flagged
-      .select(col("id"), (col("s") * lit(r0)).as("r")).localCheckpoint()
-    var ranksRdd = graft.core.Caches.checkpointRdd(ranks)
+      .select(col("id"), col("deg"), (col("s") * lit(r0)).as("r"))
+    var liveCkpt: Option[org.apache.spark.rdd.RDD[_]] = None
     var t = 0
     while (t < iters) {
       val contrib = e
-        .join(ranks.select(col("id").as("src"), col("r")), "src")
-        .join(deg, "src")
-        .select(col("dst"), expr("r div deg").as("share"))
+        .join(ranks.select(col("id").as("src"),
+          expr("r div deg").as("share")), "src")
         .groupBy("dst").agg(sum(col("share")).as("contrib"))
-      val next = flagged
+      var next = flagged
         .join(contrib.select(col("dst").as("id"), col("contrib")),
           Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("deg"),
           (col("s") * lit(base) +
             expr("(85 * coalesce(contrib, CAST(0 AS BIGINT))) div 100"))
             .as("r"))
-        .localCheckpoint()
-      ranksRdd.foreach(_.unpersist(blocking = false)) // superseded round
-      ranks = next
-      ranksRdd = graft.core.Caches.checkpointRdd(ranks)
       t += 1
+      if (t % ckptEvery == 0 && t < iters) {
+        next = next.localCheckpoint()
+        liveCkpt.foreach(_.unpersist(blocking = false)) // superseded round
+        liveCkpt = graft.core.Caches.checkpointRdd(next)
+      }
+      ranks = next
     }
-    ranksRdd.foreach(graft.core.Caches.trackRdd)
+    liveCkpt.foreach(graft.core.Caches.trackRdd)
     ranks.select(col("id").as("vec_id"), col("r").as("ppr"))
   }
 }
