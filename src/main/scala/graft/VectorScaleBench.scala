@@ -134,6 +134,50 @@ object VectorScaleBench {
           math.max(100, (n / 10000L).toInt)), brute)
       }
 
+      // SQ8 rerank-pool sweep: the n/10⁴ pool's 26/80 recall (r13) is a
+      // pool-size artifact, not a method ceiling — sweep the pool a decade
+      // up to read the recall/cost curve (the guidance input: when the
+      // memory-bound int8 candidate scan is the right tool, the pool is
+      // the knob that buys recall at linear candidate-scan cost).
+      val sq8Sweep: Seq[String] =
+        if (!legs("sq8sweep")) Seq.empty
+        else Seq(10000L, 3000L, 1000L).map { div =>
+          val cand = math.max(100, (n / div).toInt)
+          val t = System.nanoTime()
+          val hits = recallAt10(graft.operators.VectorOps.knnSq8(
+            embs, "vec_id", "embedding", qp, 10, cand), brute)
+          graft.core.Caches.releaseAll()
+          f"""{"cand":$cand,"sec":${(System.nanoTime() - t) / 1e9}%.2f,"hits":$hits}"""
+        }
+
+      // Trained-quantizer BUILD comparison: full-scan Lloyd vs the
+      // 1-in-(n/1M) hash-sampled training (VectorOps.ivfModelSampled —
+      // the FAISS-style bounded-sample recipe). Both timings cover train
+      // + the one full-corpus assignment (cells materialized); recall is
+      // then measured through the model-reuse search path.
+      var ivfkbFullSec = -1.0; var ivfkbSampSec = -1.0
+      var ivfkbFullHits = -1L; var ivfkbSampHits = -1L
+      val sampMod = math.max(1L, n / 1000000L).toInt
+      if (legs("ivfkb")) {
+        val cpred = col("vec_id") >= 1000L && col("vec_id") < 1064L
+        val t0 = System.nanoTime()
+        val mf = graft.operators.VectorOps.ivfModel(
+          embs, "vec_id", "embedding", cpred, 3, Dims)
+        mf.cells.count()
+        ivfkbFullSec = (System.nanoTime() - t0) / 1e9
+        ivfkbFullHits = recallAt10(graft.operators.VectorOps.knnIvfKmeansFrom(
+          mf, embs, "vec_id", qp, 10, 8), brute)
+        graft.core.Caches.releaseAll()
+        val t1 = System.nanoTime()
+        val ms = graft.operators.VectorOps.ivfModelSampled(
+          embs, "vec_id", "embedding", cpred, 3, Dims, sampMod)
+        ms.cells.count()
+        ivfkbSampSec = (System.nanoTime() - t1) / 1e9
+        ivfkbSampHits = recallAt10(graft.operators.VectorOps.knnIvfKmeansFrom(
+          ms, embs, "vec_id", qp, 10, 8), brute)
+        graft.core.Caches.releaseAll()
+      }
+
       brute.unpersist(blocking = false)
       embs.unpersist(blocking = true)
       f"""{"n":$n,"gen_sec":$genSec%.2f,"brute_sec":$bruteSec%.2f,""" +
@@ -141,7 +185,11 @@ object VectorScaleBench {
         f""""lshmp_sec":$mpSec%.2f,"lshmp_hits":$mpHits,""" +
         f""""ivf_sec":$ivfSec%.2f,"ivf_hits":$ivfHits,""" +
         f""""ivfk_sec":$ivfkSec%.2f,"ivfk_hits":$ivfkHits,""" +
-        f""""sq8_sec":$sq8Sec%.2f,"sq8_hits":$sq8Hits}"""
+        f""""ivfkb_full_sec":$ivfkbFullSec%.2f,"ivfkb_full_hits":$ivfkbFullHits,""" +
+        f""""ivfkb_samp_sec":$ivfkbSampSec%.2f,"ivfkb_samp_hits":$ivfkbSampHits,""" +
+        f""""ivfkb_samp_mod":$sampMod,""" +
+        f""""sq8_sec":$sq8Sec%.2f,"sq8_hits":$sq8Hits,""" +
+        s""""sq8_sweep":${sq8Sweep.mkString("[", ",", "]")}}"""
     }
 
     val line =

@@ -596,6 +596,19 @@ object PipelineQueries {
         e)
     }),
 
+    // Recall@5 of the SAMPLED-training IVF build — the number that shows
+    // the bounded-sample Lloyd recipe gives up nothing at the fixture's
+    // scale (and ≤ measurement noise at 10M — the SCALE_ANN ivfks leg).
+    "ann_recall_ivfk_s" -> ((s, d) => {
+      val e = embs(s, d)
+      annRecall(
+        graft.operators.VectorOps.knnIvfKmeansSampled(
+          e, "vec_id", "embedding", col("vec_id") < 8, 5,
+          col("vec_id").between(KmCentLo, KmCentHi), KmIters, IvfProbes,
+          EmbDims, IvfkSampleMod),
+        e)
+    }),
+
     // Recall@5 of the PQ/ADC path — gauges the m-subspace × codebook-size
     // compression trade (quantization error is the only loss source: PQ
     // scans ALL codes, so recall < 1 means ADC misranked, not missed).
@@ -755,6 +768,18 @@ object PipelineQueries {
       graft.operators.VectorOps.knnIvfKmeans(
         embs(s, d), "vec_id", "embedding", col("vec_id") < 8, 5,
         col("vec_id").between(KmCentLo, KmCentHi), KmIters, IvfProbes, EmbDims)),
+
+    // SAMPLED-training IVF: the same trained-quantizer search with Lloyd
+    // scanning only the 1-in-IvfkSampleMod salted-md5 hash sample (the
+    // FAISS-style bounded-sample index build — at 10M vectors the full-
+    // scan build is ~3× the sampled one at equal recall). The oracle
+    // replays the draw, the sampled training chain, and the FULL-corpus
+    // assignment bit-for-bit.
+    "knn_ivfk_sampled" -> ((s, d) =>
+      graft.operators.VectorOps.knnIvfKmeansSampled(
+        embs(s, d), "vec_id", "embedding", col("vec_id") < 8, 5,
+        col("vec_id").between(KmCentLo, KmCentHi), KmIters, IvfProbes,
+        EmbDims, IvfkSampleMod)),
 
     // Integer JL random projection: 64-dim quantized embeddings to 8
     // deterministic integer directions — dimensionality reduction as a
@@ -1714,6 +1739,12 @@ object PipelineQueries {
   private val KmCentLo  = 8
   private val KmCentHi  = 15
   private val KmIters   = 3
+  /** Sampled-Lloyd draw modulus of the knn_ivfk_sampled / ann_recall_ivfk_s
+    * gates: 1-in-2 keeps the sf0.01 training sample large enough that the
+    * fixture's recall stays at the full-scan model's level while the
+    * sampled chain (distinct centroids, distinct assignment) is what the
+    * oracle actually replays. */
+  private val IvfkSampleMod = 2
   // knn_lsh's 4-bit hyperplane geometry with ONE FEWER table and 2
   // single-bit-flip probes: measured recall@5 at sf0.01 is 31/40 vs
   // knn_lsh's 28/40 — the flips more than pay back the dropped table
@@ -2039,8 +2070,11 @@ object PipelineQueries {
        |  CASE WHEN scale > 0 THEN [CAST(FLOOR(x / scale + 0.5) AS BIGINT) for x in ev]
        |       ELSE [CAST(0 AS BIGINT) for x in ev] END AS v FROM sc)""".stripMargin
 
-  /** The Lloyd iteration CTE chain a1..c$KmIters (expects `q` and `c0`). */
-  private val kmIterCtes: String = {
+  /** The Lloyd iteration CTE chain a1..c$KmIters over training source CTE
+    * `src` (expects `src` with (id, v) and `c0`) — `q` for full-corpus
+    * training, the sampled CTE for [[graft.operators.VectorOps
+    * .ivfModelSampled]]'s replay. */
+  private def kmIterCtesFrom(src: String): String = {
     val sumCols = (1 to EmbDims).map(i => s"SUM(v[$i]) AS s$i").mkString(", ")
     val centList = (1 to EmbDims).map(i =>
       s"CAST(CASE WHEN s$i < 0 THEN -((2*(-s$i) + n) // (2*n)) ELSE (2*s$i + n) // (2*n) END AS BIGINT)")
@@ -2048,17 +2082,54 @@ object PipelineQueries {
     (1 to KmIters).map { t =>
       s"""a$t AS (SELECT id, v, cid FROM (
          |  SELECT id, v, cid, ROW_NUMBER() OVER (PARTITION BY id ORDER BY d, cid) AS rn
-         |  FROM (SELECT q.id, q.v, c.cid, $kmDistSql AS d FROM q, c${t - 1} c)) WHERE rn = 1),
+         |  FROM (SELECT q.id, q.v, c.cid, $kmDistSql AS d FROM $src q, c${t - 1} c)) WHERE rn = 1),
          |g$t AS (SELECT cid, COUNT(*) AS n, $sumCols FROM a$t GROUP BY cid),
          |c$t AS (SELECT c.cid, CASE WHEN g.cid IS NULL THEN c.cv ELSE $centList END AS cv
          |  FROM c${t - 1} c LEFT JOIN g$t g ON c.cid = g.cid)""".stripMargin
     }.mkString(",\n")
   }
 
+  private val kmIterCtes: String = kmIterCtesFrom("q")
+
   private val kmeansCteSql: String =
     s"""$kmQuantCtes,
        |c0 AS (SELECT id AS cid, v AS cv FROM q WHERE id BETWEEN $KmCentLo AND $KmCentHi),
        |$kmIterCtes""".stripMargin
+
+  /** The SAMPLED-training replay ([[graft.operators.VectorOps
+    * .ivfModelSampled]]): identical quantization + seeding, but the Lloyd
+    * chain trains from `qs` — the rows whose salted-md5 base-31 draw
+    * (CorpusOps.hashDrawCol, salt "ivfs:") ≡ 0 mod $IvfkSampleMod. */
+  private val ivfkSampledCteSql: String = {
+    val draw = (1 to 6)
+      .map(i => s"CAST(ascii(substr(md5('ivfs:' || CAST(id AS VARCHAR)), $i, 1)) AS BIGINT)")
+      .reduce((a, b) => s"($a * 31 + $b)")
+    s"""$kmQuantCtes,
+       |qs AS (SELECT id, v FROM q WHERE $draw % $IvfkSampleMod = 0),
+       |c0 AS (SELECT id AS cid, v AS cv FROM q WHERE id BETWEEN $KmCentLo AND $KmCentHi),
+       |${kmIterCtesFrom("qs")}""".stripMargin
+  }
+
+  /** The knn_ivfk_sampled replay chain ending in ranked CTE `r` — the
+    * [[ivfKmeansRankedCtes]] probe/re-rank shape over the SAMPLED-trained
+    * centroids (full-corpus assignment, as the engine). */
+  private lazy val ivfkSampledRankedCtes: String = {
+    val cos = cosSql("a.v", "b.v")
+    s"""$ivfkSampledCteSql,
+       |dists AS (SELECT q.id, c.cid, $kmDistSql AS d FROM q, c$KmIters c),
+       |cells AS (SELECT id, cid FROM (
+       |  SELECT id, cid, ROW_NUMBER() OVER (PARTITION BY id ORDER BY d, cid) AS rn
+       |  FROM dists) WHERE rn = 1),
+       |prob AS (SELECT id AS qid, cid FROM (
+       |  SELECT id, cid, ROW_NUMBER() OVER (PARTITION BY id ORDER BY d, cid) AS rn
+       |  FROM dists WHERE id < 8) WHERE rn <= $IvfProbes),
+       |ev AS (SELECT vec_id, embedding AS v FROM embeddings),
+       |cand AS (SELECT p.qid, cl.id AS nid FROM prob p JOIN cells cl USING (cid)
+       |  WHERE cl.id != p.qid),
+       |s AS (SELECT c.qid, c.nid, $cos AS sim
+       |  FROM cand c JOIN ev a ON a.vec_id = c.qid JOIN ev b ON b.vec_id = c.nid),
+       |r AS (SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rnk FROM s)""".stripMargin
+  }
 
   /** Farthest-first seeding chain s1..s$KmppK (expects `q`): s1 = the min
     * id; each s_{j} adds the vector maximizing its min distance to s_{j-1}
@@ -4223,6 +4294,19 @@ object PipelineQueries {
     "knn_ivf_kmeans" ->
       s"""WITH $ivfKmeansRankedCtes
          |SELECT qid, nid, CAST(rnk AS BIGINT) AS rnk FROM r WHERE rnk <= 5""".stripMargin,
+
+    // knn_ivfk_sampled: the same replay with the Lloyd chain trained on
+    // the 1-in-IvfkSampleMod salted-md5 sample (CTE `qs`); assignment,
+    // probing, and re-rank run over the FULL corpus exactly as the engine.
+    "knn_ivfk_sampled" ->
+      s"""WITH $ivfkSampledRankedCtes
+         |SELECT qid, nid, CAST(rnk AS BIGINT) AS rnk FROM r WHERE rnk <= 5""".stripMargin,
+
+    "ann_recall_ivfk_s" ->
+      s"""WITH $ivfkSampledRankedCtes,
+         |mt AS (SELECT qid, nid FROM r WHERE rnk <= 5),
+         |$bruteTopCtes
+         |$recallSelectSql""".stripMargin,
 
     // knn_ivfpq: the coarse kmeans chain AND the PQ subspace chains side by
     // side (both consume `q`), then candidates restricted to probed cells

@@ -227,6 +227,53 @@ class VectorOpsSpec extends AnyFunSuite {
     one.foreach { case (q, n) => assert(n / 10 == q / 10, s"$q paired out-of-blob $n") }
   }
 
+  test("ivfModelSampled: sampleMod=1 is the full-scan model; sampled training keeps assignment parity on the fixture") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val rnd = new scala.util.Random(21)
+    def blob(center: Array[Float], n: Int, from: Long) =
+      (0 until n).map(i => (from + i,
+        center.map(c => c + (rnd.nextFloat() - 0.5f) * 0.1f)))
+    val rows = blob(Array(1f, 0f, 0f, 0f), 7, 0L) ++
+      blob(Array(0f, 1f, 0f, 0f), 7, 10L) ++
+      blob(Array(0f, 0f, 1f, 0f), 7, 20L)
+    val df = rows.toDF("vec_id", "embedding")
+    val seeds = col("vec_id") === 0 || col("vec_id") === 10 || col("vec_id") === 20
+    val queries = col("vec_id") === 1 || col("vec_id") === 11
+    // sampleMod = 1: the sampled API IS the full-scan build, bit-for-bit.
+    val full = graft.core.Caches.scoped {
+      VectorOps.knnIvfKmeans(df, "vec_id", "embedding", queries, 4, seeds,
+          iters = 2, probes = 2, dims = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    }
+    val mod1 = graft.core.Caches.scoped {
+      VectorOps.knnIvfKmeansSampled(df, "vec_id", "embedding", queries, 4,
+          seeds, iters = 2, probes = 2, dims = 4, sampleMod = 1)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    }
+    assert(mod1 == full, s"sampleMod=1 must equal the full build: $mod1 vs $full")
+    // sampleMod = 2: Lloyd sees ~half of each blob, but blob separation
+    // dwarfs intra-blob variance, so the FULL-corpus assignment must keep
+    // the blob structure — all-probe equals brute, one-probe stays in-blob.
+    val brute = VectorOps.knnBrute(df, "vec_id", "embedding", queries, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val allProbe = graft.core.Caches.scoped {
+      VectorOps.knnIvfKmeansSampled(df, "vec_id", "embedding", queries, 4,
+          seeds, iters = 2, probes = 3, dims = 4, sampleMod = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    }
+    assert(allProbe == brute, s"sampled all-probe != brute: $allProbe vs $brute")
+    val oneProbe = graft.core.Caches.scoped {
+      VectorOps.knnIvfKmeansSampled(df, "vec_id", "embedding", queries, 4,
+          seeds, iters = 2, probes = 1, dims = 4, sampleMod = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    assert(oneProbe.nonEmpty)
+    oneProbe.foreach { case (q, n) =>
+      assert(n / 10 == q / 10, s"$q paired out-of-blob $n under sampled training")
+    }
+  }
+
   test("knnGraph equals knnLsh on a query subset; planted duplicate ranks first both ways") {
     val spark = TestSpark.spark
     import spark.implicits._
