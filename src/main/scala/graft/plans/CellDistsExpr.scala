@@ -41,11 +41,15 @@ case class CellDists(left: Expression, right: Expression, dims: Int)
       case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
         if (!right.foldable) TypeCheckResult.TypeCheckFailure(
           s"$prettyName expects a foldable (literal) centroid matrix")
-        else if (right.eval().asInstanceOf[ArrayData]
-            .numElements() % dims != 0)
-          TypeCheckResult.TypeCheckFailure(
-            s"$prettyName centroid matrix length must be a multiple of dims=$dims")
-        else TypeCheckResult.TypeCheckSuccess
+        else right.eval() match {
+          // A null literal matrix must fail analysis cleanly, not NPE.
+          case null => TypeCheckResult.TypeCheckFailure(
+            s"$prettyName centroid matrix must not be null")
+          case m: ArrayData if m.numElements() % dims != 0 =>
+            TypeCheckResult.TypeCheckFailure(
+              s"$prettyName centroid matrix length must be a multiple of dims=$dims")
+          case _ => TypeCheckResult.TypeCheckSuccess
+        }
       case _ =>
         TypeCheckResult.TypeCheckFailure(
           s"$prettyName expects two array<bigint> inputs, got " +

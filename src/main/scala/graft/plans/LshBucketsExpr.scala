@@ -46,12 +46,16 @@ case class LshBuckets(left: Expression, right: Expression, bits: Int,
       case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
         if (!right.foldable) TypeCheckResult.TypeCheckFailure(
           s"$prettyName expects a foldable (literal) plane matrix")
-        else if (right.eval().asInstanceOf[ArrayData]
-            .numElements() % (bits * dims) != 0)
-          TypeCheckResult.TypeCheckFailure(
-            s"$prettyName plane matrix length must be a multiple of " +
-              s"bits × dims = ${bits * dims}")
-        else TypeCheckResult.TypeCheckSuccess
+        else right.eval() match {
+          // A null literal matrix must fail analysis cleanly, not NPE.
+          case null => TypeCheckResult.TypeCheckFailure(
+            s"$prettyName plane matrix must not be null")
+          case m: ArrayData if m.numElements() % (bits * dims) != 0 =>
+            TypeCheckResult.TypeCheckFailure(
+              s"$prettyName plane matrix length must be a multiple of " +
+                s"bits × dims = ${bits * dims}")
+          case _ => TypeCheckResult.TypeCheckSuccess
+        }
       case _ =>
         TypeCheckResult.TypeCheckFailure(
           s"$prettyName expects two array<double> inputs, got " +

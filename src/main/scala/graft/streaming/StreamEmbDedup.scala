@@ -20,9 +20,10 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * bucket with probability (1 − θ/π)^bits, so like the batch LSH
   * operators the detected set is the candidate subset — recall is the
   * blocking's, tunable via `bits` (fewer bits = bigger buckets = higher
-  * recall at more comparisons); layer several independent runs for
-  * multi-table recall. Dimension-mismatched or null vectors pass through
-  * unflagged (they can be near nothing).
+  * recall at more comparisons); [[flagNearDupVotes]] layers `tables`
+  * independent tables in one operator for multi-table recall.
+  * Dimension-mismatched or null vectors pass through unflagged (they can
+  * be near nothing).
   *
   * State per bucket: at most `cap` (id, vector) representatives —
   * O(cap × dims) per occupied bucket, ≤ 2^bits buckets; evicted
@@ -39,6 +40,12 @@ object StreamEmbDedup {
   /** One flagged row per arriving vector. */
   final case class EmbFlag(vec_id: Long, dup: Boolean)
 
+  /** One per-table verdict per arriving vector — the multi-table twin's
+    * raw output ([[flagNearDupVotes]]); `ts` rides through so the OR
+    * consolidation ([[orVotes]]) can re-watermark. */
+  final case class EmbVote(vec_id: Long, table: Int,
+                           ts: java.sql.Timestamp, dup: Boolean)
+
   /** Internal row (public: generated deserializers must reach the
     * constructor — the Janino note on the sibling twins). */
   final case class EmbIn(bucket: Int, vecId: Long,
@@ -46,10 +53,20 @@ object StreamEmbDedup {
 
   /** (idCol, tsCol, vecCol) stream → flagged stream (vec_id, dup).
     * Append mode. Also runs on a batch frame (state starts empty: pure
-    * greedy first-occurrence flagging over the input). */
+    * greedy first-occurrence flagging over the input).
+    *
+    * `saturated` (optional): a registered LongAccumulator incremented
+    * once per valid, unflagged arrival REJECTED from the keep-set because
+    * its bucket already holds `cap` representatives — the runtime
+    * visibility surface for the documented cap trade (mirroring
+    * [[graft.operators.DedupOps.hotBuckets]]'s inspection contract): a
+    * climbing counter means later near-copies of those arrivals stream
+    * through undetected, so raise `cap` or narrow buckets via `bits`. */
   def flagNearDups(embs: DataFrame, idCol: String, tsCol: String,
                    vecCol: String, bits: Int, dims: Int, minCos: Double,
-                   cap: Int, lateness: String): Dataset[EmbFlag] = {
+                   cap: Int, lateness: String,
+                   saturated: Option[org.apache.spark.util.LongAccumulator]
+                     = None): Dataset[EmbFlag] = {
     require(bits >= 1 && bits <= 16, s"bits out of range: $bits")
     require(cap >= 1, s"cap must be >= 1: $cap")
     val spark = embs.sparkSession
@@ -69,15 +86,6 @@ object StreamEmbDedup {
         col("vecId"), col("ts"), col("v"))
       .as[EmbIn]
 
-    def cos(a: Array[Double], b: Array[Double]): Double = {
-      var dotAb = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-      while (i < a.length) {
-        dotAb += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
-      }
-      val d = math.sqrt(na) * math.sqrt(nb)
-      if (d == 0) 0.0 else dotAb / d
-    }
-
     rows
       .groupByKey(_.bucket)
       .flatMapGroupsWithState[List[(Long, Array[Double])], EmbFlag](
@@ -93,8 +101,10 @@ object StreamEmbDedup {
               val ok = r.v != null && r.v.length == dims
               val dup = ok &&
                 kept.exists { case (_, kv) => cos(kv, r.v) >= minCos }
-              if (ok && !dup && kept.size < cap)
-                kept = (r.vecId, r.v) :: kept
+              if (ok && !dup) {
+                if (kept.size < cap) kept = (r.vecId, r.v) :: kept
+                else saturated.foreach(_.add(1L))
+              }
               EmbFlag(r.vecId, dup)
             }
             // Write only when the keep-set grew (a per-batch put
@@ -108,4 +118,125 @@ object StreamEmbDedup {
           }
       }
   }
+
+  private def cos(a: Array[Double], b: Array[Double]): Double = {
+    var dotAb = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) {
+      dotAb += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+    }
+    val d = math.sqrt(na) * math.sqrt(nb)
+    if (d == 0) 0.0 else dotAb / d
+  }
+
+  /** Internal multi-table row: `key` = table · 2¹⁶ + bucket (bits ≤ 16,
+    * so buckets never collide across tables). Public for the generated
+    * deserializers, as [[EmbIn]]. */
+  final case class EmbTIn(key: Int, vecId: Long,
+                          ts: java.sql.Timestamp, v: Array[Double])
+
+  /** MULTI-TABLE [[flagNearDups]] — first-class layering of `tables`
+    * independent hyperplane tables in ONE stateful operator: each arrival
+    * fans out to its `tables` (table, bucket) groups (the native
+    * [[graft.plans.LshBuckets]] loop computes all buckets in one pass),
+    * each group flags against ITS keep-set, and the per-table verdicts
+    * stream out as [[EmbVote]]s — OR them with [[orVotes]] (or any
+    * downstream consumer) for the union recall 1 − (1 − (1 − θ/π)^bits)
+    * ... per table, without orchestrating separate runs.
+    *
+    * Semantics note (the union-recall trade, documented not hidden): each
+    * table admits representatives INDEPENDENTLY — a vector another table
+    * flagged dup still seeds the tables that missed it. That only ever
+    * ADDS detection (its own near-copies get flagged through those reps
+    * too), at cap pressure as the cost; per-table flag counts therefore
+    * need not agree across `tables` settings, while the OR is monotone
+    * in `tables` on any fixed arrival order.
+    *
+    * State: ≤ cap × 2^bits representatives PER TABLE (tables × that
+    * total) — still hyperparameter-bounded, watermark-evicted; `tables`×
+    * the single-table shuffle volume (each arrival crosses the exchange
+    * `tables` times). Null/dim-drifted vectors land in bucket 0 of every
+    * table and pass through unflagged, exactly as [[flagNearDups]]. */
+  def flagNearDupVotes(embs: DataFrame, idCol: String, tsCol: String,
+                       vecCol: String, tables: Int, bits: Int, dims: Int,
+                       minCos: Double, cap: Int, lateness: String,
+                       saturated: Option[org.apache.spark.util.LongAccumulator]
+                         = None): Dataset[EmbVote] = {
+    require(tables >= 1 && tables <= 16, s"tables out of range: $tables")
+    require(bits >= 1 && bits <= 16, s"bits out of range: $bits")
+    require(cap >= 1, s"cap must be >= 1: $cap")
+    val spark = embs.sparkSession
+    import spark.implicits._
+    graft.plans.GraftFunctions.register(spark)
+    val rows = embs
+      .select(col(idCol).cast("long").as("vecId"), col(tsCol).as("ts"),
+        graft.operators.VectorOps.asDouble(col(vecCol)).as("v"))
+      .withWatermark("ts", lateness)
+      // graft_lsh_buckets is null on a null/drifted vector; coalesce to
+      // bucket 0 in every table so the row still flows through (flagged
+      // false, never admitted — the flagNearDups contract).
+      .select(col("vecId"), col("ts"), col("v"),
+        posexplode(coalesce(
+          graft.operators.VectorOps.bucketsCol(col("v"), tables, bits, dims),
+          array_repeat(lit(0), lit(tables)))).as(Seq("tbl", "bucket")))
+      .select(((col("tbl") * lit(1 << 16)) + col("bucket")).cast("int")
+          .as("key"),
+        col("vecId"), col("ts"), col("v"))
+      .as[EmbTIn]
+    rows
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[List[(Long, Array[Double])], EmbVote](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: Int, it: Iterator[EmbTIn],
+         state: GroupState[List[(Long, Array[Double])]]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val table = key >>> 16
+            val sorted = it.toArray.sortBy(r => (r.ts.getTime, r.vecId))
+            val kept0 = state.getOption.getOrElse(Nil)
+            var kept = kept0
+            val out = sorted.map { r =>
+              val ok = r.v != null && r.v.length == dims
+              val dup = ok &&
+                kept.exists { case (_, kv) => cos(kv, r.v) >= minCos }
+              if (ok && !dup) {
+                if (kept.size < cap) kept = (r.vecId, r.v) :: kept
+                else saturated.foreach(_.add(1L))
+              }
+              EmbVote(r.vecId, table, r.ts, dup)
+            }
+            if (kept ne kept0) state.update(kept)
+            try state.setTimeoutTimestamp(
+              sorted.map(_.ts.getTime).max, lateness)
+            catch { case _: UnsupportedOperationException |
+                         _: IllegalArgumentException => () }
+            out.iterator
+          }
+      }
+  }
+
+  /** OR-consolidation of [[flagNearDupVotes]]'s per-table verdicts into
+    * one (vec_id, dup) row per arrival: the votes of one arrival all
+    * carry its event time, so grouping on (ts, vec_id) under a fresh
+    * watermark lets append mode emit each group once the watermark passes
+    * its ts — aggregation after flatMapGroupsWithState in Append mode.
+    * EMISSION IS WATERMARK-DELAYED by `lateness` — the price of
+    * exactly-one-row-per-arrival consolidation; consumers that can
+    * tolerate `tables` rows per arrival should read the votes directly
+    * (e.g. `filter(dup)` for a drop-list, where the OR is free). Also
+    * runs on a batch frame of votes (plain aggregation).
+    *
+    * STREAMING CALLERS MUST SET `spark.sql.streaming.statefulOperator
+    * .checkCorrectness.enabled=false`: Spark's global-watermark check
+    * rejects any stateful-after-flatMapGroupsWithState chain because it
+    * cannot prove the first operator's OUTPUT event times — here it is
+    * safe BY CONSTRUCTION: every vote carries its arrival's own event
+    * time and is emitted in the arrival's own micro-batch, while the
+    * downstream watermark (computed from the same input, lagging one
+    * batch) can only be older — no vote is ever late to the aggregation.
+    * The check is per-session; scope it to the query's session. */
+  def orVotes(votes: Dataset[EmbVote], lateness: String): DataFrame =
+    votes.withWatermark("ts", lateness)
+      .groupBy(col("ts"), col("vec_id"))
+      .agg(max(col("dup")).as("dup"))
+      .select(col("vec_id"), col("dup"))
 }

@@ -29,6 +29,13 @@ class CellDistsExprSpec extends AnyFunSuite {
   private def lit(a: Array[Long]): Literal =
     Literal.create(new GenericArrayData(a), ArrayType(LongType))
 
+  test("a NULL literal centroid matrix fails analysis cleanly, not with an NPE") {
+    val r = CellDists(lit(Array.fill(dims)(0L)),
+      Literal.create(null, ArrayType(LongType)), dims)
+      .checkInputDataTypes()
+    assert(r.isFailure, "null centroid matrix must be a TypeCheckFailure")
+  }
+
   test("interpreted eval matches the per-centroid reference") {
     val rnd = new scala.util.Random(17)
     for (_ <- 0 until 200) {

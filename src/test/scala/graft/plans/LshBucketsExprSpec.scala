@@ -33,6 +33,13 @@ class LshBucketsExprSpec extends AnyFunSuite {
   private def lit(a: Array[Double]): Literal =
     Literal.create(new GenericArrayData(a), ArrayType(DoubleType))
 
+  test("a NULL literal plane matrix fails analysis cleanly, not with an NPE") {
+    val r = LshBuckets(lit(Array.fill(dims)(0.0)),
+      Literal.create(null, ArrayType(DoubleType)), bits, dims)
+      .checkInputDataTypes()
+    assert(r.isFailure, "null plane matrix must be a TypeCheckFailure")
+  }
+
   test("interpreted eval matches the per-bit reference") {
     val rnd = new scala.util.Random(13)
     for (_ <- 0 until 200) {
