@@ -282,6 +282,36 @@ object Bench {
         deployEntries += "minhash_est" -> timed(
           graft.operators.DedupOps.minhashEstimatesFrom(
             fm.pairs, fm.sigs).count())
+        graft.operators.DedupOps.unpersistPipelines()
+        // Retrieval family: ONE tokenize+shuffle pass builds the inverted
+        // index (posting table + doc lengths + corpus stats); BM25,
+        // conjunctive search, the postings browse artifact, and the RRF
+        // hybrid all reuse it.
+        val im = {
+          var m: graft.operators.IndexOps.IndexModel = null
+          val t = timed {
+            m = graft.operators.IndexOps.indexModel(dd, "doc_id")
+            m.td.count(); m.dl.count() // materialize the index
+          }
+          deployEntries += "idx_model" -> t
+          m
+        }
+        val probeTerms = Seq("spark", "vector", "hash")
+        deployEntries += "idx_bm25" -> timed(
+          graft.operators.IndexOps.bm25From(im, probeTerms, 20).count())
+        deployEntries += "idx_search" -> timed(
+          graft.operators.IndexOps.conjunctiveFrom(im, probeTerms, 2L).count())
+        deployEntries += "idx_postings" -> timed(
+          graft.operators.IndexOps.postingsFrom(im, 300L, 5).count())
+        deployEntries += "search_rrf" -> timed {
+          val lex = graft.operators.IndexOps.bm25From(im, probeTerms, 20)
+            .select(col("doc_id").as("id"), col("rnk"))
+          val sem = graft.operators.VectorOps.knnBrute(ee, "vec_id",
+              "embedding", col("vec_id") === 0, 20)
+            .select(col("nid").as("id"), col("rnk"))
+          graft.operators.IndexOps.rrfFuse(Seq(lex, sem), "id", "rnk", 10)
+            .count()
+        }
       } catch { case e: Throwable =>
         System.err.println(s"[graft.Bench] deploy lane: ${e.getMessage}")
       } finally {

@@ -29,6 +29,84 @@ object IndexOps {
       .filter(length(col("t")) > 0)
       .groupBy("t", "doc_id").agg(count(lit(1)).as("tf"))
 
+  /** The shared retrieval artifact a DEPLOYMENT builds once and every
+    * search consumer reuses — the inverted index itself: the persisted
+    * posting table (t, doc_id, tf), the persisted per-document lengths,
+    * and the two scalar corpus statistics BM25 needs (model-sized driver
+    * state). Gate queries re-tokenize per query by design (gate
+    * independence); a deployment never does. Release via
+    * [[graft.core.Caches.releaseAll]] after the consumers finish. */
+  final case class IndexModel(td: DataFrame, dl: DataFrame,
+                              nDocs: Long, tTotal: Long)
+
+  /** Build an [[IndexModel]]: ONE tokenize+shuffle pass (the posting
+    * table every consumer shares), one map-side-combined length
+    * aggregate, two scalar aggregates. */
+  def indexModel(docs: DataFrame, idCol: String): IndexModel = {
+    val td = graft.core.Caches.persistTracked(postingsBase(docs, idCol))
+    val dl = graft.core.Caches.persistTracked(
+      td.groupBy("doc_id").agg(sum("tf").as("dl")))
+    val nDocs = docs.count()
+    val tTotal = Option(td.agg(sum("tf")).head().get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    IndexModel(td, dl, nDocs, tTotal)
+  }
+
+  /** [[bm25]] against a pre-built [[IndexModel]] — no tokenize pass, no
+    * length scan: the probe-term filter runs on the persisted postings
+    * and the corpus statistics enter the plan as literals (same integer
+    * score formula, bit-for-bit). */
+  def bm25From(m: IndexModel, terms: Seq[String], topN: Int): DataFrame = {
+    require(terms.nonEmpty && terms.distinct.size == terms.size,
+      "terms must be non-empty and distinct")
+    require(topN >= 1 && topN <= 10000, s"topN out of range: $topN")
+    require(m.nDocs > 0 && m.tTotal > 0, "bm25From over an empty index")
+    val matched = m.td.filter(col("t").isin(terms: _*))
+    val dfreq = matched.groupBy("t").agg(count(lit(1)).as("df"))
+    val scored = matched
+      .join(m.dl, "doc_id")
+      .join(broadcast(dfreq), "t")
+      .withColumn("idf",
+        (length(bin(expr(s"(4 * ${m.nDocs}) div (2 * df + 1)"))) - 1)
+          .cast("long"))
+      .withColumn("contrib",
+        expr(s"(idf * 44 * ${m.tTotal} * tf * 1000) div " +
+          s"(20 * ${m.tTotal} * tf + 6 * ${m.tTotal} + 18 * dl * ${m.nDocs})"))
+      .groupBy("doc_id").agg(sum("contrib").as("score"))
+    scored.orderBy(col("score").desc, col("doc_id")).limit(topN)
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id"))))
+      .select(col("doc_id"), col("score"), col("rnk").cast("long").as("rnk"))
+  }
+
+  /** [[conjunctive]] against a pre-built [[IndexModel]]. */
+  def conjunctiveFrom(m: IndexModel, terms: Seq[String],
+                      minTf: Long = 1L): DataFrame = {
+    require(terms.nonEmpty && terms.distinct.size == terms.size,
+      "terms must be non-empty and distinct")
+    m.td.filter(col("t").isin(terms: _*) && col("tf") >= minTf)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("k"), sum("tf").as("total_tf"))
+      .filter(col("k") === terms.size)
+      .select(col("doc_id"), col("total_tf"))
+  }
+
+  /** [[postings]] against a pre-built [[IndexModel]]. */
+  def postingsFrom(m: IndexModel, minDf: Long, cap: Int): DataFrame = {
+    require(cap >= 1 && cap <= 1000, s"cap must be in 1..1000: $cap")
+    val w = Window.partitionBy("t").orderBy("doc_id")
+    val capped = m.td
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= cap)
+      .groupBy("t")
+      .agg(concat_ws(",", array_sort(collect_list(col("doc_id"))))
+        .as("sample_docs"))
+    m.td.groupBy("t")
+      .agg(count(lit(1)).as("df"), sum("tf").as("cf"))
+      .filter(col("df") >= minDf)
+      .join(capped, "t")
+  }
+
   /** Index statistics + capped posting list per token: document frequency,
     * collection frequency, and the `cap` lowest doc_ids as a comma-joined
     * string (bounded browse artifact). Tokens below `minDf` are dropped.

@@ -1,0 +1,56 @@
+package graft.streaming
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Paths}
+
+/** Loud-failure guard for STATE-KEY FORMAT changes across builds.
+  *
+  * Spark's state-store schema checker rejects an incompatible checkpoint
+  * (e.g. the r13 change of [[StreamSubstrDedup]] / [[StreamBoilerplate]]
+  * span keys from 32-char md5 hex strings to raw 16-byte binary) with a
+  * generic state-schema error deep in the first micro-batch — correct,
+  * but opaque. This guard turns it into an immediate, named error: call
+  * [[guard]] with the query's checkpoint directory BEFORE `start()`; it
+  * stamps a per-twin format-version marker into the directory on first
+  * use and fails with a restart-fresh message when a checkpoint written
+  * by a different format is reused. See UPGRADING.md for the format
+  * history.
+  */
+object StateCompat {
+
+  /** Span-keyed twins ([[StreamSubstrDedup]], [[StreamBoilerplate]]):
+    * v1 = 32-char md5 hex string keys (≤ r12), v2 = raw 16-byte binary
+    * keys (r13+). */
+  val SpanKeyVersion = 2
+
+  /** [[StreamEmbDedup]] bucket-keyed state: v1 = int bucket keys
+    * (single-table) and the multi-table table<<16|bucket keys. */
+  val EmbKeyVersion = 1
+
+  /** Validate (or stamp) the state-key format marker for `twin` in
+    * `checkpointDir`. Throws [[IllegalStateException]] with a
+    * restart-fresh message on a version mismatch — BEFORE Spark touches
+    * the incompatible state. Idempotent on a matching marker; creates
+    * the directory if absent (Spark accepts a pre-existing checkpoint
+    * root). Local-filesystem checkpoints only (the single-JVM scope of
+    * this build); a distributed deployment would route through the
+    * checkpoint's FileSystem. */
+  def guard(checkpointDir: String, twin: String, version: Int): Unit = {
+    val dir = Paths.get(checkpointDir)
+    val marker = dir.resolve(s"_graft_state_version_$twin")
+    if (Files.exists(marker)) {
+      val prev = new String(Files.readAllBytes(marker), UTF_8).trim
+      if (prev != version.toString)
+        throw new IllegalStateException(
+          s"graft state-key format mismatch for '$twin': checkpoint " +
+            s"$checkpointDir was written by format v$prev, this build " +
+            s"uses v$version (state-store keys are physically " +
+            "incompatible — e.g. r13 moved span keys from hex strings " +
+            "to 16-byte binary). Restart the query fresh with a new " +
+            "checkpoint directory; the old state cannot be restored.")
+    } else {
+      Files.createDirectories(dir)
+      Files.write(marker, version.toString.getBytes(UTF_8))
+    }
+  }
+}

@@ -93,6 +93,31 @@ class IndexOpsSpec extends AnyFunSuite {
     assert(top2 == Set(10L, 20L))
   }
 
+  test("indexModel consumers equal the one-shot operators row-for-row") {
+    graft.core.Caches.scoped {
+      val docs = corpus()
+      val m = IndexOps.indexModel(docs, "doc_id")
+      assert(m.nDocs == 5L)
+      val bmFrom = IndexOps.bm25From(m, Seq("red", "green"), 10).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      val bm = IndexOps.bm25(docs, "doc_id", Seq("red", "green"), 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(bmFrom == bm, s"bm25From != bm25: $bmFrom vs $bm")
+      val cjFrom = IndexOps.conjunctiveFrom(m, Seq("red", "blue"), 1L)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val cj = IndexOps.conjunctive(docs, "doc_id", Seq("red", "blue"), 1L)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(cjFrom == cj, s"conjunctiveFrom != conjunctive: $cjFrom vs $cj")
+      val poFrom = IndexOps.postingsFrom(m, 2L, 2).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getString(3))).toSet
+      val po = IndexOps.postings(docs, "doc_id", 2L, 2).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getString(3))).toSet
+      assert(poFrom == po, s"postingsFrom != postings: $poFrom vs $po")
+    }
+  }
+
   test("conjunctive: all terms required, per-term tf threshold applies") {
     // red AND blue: docs 1 (2+1), 3 (3+1), 5 (1+1) — doc2 has no red.
     val got = IndexOps.conjunctive(corpus(), "doc_id",

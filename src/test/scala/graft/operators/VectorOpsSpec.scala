@@ -25,6 +25,30 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(math.abs(got(2) - 24.0 / 25.0) < 1e-12)
   }
 
+  test("assertNoNullComponents: clean vectors pass through unchanged, a null component fails loudly, null rows pass") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val clean = Seq((1L, Array(1.0f, 2.0f)), (2L, Array(3.0f, 4.0f)))
+      .toDF("vec_id", "embedding")
+    val got = VectorOps.assertNoNullComponents(clean, "embedding")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toSeq).toMap
+    assert(got == Map(1L -> Seq(1.0f, 2.0f), 2L -> Seq(3.0f, 4.0f)))
+    // A null COMPONENT (the graft_dot reads-as-0 case) must throw.
+    val dirty = Seq((1L, Array[java.lang.Float](1.0f, null)),
+      (2L, Array[java.lang.Float](3.0f, 4.0f))).toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      VectorOps.assertNoNullComponents(dirty, "embedding").collect()
+    }
+    assert(e.getMessage.contains("null component"),
+      s"wrong failure: ${e.getMessage}")
+    // A null ROW passes (whole-null vectors are every operator's own
+    // documented case).
+    val nullRow = Seq((1L, Array(1.0f, 2.0f)), (2L, null))
+      .toDF("vec_id", "embedding")
+    assert(VectorOps.assertNoNullComponents(nullRow, "embedding")
+      .count() == 2L)
+  }
+
   test("graft_dot is null on mismatched array lengths, not a truncated sum") {
     val spark = TestSpark.spark
     graft.plans.GraftFunctions.register(spark)
