@@ -89,4 +89,45 @@ object BloomOps {
         col("n_flagged_exact"), col("n_false_pos"),
         lit(bitsSet.length.toLong).as("n_bits_set"))
   }
+
+  /** The deployable decontamination artifact: the SORTED set-bit positions
+    * of the eval corpus' span filter — ≤ [[Bits]] integers of driver state
+    * regardless of eval cardinality (blocklists and opt-out sets GROW; the
+    * filter does not). Build once per eval-suite release; apply to every
+    * training corpus with [[applyBloom]]. `n` is the word-n-gram width,
+    * recorded with the bits so an apply at a different width cannot
+    * silently mis-probe. */
+  final case class BloomModel(bits: Array[Int], n: Int)
+
+  /** Build a [[BloomModel]] from the eval corpus (text column `text`) —
+    * one distinct-position aggregate, collected as the bitset. */
+  def bloomModel(eval: DataFrame, n: Int): BloomModel = {
+    val bitsSet = eval
+      .select(explode(DedupOps.shingles(col("text"), n)).as("s"))
+      .select(md5(col("s")).as("h"))
+      .select(explode(array(Offsets.map(o => pos(col("h"), o)): _*)).as("p"))
+      .distinct().collect().map(_.getInt(0)).sorted
+    BloomModel(bitsSet, n)
+  }
+
+  /** Per-document Bloom flags of `train` against a pre-built
+    * [[BloomModel]] — the production apply pass: the filter enters the
+    * plan as ONE literal array (kilobytes broadcast inside the plan
+    * itself), the corpus side is one scan → per-(doc, span) distinct →
+    * per-doc max. Output: (doc_id, flagged ∈ {0, 1}) for every train
+    * doc; `filter(col("flagged") === 0)` is the keep-list. False-positive
+    * accounting stays in [[bloomDecontam]] (it needs the eval spans,
+    * which the model deliberately does not carry). */
+  def applyBloom(m: BloomModel, train: DataFrame, idCol: String): DataFrame = {
+    val bits = typedLit(m.bits.toSeq)
+    val hit = Offsets
+      .map(o => array_contains(bits, pos(col("h"), o)))
+      .reduce(_ && _)
+    train
+      .select(col(idCol).as("doc_id"),
+        explode(DedupOps.shingles(col("text"), m.n)).as("s"))
+      .select(col("doc_id"), md5(col("s")).as("h")).distinct()
+      .groupBy("doc_id")
+      .agg(max(when(hit, 1L).otherwise(0L)).as("flagged"))
+  }
 }

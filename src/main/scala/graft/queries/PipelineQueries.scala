@@ -751,6 +751,16 @@ object PipelineQueries {
       graft.operators.VectorOps.kmeansFarthestFirst(
         embs(s, d), "vec_id", "embedding", KmppK, KmIters, EmbDims)),
 
+    // SAMPLED farthest-first: the k−1 maximin seeding scans AND Lloyd run
+    // over the 1-in-IvfkSampleMod hash sample (seeding is the scan-budget
+    // hot spot at corpus scale — the operator's documented fix), full
+    // corpus assigned once. The oracle replays the draw, every seeding
+    // argmax over the sample, training, and assignment.
+    "emb_kmeanspp_s" -> ((s, d) =>
+      graft.operators.VectorOps.kmeansFarthestFirstSampled(
+        embs(s, d), "vec_id", "embedding", KmppK, KmIters, EmbDims,
+        IvfkSampleMod)),
+
     // Cluster-balanced (diversity-capped) sampling over the emb_kmeans
     // cells: keep the 10 lowest ids per cell, reporting pre-cap cell
     // population — the density-flattening sampler of the SemDeDup family
@@ -2100,13 +2110,33 @@ object PipelineQueries {
     * .ivfModelSampled]]): identical quantization + seeding, but the Lloyd
     * chain trains from `qs` — the rows whose salted-md5 base-31 draw
     * (CorpusOps.hashDrawCol, salt "ivfs:") ≡ 0 mod $IvfkSampleMod. */
-  private val ivfkSampledCteSql: String = {
-    val draw = (1 to 6)
-      .map(i => s"CAST(ascii(substr(md5('ivfs:' || CAST(id AS VARCHAR)), $i, 1)) AS BIGINT)")
-      .reduce((a, b) => s"($a * 31 + $b)")
+  /** The salted-md5 base-31 training draw (CorpusOps.hashDrawCol with
+    * salt "ivfs:") over the quantized id — shared by every sampled-
+    * training oracle. */
+  private val ivfsDrawSql: String = (1 to 6)
+    .map(i => s"CAST(ascii(substr(md5('ivfs:' || CAST(id AS VARCHAR)), $i, 1)) AS BIGINT)")
+    .reduce((a, b) => s"($a * 31 + $b)")
+
+  private val ivfkSampledCteSql: String =
     s"""$kmQuantCtes,
-       |qs AS (SELECT id, v FROM q WHERE $draw % $IvfkSampleMod = 0),
+       |qs AS (SELECT id, v FROM q WHERE $ivfsDrawSql % $IvfkSampleMod = 0),
        |c0 AS (SELECT id AS cid, v AS cv FROM q WHERE id BETWEEN $KmCentLo AND $KmCentHi),
+       |${kmIterCtesFrom("qs")}""".stripMargin
+
+  /** The SAMPLED farthest-first replay ([[graft.operators.VectorOps
+    * .kmeansFarthestFirstSampled]]): seeding argmaxes AND the Lloyd chain
+    * run over the sampled CTE `qs`; assignment over the full corpus. */
+  private lazy val kmppSampledCteSql: String = {
+    val steps = (2 to KmppK).map { j =>
+      s"""d$j AS (SELECT q.id, MIN($kmDistSql) AS md FROM qs q, s${j - 1} c GROUP BY q.id),
+         |n$j AS (SELECT q.id, q.v FROM qs q JOIN (SELECT id FROM d$j ORDER BY md DESC, id LIMIT 1) t USING (id)),
+         |s$j AS (SELECT * FROM s${j - 1} UNION ALL SELECT id AS cid, v AS cv FROM n$j)""".stripMargin
+    }.mkString(",\n")
+    s"""$kmQuantCtes,
+       |qs AS (SELECT id, v FROM q WHERE $ivfsDrawSql % $IvfkSampleMod = 0),
+       |s1 AS (SELECT id AS cid, v AS cv FROM qs WHERE id = (SELECT MIN(id) FROM qs)),
+       |$steps,
+       |c0 AS (SELECT cid, cv FROM s$KmppK),
        |${kmIterCtesFrom("qs")}""".stripMargin
   }
 
@@ -4261,6 +4291,14 @@ object PipelineQueries {
 
     "emb_kmeanspp" ->
       s"""WITH $kmppCteSql
+         |SELECT id AS vec_id, cid, CAST(d AS BIGINT) AS dist FROM (
+         |  SELECT id, cid, d, ROW_NUMBER() OVER (PARTITION BY id ORDER BY d, cid) AS rn
+         |  FROM (SELECT q.id, c.cid, $kmDistSql AS d FROM q, c$KmIters c)) WHERE rn = 1""".stripMargin,
+
+    // emb_kmeanspp_s: the sampled seeding/training chain, assignment over
+    // the FULL quantized corpus exactly as the engine.
+    "emb_kmeanspp_s" ->
+      s"""WITH $kmppSampledCteSql
          |SELECT id AS vec_id, cid, CAST(d AS BIGINT) AS dist FROM (
          |  SELECT id, cid, d, ROW_NUMBER() OVER (PARTITION BY id ORDER BY d, cid) AS rn
          |  FROM (SELECT q.id, c.cid, $kmDistSql AS d FROM q, c$KmIters c)) WHERE rn = 1""".stripMargin,

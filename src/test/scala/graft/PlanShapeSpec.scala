@@ -333,6 +333,53 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("index model consumers read the persisted postings (no re-tokenize in the search plans)") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "red blue red green"), (2L, "blue green"), (3L, "red red blue"),
+      (4L, "green yellow"), (5L, "red blue"))
+      .toDF("doc_id", "text")
+    graft.core.Caches.scoped {
+      val m = graft.operators.IndexOps.indexModel(docs, "doc_id")
+      m.td.count(); m.dl.count() // materialize the index
+      val bm = graft.operators.IndexOps.bm25From(m, Seq("red", "green"), 3)
+      val (f1, c1, _, _, t1) = consumerNodes(bm)
+      assert(c1 >= 2, s"BM25 must read cached postings AND lengths:\n$t1")
+      assert(f1 == 0, s"BM25 consumer re-tokenized the corpus:\n$t1")
+      val cj = graft.operators.IndexOps.conjunctiveFrom(m, Seq("red", "blue"))
+      val (f2, c2, _, _, t2) = consumerNodes(cj)
+      assert(c2 >= 1 && f2 == 0,
+        s"conjunctive consumer must filter cached postings only:\n$t2")
+    }
+  }
+
+  test("sampled-IVF search keeps the trained-IVF plan shape (centroid literals, no training join, no cartesian)") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val dims = 8
+    val embs = (0L until 40L).map { i =>
+      (i, Array.tabulate(dims)(j => ((i * 7 + j * 3) % 13 - 6).toFloat))
+    }.toDF("vec_id", "embedding")
+    graft.core.Caches.scoped {
+      val search = graft.operators.VectorOps.knnIvfKmeansSampled(
+        embs, "vec_id", "embedding", col("vec_id") < 4, 3,
+        col("vec_id").between(8, 11), 2, 2, dims, sampleMod = 2)
+      val plan = search.queryExecution.sparkPlan
+      val cart = plan.collect {
+        case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+      }
+      assert(cart.isEmpty, s"sampled search plans a cartesian:\n${plan.treeString}")
+      // Centroids are plan literals: no join keyed on cell ids beyond the
+      // broadcast probe join (same budget as knn_ivf_kmeans).
+      val shuffles = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }.length
+      assert(shuffles <= 4,
+        s"sampled search grew extra shuffles ($shuffles):\n${plan.treeString}")
+    }
+  }
+
   test("knn_lsh_mp: broadcast probe join, no cartesian, rank as WindowGroupLimit") {
     // The multi-probe search must never shuffle the corpus for its
     // candidate join (the probe side is queries × tables × (1+flips)

@@ -47,6 +47,22 @@ class BloomOpsSpec extends AnyFunSuite {
     assert(prod.getLong(2) == 0L && prod.getLong(3) == prod.getLong(1))
   }
 
+  test("bloomModel + applyBloom: per-doc flags agree with bloomDecontam's aggregate count") {
+    val (train, eval) = corpus()
+    val m = BloomOps.bloomModel(eval, 4)
+    assert(m.n == 4 && m.bits.nonEmpty && m.bits.sameElements(m.bits.sorted))
+    assert(m.bits.forall(p => p >= 0 && p < BloomOps.Bits))
+    val flags = BloomOps.applyBloom(m, train, "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(flags.keySet == Set(1L, 2L, 3L))
+    // Exactly-contaminated docs must flag (no false negatives).
+    assert(flags(1L) == 1L && flags(3L) == 1L)
+    // The summed flags equal the accounting operator's bloom count.
+    val agg = BloomOps.bloomDecontam(train, eval, "doc_id", 4).collect().head
+    assert(flags.values.sum == agg.getLong(1),
+      s"applyBloom flags ${flags.values.sum} != bloomDecontam ${agg.getLong(1)}")
+  }
+
   test("hash positions stay inside the 2^16 filter") {
     val spark = TestSpark.spark
     import spark.implicits._

@@ -298,6 +298,46 @@ class VectorOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("kmeansFarthestFirstSampled: sampleMod=1 is the full operator; sampled seeding still covers the blobs") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val rnd = new scala.util.Random(33)
+    def blob(center: Array[Float], n: Int, from: Long) =
+      (0 until n).map(i => (from + i,
+        center.map(c => c + (rnd.nextFloat() - 0.5f) * 0.1f)))
+    val rows = blob(Array(1f, 0f, 0f, 0f), 8, 0L) ++
+      blob(Array(0f, 1f, 0f, 0f), 8, 10L) ++
+      blob(Array(0f, 0f, 1f, 0f), 8, 20L)
+    val df = rows.toDF("vec_id", "embedding")
+    val full = graft.core.Caches.scoped {
+      VectorOps.kmeansFarthestFirst(df, "vec_id", "embedding", 3, 2, 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    }
+    val mod1 = graft.core.Caches.scoped {
+      VectorOps.kmeansFarthestFirstSampled(df, "vec_id", "embedding", 3, 2, 4,
+          sampleMod = 1)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    }
+    assert(mod1 == full, s"sampleMod=1 must equal the full run: $mod1 vs $full")
+    // sampleMod=2: seeds come from the sample, but maximin over ~half of
+    // each well-separated blob still lands one seed per blob, so the
+    // FULL-corpus assignment keeps every vector with its own blob's cell.
+    val sampled = graft.core.Caches.scoped {
+      VectorOps.kmeansFarthestFirstSampled(df, "vec_id", "embedding", 3, 2, 4,
+          sampleMod = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    }
+    assert(sampled.map(_._1).toSet == rows.map(_._1).toSet,
+      "every corpus vector must be assigned")
+    val cellsPerBlob = sampled.groupBy(_._1 / 10)
+      .map { case (b, xs) => b -> xs.map(_._2).toSet }
+    cellsPerBlob.foreach { case (b, cs) =>
+      assert(cs.size == 1, s"blob $b split across cells $cs under sampling")
+    }
+    assert(cellsPerBlob.values.toSet.size == 3,
+      s"three blobs must map to three distinct cells: $cellsPerBlob")
+  }
+
   test("knnGraph equals knnLsh on a query subset; planted duplicate ranks first both ways") {
     val spark = TestSpark.spark
     import spark.implicits._
