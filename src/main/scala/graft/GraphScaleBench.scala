@@ -59,6 +59,16 @@ object GraphScaleBench {
       val prSec = (System.nanoTime() - t1) / 1e9
       graft.core.Caches.releaseAll()
 
+      // Production round count: 50 iterations = 6 lazily-composed spans
+      // re-rooted every ckptEvery = 8 rounds — the leg that proves the
+      // r14 lazy-compose change holds when lineage bounding actually
+      // matters, not just on the 5-round gate shape.
+      val t1b = System.nanoTime()
+      val pr50 = graft.operators.GraphOps.pageRank(edges, 50)
+      val pr50Mass = pr50.agg(sum("pr")).collect()(0).getLong(0)
+      val pr50Sec = (System.nanoTime() - t1b) / 1e9
+      graft.core.Caches.releaseAll()
+
       val t2 = System.nanoTime()
       val nodes = spark.range(0, n).select(col("id").as("v"))
       val labels = graft.operators.DedupOps.nearDupClusters(
@@ -82,6 +92,7 @@ object GraphScaleBench {
       edges.unpersist(blocking = true)
       f"""{"n":$n,"n_edges":$nEdges,"gen_sec":$genSec%.2f,""" +
         f""""pagerank_sec":$prSec%.2f,"pr_mass":$prMass,""" +
+        f""""pagerank50_sec":$pr50Sec%.2f,"pr50_mass":$pr50Mass,""" +
         f""""cc_sec":$ccSec%.2f,"n_components":$nComponents,""" +
         f""""kcore_sec":$coreSec%.2f,"n_core":$nCore,""" +
         f""""triangles_sec":$triSec%.2f,"n_triangles":${tri.getLong(2)}}"""
