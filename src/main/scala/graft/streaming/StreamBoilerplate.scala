@@ -44,7 +44,9 @@ object StreamBoilerplate {
     * horizon, so hex keys would double every key's footprint
     * ([[StreamSubstrDedup.SpanIn]]'s rationale, including its
     * checkpoint-incompatibility note: pre-change checkpoints cannot be
-    * restored across the string→binary key change). */
+    * restored across the string→binary key change — guard with
+    * [[StateCompat.guard]](dir, "boilerplate",
+    * [[StateCompat.SpanKeyVersion]]), see UPGRADING.md). */
   final case class SpanIn(sh: Array[Byte], docId: Long,
                           ts: java.sql.Timestamp, pos: Int)
 

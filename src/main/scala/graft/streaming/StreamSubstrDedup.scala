@@ -46,7 +46,10 @@ object StreamSubstrDedup {
     * ENCODED key bytes, so a binary key groups correctly). NOTE: this is
     * a state-SCHEMA change — a checkpoint written by the earlier
     * hex-string-keyed build cannot be restored (the state compatibility
-    * checker rejects string→binary keys); restart such queries fresh. */
+    * checker rejects string→binary keys); restart such queries fresh.
+    * Guard checkpoints with [[StateCompat.guard]](dir, "substr",
+    * [[StateCompat.SpanKeyVersion]]) to turn the opaque mid-batch schema
+    * error into an immediate named failure — see UPGRADING.md. */
   final case class SpanIn(sh: Array[Byte], docId: Long,
                           ts: java.sql.Timestamp, pos: Int)
 
