@@ -434,26 +434,23 @@ object MultimodalOps {
     * payloads. */
   def wavFingerprint8(bin: Column, segs: Int): Column = {
     require(segs >= 2 && segs <= 32, s"segs out of range: $segs")
-    // Same gated-and-clamped binding as [[wavWindowEnergy8]]: a rejected
-    // blob binds NULL (→ NULL segment bounds → the cheap otherwise(0)
-    // branch), and a magic-valid-but-truncated header costs O(actual
-    // bytes), never O(claimed samples).
+    // Column builders carry no session; register the native function on
+    // the active one so call_function resolves regardless of which
+    // operator ran first in the session (the graft_* entry-point rule).
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .foreach(graft.plans.GraftFunctions.register)
+    // Per-segment energies come from ONE native byte loop
+    // ([[graft.plans.WavEnergies]] — bit-for-bit the former per-segment
+    // aggregate(sequence(lo, hi), …) columns, whose per-SAMPLE lambda
+    // tree ran interpreted: the LshBuckets/CellDists failure mode, ~1 ms
+    // per row at fixture blob sizes). The O(1) header reads (the ok gate
+    // and the nSamp ≥ segs guard) stay in column land; the remaining
+    // higher-order work is over the segs-element energies array only.
     bindOnce(bin, nb => bindOnce(
         when(wavOk8(nb), least(leUN(nb, 40, 4), byteLen(nb) - 44)), nSamp => {
       val ok = nSamp.isNotNull
-      def sampleSq(idx: Column): Column = {
-        val v = byteAtN(nb, lit(44L) + idx) - 128L
-        v * v
-      }
-      // Segment bounds via floor division — every sample lands in exactly
-      // one segment, sizes differ by ≤ 1.
-      val energies = transform(sequence(lit(0L), lit(segs.toLong - 1)), s => {
-        val lo = floor(s * nSamp / segs).cast("long")
-        val hi = floor((s + 1) * nSamp / segs).cast("long") - 1
-        when(hi >= lo,
-          aggregate(sequence(lo, hi), lit(0L), (acc, k) => acc + sampleSq(k)))
-          .otherwise(lit(0L))
-      })
+      val energies = call_function(
+        graft.plans.GraftFunctions.WavEnergiesName, nb, lit(segs))
       bindOnce(energies, es =>
         bindOnce(aggregate(es, lit(0L), _ + _), total => {
           val fp = (0 until segs).map(s =>

@@ -88,6 +88,7 @@ object GraftFunctions {
   val ZOrderName = "graft_zorder"
   val LshBucketsName = "graft_lsh_buckets"
   val CellDistsName = "graft_cell_dists"
+  val WavEnergiesName = "graft_wav_energies"
 
   /** The native-function catalog, one entry per expression — shared by
     * the in-process [[register]] path and the `spark.sql.extensions`
@@ -105,7 +106,10 @@ object GraftFunctions {
       (children: Seq[Expression]) => LshBuckets.fromChildren(children)),
     (FunctionIdentifier(CellDistsName),
       new ExpressionInfo(classOf[CellDists].getName, CellDistsName),
-      (children: Seq[Expression]) => CellDists.fromChildren(children)))
+      (children: Seq[Expression]) => CellDists.fromChildren(children)),
+    (FunctionIdentifier(WavEnergiesName),
+      new ExpressionInfo(classOf[WavEnergies].getName, WavEnergiesName),
+      (children: Seq[Expression]) => WavEnergies.fromChildren(children)))
 
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
