@@ -390,20 +390,20 @@ object MultimodalOps {
     // so even a magic-valid header over a truncated file costs O(actual
     // bytes). [[wavBlob]] writes dataSize = |payload| exactly, so the
     // clamp is an identity on every well-formed file.
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .foreach(graft.plans.GraftFunctions.register)
     bindOnce(bin, nb => bindOnce(
         when(wavOk8(nb), least(leUN(nb, 40, 4), byteLen(nb) - 44)), nSamp => {
       // nSamp bound once: 8-bit mono has 1 byte per sample, data at 44.
       val ok = nSamp.isNotNull
       val nWin = floor(nSamp / win).cast("long")
-      def sampleSq(idx: Column): Column = {
-        val v = byteAtN(nb, lit(44L) + idx) - 128L
-        v * v
-      }
-      val energies = when(nWin > 0,
-        transform(sequence(lit(0L), nWin - 1), wi =>
-          aggregate(sequence(lit(0L), lit(win.toLong - 1)), lit(0L),
-            (acc, k) => acc + sampleSq(wi * win + k))))
-        .otherwise(array().cast("array<bigint>"))
+      // Per-window energies from ONE native byte loop
+      // ([[graft.plans.WavWinEnergies]] — bit-for-bit the former
+      // per-window aggregate columns, whose per-SAMPLE lambda tree ran
+      // interpreted; the wavFingerprint8 fix). Null on a rejected blob —
+      // gated by `ok` exactly as before.
+      val energies = call_function(
+        graft.plans.GraftFunctions.WavWinEnergiesName, nb, lit(win))
       bindOnce(energies, es =>
         when(ok, struct(
           nWin.as("n_windows"),

@@ -89,6 +89,7 @@ object GraftFunctions {
   val LshBucketsName = "graft_lsh_buckets"
   val CellDistsName = "graft_cell_dists"
   val WavEnergiesName = "graft_wav_energies"
+  val WavWinEnergiesName = "graft_wav_win_energies"
 
   /** The native-function catalog, one entry per expression — shared by
     * the in-process [[register]] path and the `spark.sql.extensions`
@@ -109,7 +110,10 @@ object GraftFunctions {
       (children: Seq[Expression]) => CellDists.fromChildren(children)),
     (FunctionIdentifier(WavEnergiesName),
       new ExpressionInfo(classOf[WavEnergies].getName, WavEnergiesName),
-      (children: Seq[Expression]) => WavEnergies.fromChildren(children)))
+      (children: Seq[Expression]) => WavEnergies.fromChildren(children)),
+    (FunctionIdentifier(WavWinEnergiesName),
+      new ExpressionInfo(classOf[WavWinEnergies].getName, WavWinEnergiesName),
+      (children: Seq[Expression]) => WavWinEnergies.fromChildren(children)))
 
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry

@@ -104,6 +104,98 @@ case class WavEnergies(child: Expression, segs: Int)
     copy(child = newChild)
 }
 
+/** FIXED-WIDTH windowed PCM energies — [[WavEnergies]]' sibling for
+  * [[graft.operators.MultimodalOps.wavWindowEnergy8]]'s layout:
+  * `graft_wav_win_energies(blob, win)` returns one Σ(byte−128)² per FULL
+  * window of `win` samples (⌊n/win⌋ elements — possibly empty; partial
+  * tails drop), NULL on a null blob or any header-gate failure. Same
+  * header kernel, same replacement rationale (the column form ran one
+  * interpreted lambda per SAMPLE). */
+case class WavWinEnergies(child: Expression, win: Int)
+    extends UnaryExpression with Serializable {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case _ if win < 1 || win > 65536 =>
+        TypeCheckResult.TypeCheckFailure(s"win must be in 1..65536: $win")
+      case BinaryType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects a binary blob, got ${other.simpleString}")
+    }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullable: Boolean = true
+
+  override def prettyName: String = "graft_wav_win_energies"
+
+  override def nullSafeEval(a: Any): Any = {
+    val b = a.asInstanceOf[Array[Byte]]
+    val n = WavEnergies.nSamples(b)
+    if (n < 0) return null
+    val nWin = (n / win).toInt
+    val res = new Array[Long](nWin)
+    var wi = 0
+    while (wi < nWin) {
+      var k = 0
+      var e = 0L
+      while (k < win) {
+        val v = (b(44 + wi * win + k) & 0xff) - 128L
+        e += v * v
+        k += 1
+      }
+      res(wi) = e
+      wi += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(res)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b => {
+      val n = ctx.freshName("n")
+      val nWin = ctx.freshName("nWin")
+      val res = ctx.freshName("res")
+      val wi = ctx.freshName("wi")
+      val k = ctx.freshName("k")
+      val e = ctx.freshName("e")
+      val v = ctx.freshName("v")
+      val cls = WavEnergies.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      s"""
+         |long $n = $cls.nSamples($b);
+         |if ($n < 0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $nWin = (int) ($n / ${win});
+         |  long[] $res = new long[$nWin];
+         |  for (int $wi = 0; $wi < $nWin; $wi++) {
+         |    long $e = 0L;
+         |    for (int $k = 0; $k < ${win}; $k++) {
+         |      long $v = ($b[44 + $wi * ${win} + $k] & 0xff) - 128L;
+         |      $e += $v * $v;
+         |    }
+         |    $res[$wi] = $e;
+         |  }
+         |  ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($res);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): WavWinEnergies =
+    copy(child = newChild)
+}
+
+object WavWinEnergies {
+  private[plans] def fromChildren(children: Seq[Expression]): WavWinEnergies =
+    children match {
+      case Seq(b, w) if w.foldable &&
+          w.dataType == org.apache.spark.sql.types.IntegerType =>
+        WavWinEnergies(b, w.eval().asInstanceOf[Int])
+      case _ => throw new IllegalArgumentException(
+        "graft_wav_win_energies(blob, win) needs a foldable int win")
+    }
+}
+
 object WavEnergies {
   private val RiffMagic = 0x46464952L
   private val WaveMagic = 0x45564157L
