@@ -285,34 +285,18 @@ object MultimodalOps {
     * arithmetic — 3·grid² byte reads per row, no codec, no UDF. */
   def bmpPixelGridSum(bin: Column, grid: Int): Column = {
     require(grid >= 2 && grid <= 16, s"grid out of range: $grid")
-    bindOnce(bin, nb => bindOnce(bmpHeader(nb), hd => {
-      val w = hd.getField("w")
-      val h = hd.getField("h")
-      val dataOff = hd.getField("o")
-      val rowSize = hd.getField("rs")
-      val ok = bmpOk(hd)
-      // ONE fold over the flat lattice index (k → (c, i, j)), not 3·grid²
-      // unrolled terms: the unrolled form grows the surrounding whole-stage-
-      // codegen method past javac's 64 KB limit and forces an interpreted
-      // fallback of the whole aggregate stage; the fold keeps codegen alive
-      // and only the small lambda is interpreted. Exact for dims < 2^26:
-      // the products stay inside double's 2^53 integer range, so
-      // floor(·/k) is floor division.
-      val pixSum = aggregate(
-        sequence(lit(0L), lit(3L * grid * grid - 1)), lit(0L), (acc, k) => {
-          val c = k % 3
-          val rest = floor(k / 3).cast("long")
-          val i = rest % grid
-          val j = floor(rest / grid).cast("long")
-          val x = floor((w - 1) * i / (grid - 1)).cast("long")
-          val y = floor((h - 1) * j / (grid - 1)).cast("long")
-          val p = dataOff + rowSize * (h - 1 - y) + x * 3 + c
-          acc + coalesce(byteAtN(nb, p), lit(0L))
-        })
-      when(ok, struct(
-        pixSum.as("pix_sum"),
-        lit(3L * grid * grid).as("n_bytes")))
-    }))
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .foreach(graft.plans.GraftFunctions.register)
+    // The whole lattice comes from ONE native byte loop
+    // ([[graft.plans.BmpCells]] — bit-for-bit the former per-byte
+    // `byteAtN` column fold, whose interpreted lambda tree cost
+    // ~0.3 ms/row; null exactly where the header gate / bmpOk rejected):
+    // pix_sum is the sum of the grid² cell sums, a grid²-element fold.
+    bindOnce(call_function(
+        graft.plans.GraftFunctions.BmpCellsName, bin, lit(grid)), cs =>
+      when(cs.isNotNull, struct(
+        aggregate(cs, lit(0L), _ + _).as("pix_sum"),
+        lit(3L * grid * grid).as("n_bytes"))))
   }
 
   /** aHash-style PERCEPTUAL image hash over a `grid`×`grid` nearest-
@@ -335,29 +319,20 @@ object MultimodalOps {
     * (ahash, lum_sum) — null for non-BMP payloads. */
   def bmpAHash(bin: Column, grid: Int): Column = {
     require(grid >= 2 && grid <= 7, s"grid out of range: $grid")
-    bindOnce(bin, nb => bindOnce(bmpHeader(nb), hd => {
-      val w = hd.getField("w")
-      val h = hd.getField("h")
-      val dataOff = hd.getField("o")
-      val rowSize = hd.getField("rs")
-      val ok = bmpOk(hd)
-      val cells = transform(sequence(lit(0L), lit(grid.toLong * grid - 1)), k => {
-        val i = k % grid
-        val j = floor(k / grid).cast("long")
-        val x = floor((w - 1) * i / (grid - 1)).cast("long")
-        val y = floor((h - 1) * j / (grid - 1)).cast("long")
-        val base = dataOff + rowSize * (h - 1 - y) + x * 3
-        (0 until 3).map(c =>
-          coalesce(byteAtN(nb, base + c), lit(0L))).reduce(_ + _)
-      })
-      bindOnce(cells, cs =>
-        bindOnce(aggregate(cs, lit(0L), _ + _), total => {
-          val hash = (0 until grid * grid).map(k =>
-            when(element_at(cs, k + 1) * lit(grid.toLong * grid) > total,
-              lit(1L << k)).otherwise(lit(0L))).reduce(_ + _)
-          when(ok, struct(hash.as("ahash"), total.as("lum_sum")))
-        }))
-    }))
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .foreach(graft.plans.GraftFunctions.register)
+    // Cell sums from the native [[graft.plans.BmpCells]] loop (null
+    // exactly where the header gate / bmpOk rejected — the former `ok`
+    // condition); only the grid²-element threshold fold stays in column
+    // land.
+    bindOnce(call_function(
+        graft.plans.GraftFunctions.BmpCellsName, bin, lit(grid)), cs =>
+      bindOnce(aggregate(cs, lit(0L), _ + _), total => {
+        val hash = (0 until grid * grid).map(k =>
+          when(element_at(cs, k + 1) * lit(grid.toLong * grid) > total,
+            lit(1L << k)).otherwise(lit(0L))).reduce(_ + _)
+        when(cs.isNotNull, struct(hash.as("ahash"), total.as("lum_sum")))
+      }))
   }
 
   /** WINDOWED PCM ENERGY over an 8-bit mono WAV ([[wavBlob]] layout): per

@@ -90,6 +90,7 @@ object GraftFunctions {
   val CellDistsName = "graft_cell_dists"
   val WavEnergiesName = "graft_wav_energies"
   val WavWinEnergiesName = "graft_wav_win_energies"
+  val BmpCellsName = "graft_bmp_cells"
 
   /** The native-function catalog, one entry per expression — shared by
     * the in-process [[register]] path and the `spark.sql.extensions`
@@ -113,7 +114,10 @@ object GraftFunctions {
       (children: Seq[Expression]) => WavEnergies.fromChildren(children)),
     (FunctionIdentifier(WavWinEnergiesName),
       new ExpressionInfo(classOf[WavWinEnergies].getName, WavWinEnergiesName),
-      (children: Seq[Expression]) => WavWinEnergies.fromChildren(children)))
+      (children: Seq[Expression]) => WavWinEnergies.fromChildren(children)),
+    (FunctionIdentifier(BmpCellsName),
+      new ExpressionInfo(classOf[BmpCells].getName, BmpCellsName),
+      (children: Seq[Expression]) => BmpCells.fromChildren(children)))
 
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
