@@ -97,10 +97,16 @@ object DedupOps {
     * aggregation); empty array when the document has fewer than `n` tokens
     * (such docs pair with nothing). */
   def shingles(text: Column, n: Int): Column = {
+    // The n-gram build runs in the native [[graft.plans.Shingles]] loop —
+    // bit-for-bit the former transform(sequence(…), i -> concat_ws(" ",
+    // slice(w, i, n))) column, whose per-position interpreted lambda was
+    // ~85 % of the shingle pass every dedup operator starts with
+    // (measured 1.6 s of an sf0.1 scan vs 0.16 s for the token explode).
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .foreach(graft.plans.GraftFunctions.register)
     val w = split(text, " ")
     when(size(w) >= n,
-      transform(sequence(lit(1), size(w) - lit(n - 1)),
-        i => concat_ws(" ", slice(w, i, lit(n)))))
+      call_function(graft.plans.GraftFunctions.ShinglesName, w, lit(n)))
       .otherwise(array().cast("array<string>"))
   }
 

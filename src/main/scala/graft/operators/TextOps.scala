@@ -99,10 +99,16 @@ object TextOps {
     * across engines). NULL for documents shorter than `n` tokens.
     */
   def fingerprintCol(text: Column, n: Int): Column = {
+    // Shingle strings from the native [[graft.plans.Shingles]] loop (the
+    // DedupOps.shingles fix); only the per-shingle md5 map stays a
+    // higher-order lambda.
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .foreach(graft.plans.GraftFunctions.register)
     val w = tokens(text)
     when(size(w) >= n,
-      array_min(transform(sequence(lit(1), size(w) - lit(n - 1)),
-        i => md5(concat_ws(" ", slice(w, i, lit(n)))))))
+      array_min(transform(
+        call_function(graft.plans.GraftFunctions.ShinglesName, w, lit(n)),
+        s => md5(s))))
       .otherwise(lit(null))
   }
 

@@ -91,6 +91,7 @@ object GraftFunctions {
   val WavEnergiesName = "graft_wav_energies"
   val WavWinEnergiesName = "graft_wav_win_energies"
   val BmpCellsName = "graft_bmp_cells"
+  val ShinglesName = "graft_shingles"
 
   /** The native-function catalog, one entry per expression — shared by
     * the in-process [[register]] path and the `spark.sql.extensions`
@@ -117,7 +118,10 @@ object GraftFunctions {
       (children: Seq[Expression]) => WavWinEnergies.fromChildren(children)),
     (FunctionIdentifier(BmpCellsName),
       new ExpressionInfo(classOf[BmpCells].getName, BmpCellsName),
-      (children: Seq[Expression]) => BmpCells.fromChildren(children)))
+      (children: Seq[Expression]) => BmpCells.fromChildren(children)),
+    (FunctionIdentifier(ShinglesName),
+      new ExpressionInfo(classOf[Shingles].getName, ShinglesName),
+      (children: Seq[Expression]) => Shingles.fromChildren(children)))
 
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
