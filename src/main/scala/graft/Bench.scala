@@ -379,9 +379,13 @@ object Bench {
       }
       deployEntries.toSeq
     }
+    // Defensive parse: a malformed knob after the full gate run must not
+    // throw away the gate results ("the lane must never take down the
+    // gate bench").
     val deployN =
       if (sys.env.getOrElse("SPARK_GRAFT_DEPLOY", "1") == "0") 0
-      else sys.env.getOrElse("SPARK_GRAFT_DEPLOY_N", "2").toInt.max(1)
+      else sys.env.get("SPARK_GRAFT_DEPLOY_N").flatMap(_.toIntOption)
+        .getOrElse(2).max(1)
     val deployRuns = (1 to deployN).map(_ => runDeployLane())
     // Min per entry across passes, keyed in first-pass order; an entry a
     // failed pass never reached degrades to the passes that have it.

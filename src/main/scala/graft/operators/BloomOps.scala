@@ -123,9 +123,14 @@ object BloomOps {
     val hit = Offsets
       .map(o => array_contains(bits, pos(col("h"), o)))
       .reduce(_ && _)
+    // explode_OUTER: a doc shorter than n tokens (or with null text) has an
+    // empty shingle array — it must still appear in the output, unflagged
+    // (its null sentinel row hashes to a null `h`, which every probe reads
+    // as not-hit). A plain explode dropped such docs entirely, silently
+    // removing them from the documented keep-list recipe.
     train
       .select(col(idCol).as("doc_id"),
-        explode(DedupOps.shingles(col("text"), m.n)).as("s"))
+        explode_outer(DedupOps.shingles(col("text"), m.n)).as("s"))
       .select(col("doc_id"), md5(col("s")).as("h")).distinct()
       .groupBy("doc_id")
       .agg(max(when(hit, 1L).otherwise(0L)).as("flagged"))

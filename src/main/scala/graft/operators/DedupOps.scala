@@ -102,8 +102,7 @@ object DedupOps {
     // slice(w, i, n))) column, whose per-position interpreted lambda was
     // ~85 % of the shingle pass every dedup operator starts with
     // (measured 1.6 s of an sf0.1 scan vs 0.16 s for the token explode).
-    org.apache.spark.sql.SparkSession.getActiveSession
-      .foreach(graft.plans.GraftFunctions.register)
+    graft.plans.GraftFunctions.registerCurrent()
     val w = split(text, " ")
     when(size(w) >= n,
       call_function(graft.plans.GraftFunctions.ShinglesName, w, lit(n)))

@@ -285,8 +285,7 @@ object MultimodalOps {
     * arithmetic — 3·grid² byte reads per row, no codec, no UDF. */
   def bmpPixelGridSum(bin: Column, grid: Int): Column = {
     require(grid >= 2 && grid <= 16, s"grid out of range: $grid")
-    org.apache.spark.sql.SparkSession.getActiveSession
-      .foreach(graft.plans.GraftFunctions.register)
+    graft.plans.GraftFunctions.registerCurrent()
     // The whole lattice comes from ONE native byte loop
     // ([[graft.plans.BmpCells]] — bit-for-bit the former per-byte
     // `byteAtN` column fold, whose interpreted lambda tree cost
@@ -319,8 +318,7 @@ object MultimodalOps {
     * (ahash, lum_sum) — null for non-BMP payloads. */
   def bmpAHash(bin: Column, grid: Int): Column = {
     require(grid >= 2 && grid <= 7, s"grid out of range: $grid")
-    org.apache.spark.sql.SparkSession.getActiveSession
-      .foreach(graft.plans.GraftFunctions.register)
+    graft.plans.GraftFunctions.registerCurrent()
     // Cell sums from the native [[graft.plans.BmpCells]] loop (null
     // exactly where the header gate / bmpOk rejected — the former `ok`
     // condition); only the grid²-element threshold fold stays in column
@@ -365,8 +363,7 @@ object MultimodalOps {
     // so even a magic-valid header over a truncated file costs O(actual
     // bytes). [[wavBlob]] writes dataSize = |payload| exactly, so the
     // clamp is an identity on every well-formed file.
-    org.apache.spark.sql.SparkSession.getActiveSession
-      .foreach(graft.plans.GraftFunctions.register)
+    graft.plans.GraftFunctions.registerCurrent()
     bindOnce(bin, nb => bindOnce(
         when(wavOk8(nb), least(leUN(nb, 40, 4), byteLen(nb) - 44)), nSamp => {
       // nSamp bound once: 8-bit mono has 1 byte per sample, data at 44.
@@ -412,8 +409,7 @@ object MultimodalOps {
     // Column builders carry no session; register the native function on
     // the active one so call_function resolves regardless of which
     // operator ran first in the session (the graft_* entry-point rule).
-    org.apache.spark.sql.SparkSession.getActiveSession
-      .foreach(graft.plans.GraftFunctions.register)
+    graft.plans.GraftFunctions.registerCurrent()
     // Per-segment energies come from ONE native byte loop
     // ([[graft.plans.WavEnergies]] — bit-for-bit the former per-segment
     // aggregate(sequence(lo, hi), …) columns, whose per-SAMPLE lambda

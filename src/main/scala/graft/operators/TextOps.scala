@@ -102,8 +102,7 @@ object TextOps {
     // Shingle strings from the native [[graft.plans.Shingles]] loop (the
     // DedupOps.shingles fix); only the per-shingle md5 map stays a
     // higher-order lambda.
-    org.apache.spark.sql.SparkSession.getActiveSession
-      .foreach(graft.plans.GraftFunctions.register)
+    graft.plans.GraftFunctions.registerCurrent()
     val w = tokens(text)
     when(size(w) >= n,
       array_min(transform(

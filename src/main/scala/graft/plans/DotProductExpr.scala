@@ -131,6 +131,18 @@ object GraftFunctions {
       }
     }
   }
+
+  /** Registration hook for COLUMN BUILDERS, which carry no session:
+    * register on the thread's active session, falling back to the
+    * process default (column construction from a pool thread has no
+    * active session but usually a default one — without the fallback the
+    * first action fails with 'Undefined function graft_*'). A builder
+    * invoked with NO session anywhere stays unregistered — resolution
+    * then happens against whatever session analyzes the plan, which is
+    * what [[GraftExtensions]] / an operator-level [[register]] covers. */
+  def registerCurrent(): Unit =
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      .foreach(register)
 }
 
 /** `spark.sql.extensions=graft.plans.GraftExtensions` — the public

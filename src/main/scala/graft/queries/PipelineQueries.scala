@@ -2141,25 +2141,10 @@ object PipelineQueries {
   }
 
   /** The knn_ivfk_sampled replay chain ending in ranked CTE `r` — the
-    * [[ivfKmeansRankedCtes]] probe/re-rank shape over the SAMPLED-trained
-    * centroids (full-corpus assignment, as the engine). */
-  private lazy val ivfkSampledRankedCtes: String = {
-    val cos = cosSql("a.v", "b.v")
-    s"""$ivfkSampledCteSql,
-       |dists AS (SELECT q.id, c.cid, $kmDistSql AS d FROM q, c$KmIters c),
-       |cells AS (SELECT id, cid FROM (
-       |  SELECT id, cid, ROW_NUMBER() OVER (PARTITION BY id ORDER BY d, cid) AS rn
-       |  FROM dists) WHERE rn = 1),
-       |prob AS (SELECT id AS qid, cid FROM (
-       |  SELECT id, cid, ROW_NUMBER() OVER (PARTITION BY id ORDER BY d, cid) AS rn
-       |  FROM dists WHERE id < 8) WHERE rn <= $IvfProbes),
-       |ev AS (SELECT vec_id, embedding AS v FROM embeddings),
-       |cand AS (SELECT p.qid, cl.id AS nid FROM prob p JOIN cells cl USING (cid)
-       |  WHERE cl.id != p.qid),
-       |s AS (SELECT c.qid, c.nid, $cos AS sim
-       |  FROM cand c JOIN ev a ON a.vec_id = c.qid JOIN ev b ON b.vec_id = c.nid),
-       |r AS (SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rnk FROM s)""".stripMargin
-  }
+    * identical probe/re-rank SQL over the SAMPLED-trained centroids
+    * (full-corpus assignment, as the engine). */
+  private lazy val ivfkSampledRankedCtes: String =
+    ivfRankedCtesFrom(ivfkSampledCteSql)
 
   /** Farthest-first seeding chain s1..s$KmppK (expects `q`): s1 = the min
     * id; each s_{j} adds the vector maximizing its min distance to s_{j-1}
@@ -2216,11 +2201,13 @@ object PipelineQueries {
     chains
   }
 
-  /** The knn_ivf_kmeans replay chain ending in the ranked CTE `r`
-    * (qid, nid, rnk by sim desc) — shared by the gate and ann_recall_ivf. */
-  private lazy val ivfKmeansRankedCtes: String = {
+  /** The trained-IVF probe/re-rank replay ending in the ranked CTE `r`
+    * (qid, nid, rnk by sim desc), appended to any training-chain prefix
+    * that yields `q` and `c$KmIters` — ONE copy of the search SQL shared
+    * by the full-scan and sampled gates (the kmIterCtesFrom pattern). */
+  private def ivfRankedCtesFrom(trainingCtes: String): String = {
     val cos = cosSql("a.v", "b.v")
-    s"""$kmeansCteSql,
+    s"""$trainingCtes,
        |dists AS (SELECT q.id, c.cid, $kmDistSql AS d FROM q, c$KmIters c),
        |cells AS (SELECT id, cid FROM (
        |  SELECT id, cid, ROW_NUMBER() OVER (PARTITION BY id ORDER BY d, cid) AS rn
@@ -2235,6 +2222,11 @@ object PipelineQueries {
        |  FROM cand c JOIN ev a ON a.vec_id = c.qid JOIN ev b ON b.vec_id = c.nid),
        |r AS (SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rnk FROM s)""".stripMargin
   }
+
+  /** The knn_ivf_kmeans replay chain ending in the ranked CTE `r`
+    * (qid, nid, rnk by sim desc) — shared by the gate and ann_recall_ivf. */
+  private lazy val ivfKmeansRankedCtes: String =
+    ivfRankedCtesFrom(kmeansCteSql)
 
   /** The knn_pq replay chain ending in ranked CTE `r` (qid, nid, adc, rnk)
     * — shared by the gate and ann_recall_pq. */

@@ -30,11 +30,15 @@ object StateCompat {
   /** Validate (or stamp) the state-key format marker for `twin` in
     * `checkpointDir`. Throws [[IllegalStateException]] with a
     * restart-fresh message on a version mismatch — BEFORE Spark touches
-    * the incompatible state. Idempotent on a matching marker; creates
-    * the directory if absent (Spark accepts a pre-existing checkpoint
-    * root). Local-filesystem checkpoints only (the single-JVM scope of
-    * this build); a distributed deployment would route through the
-    * checkpoint's FileSystem. */
+    * the incompatible state — and ALSO when the directory already holds
+    * checkpoint content (offsets/state/commits) without any marker: that
+    * is exactly the pre-guard (≤ r12) checkpoint this guard exists for,
+    * and stamping it with the CURRENT version would record the migration
+    * backwards and silence the loud path forever. Idempotent on a
+    * matching marker; creates the directory if absent (Spark accepts a
+    * pre-existing checkpoint root). Local-filesystem checkpoints only
+    * (the single-JVM scope of this build); a distributed deployment
+    * would route through the checkpoint's FileSystem. */
   def guard(checkpointDir: String, twin: String, version: Int): Unit = {
     val dir = Paths.get(checkpointDir)
     val marker = dir.resolve(s"_graft_state_version_$twin")
@@ -48,6 +52,16 @@ object StateCompat {
             "incompatible — e.g. r13 moved span keys from hex strings " +
             "to 16-byte binary). Restart the query fresh with a new " +
             "checkpoint directory; the old state cannot be restored.")
+    } else if (Seq("offsets", "state", "commits")
+        .exists(s => Files.exists(dir.resolve(s)))) {
+      throw new IllegalStateException(
+        s"graft state-key format unknown for '$twin': checkpoint " +
+          s"$checkpointDir holds existing query state but no graft " +
+          "format marker — it predates this guard (a pre-marker build, " +
+          "e.g. the ≤ r12 hex-string span keys). Restart the query " +
+          "fresh with a new checkpoint directory, or, if the state is " +
+          s"KNOWN to match format v$version, stamp it manually: " +
+          s"write '$version' to ${marker.getFileName}.")
     } else {
       Files.createDirectories(dir)
       Files.write(marker, version.toString.getBytes(UTF_8))

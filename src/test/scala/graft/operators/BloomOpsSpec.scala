@@ -52,9 +52,15 @@ class BloomOpsSpec extends AnyFunSuite {
     val m = BloomOps.bloomModel(eval, 4)
     assert(m.n == 4 && m.bits.nonEmpty && m.bits.sameElements(m.bits.sorted))
     assert(m.bits.forall(p => p >= 0 && p < BloomOps.Bits))
-    val flags = BloomOps.applyBloom(m, train, "doc_id")
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // A doc shorter than n tokens must still appear, unflagged — a plain
+    // explode dropped it from the keep-list entirely.
+    val trainPlus = train.unionAll(Seq((4L, "too short")).toDF("doc_id", "text"))
+    val flags = BloomOps.applyBloom(m, trainPlus, "doc_id")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(flags.keySet == Set(1L, 2L, 3L))
+    assert(flags.keySet == Set(1L, 2L, 3L, 4L))
+    assert(flags(4L) == 0L, "a sub-n-token doc must pass through unflagged")
     // Exactly-contaminated docs must flag (no false negatives).
     assert(flags(1L) == 1L && flags(3L) == 1L)
     // The summed flags equal the accounting operator's bloom count.

@@ -19,4 +19,16 @@ class StateCompatSpec extends AnyFunSuite {
     // Independent twins keep independent markers.
     StateCompat.guard(dir, "embdedup", StateCompat.EmbKeyVersion)
   }
+
+  test("a pre-marker checkpoint with existing query state refuses to be stamped") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt_old")
+    // Simulate a <= r12 checkpoint: Spark content, no graft marker.
+    java.nio.file.Files.createDirectories(dir.resolve("offsets"))
+    java.nio.file.Files.createDirectories(dir.resolve("state"))
+    val e = intercept[IllegalStateException] {
+      StateCompat.guard(dir.toString, "substr", StateCompat.SpanKeyVersion)
+    }
+    assert(e.getMessage.contains("no graft format marker"))
+    assert(e.getMessage.contains("Restart the query fresh"))
+  }
 }
