@@ -56,14 +56,14 @@ object BloomOps {
     */
   def bloomDecontam(train: DataFrame, eval: DataFrame, idCol: String,
                     n: Int, withExact: Boolean = true): DataFrame = {
-    val evalSpans = eval
+    val evalSpans = graft.plans.GraftFunctions.on(eval)
       .select(explode(DedupOps.shingles(col("text"), n)).as("s"))
       .select(md5(col("s")).as("h")).distinct()
     val bitsSet: Array[Int] = evalSpans
       .select(explode(array(Offsets.map(o => pos(col("h"), o)): _*)).as("p"))
       .distinct().collect().map(_.getInt(0)).sorted
     val bits = typedLit(bitsSet.toSeq)
-    val t = train
+    val t = graft.plans.GraftFunctions.on(train)
       .select(col(idCol).as("doc_id"),
         explode(DedupOps.shingles(col("text"), n)).as("s"))
       .select(col("doc_id"), md5(col("s")).as("h")).distinct()
@@ -102,7 +102,7 @@ object BloomOps {
   /** Build a [[BloomModel]] from the eval corpus (text column `text`) —
     * one distinct-position aggregate, collected as the bitset. */
   def bloomModel(eval: DataFrame, n: Int): BloomModel = {
-    val bitsSet = eval
+    val bitsSet = graft.plans.GraftFunctions.on(eval)
       .select(explode(DedupOps.shingles(col("text"), n)).as("s"))
       .select(md5(col("s")).as("h"))
       .select(explode(array(Offsets.map(o => pos(col("h"), o)): _*)).as("p"))
@@ -128,7 +128,7 @@ object BloomOps {
     // (its null sentinel row hashes to a null `h`, which every probe reads
     // as not-hit). A plain explode dropped such docs entirely, silently
     // removing them from the documented keep-list recipe.
-    train
+    graft.plans.GraftFunctions.on(train)
       .select(col(idCol).as("doc_id"),
         explode_outer(DedupOps.shingles(col("text"), m.n)).as("s"))
       .select(col("doc_id"), md5(col("s")).as("h")).distinct()

@@ -122,7 +122,7 @@ object CorpusOps {
     */
   def kmvDistinct(docs: DataFrame, groupCol: String, n: Int,
                   k: Int, withExact: Boolean = true): DataFrame = {
-    val shPlain = docs
+    val shPlain = graft.plans.GraftFunctions.on(docs)
       .select(col(groupCol),
         explode(DedupOps.shingles(col("text"), n)).as("s"))
       .select(col(groupCol), md5(col("s")).as("h"))
@@ -168,7 +168,7 @@ object CorpusOps {
                    m: Int = 64): DataFrame = {
     require(m >= 16 && m <= 256 && (m & (m - 1)) == 0,
       s"m must be a power of two in 16..256: $m")
-    val h = docs
+    val h = graft.plans.GraftFunctions.on(docs)
       .select(col(groupCol),
         explode(DedupOps.shingles(col("text"), n)).as("s"))
       .select(col(groupCol), md5(col("s")).as("h"))
@@ -215,7 +215,7 @@ object CorpusOps {
     */
   def spanStats(docs: DataFrame, idCol: String, groupCol: String,
                 n: Int): DataFrame = {
-    val sp = docs
+    val sp = graft.plans.GraftFunctions.on(docs)
       .select(col(groupCol), col(idCol).as("doc_id"),
         explode(DedupOps.shingles(col("text"), n)).as("s"))
       .select(col(groupCol), col("doc_id"), md5(col("s")).as("sh"))
@@ -317,10 +317,10 @@ object CorpusOps {
     */
   def decontaminate(train: DataFrame, eval: DataFrame, idCol: String,
                     n: Int): DataFrame = {
-    val evalSpans = eval
+    val evalSpans = graft.plans.GraftFunctions.on(eval)
       .select(explode(DedupOps.shingles(col("text"), n)).as("s"))
       .select(md5(col("s")).as("sh")).distinct()
-    train
+    graft.plans.GraftFunctions.on(train)
       .select(col(idCol).as("doc_id"),
         explode(DedupOps.shingles(col("text"), n)).as("s"))
       .select(col("doc_id"), md5(col("s")).as("sh")).distinct()
@@ -369,7 +369,7 @@ object CorpusOps {
     * docs², and the final pair count aggregates over at most
     * C(|groups|, 2) keys. */
   def sourceOverlap(docs: DataFrame, groupCol: String, n: Int): DataFrame = {
-    val spanGroups = docs
+    val spanGroups = graft.plans.GraftFunctions.on(docs)
       .select(col(groupCol).as("g"),
         explode(DedupOps.shingles(col("text"), n)).as("s"))
       .groupBy(md5(col("s")).as("sh"))
@@ -526,9 +526,10 @@ object CorpusOps {
   def bigramSurprisalBands(docs: DataFrame, idCol: String,
                            scale: Long = 1000000L,
                            bandDiv: Long = 10000000L): DataFrame = {
-    val dt = graft.core.Caches.persistTracked(docs
-      .select(col(idCol).as("doc_id"),
-        explode(DedupOps.shingles(col("text"), 2)).as("s"))
+    val dt = graft.core.Caches.persistTracked(
+      graft.plans.GraftFunctions.on(docs)
+        .select(col(idCol).as("doc_id"),
+          explode(DedupOps.shingles(col("text"), 2)).as("s"))
       .groupBy("doc_id", "s").agg(count(lit(1)).as("c"))
       .withColumn("w1", split(col("s"), " ").getItem(0)))
     val c2 = dt.groupBy("s").agg(sum(col("c")).as("cnt2"))

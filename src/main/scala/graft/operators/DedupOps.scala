@@ -113,7 +113,8 @@ object DedupOps {
     * signature path, whose per-band MIN is duplicate-invariant, so it skips
     * [[shingleRows]]' distinct (an exchange + aggregate). */
   def rawShingleRows(docs: DataFrame, idCol: String, n: Int): DataFrame =
-    docs.select(col(idCol).as("id"), explode(shingles(col("text"), n)).as("s"))
+    graft.plans.GraftFunctions.on(docs)
+      .select(col(idCol).as("id"), explode(shingles(col("text"), n)).as("s"))
 
   /** Distinct shingle rows (id, s) — the set-semantics form the verification
     * and exact-Jaccard stages need. */
@@ -165,7 +166,8 @@ object DedupOps {
     // persisted row roughly a third with identical equality semantics.
     // Persisted — consumed twice (occurrence counts + the join back).
     val sp = cachePersist(
-      docs.select(col(idCol).as("doc_id"),
+      graft.plans.GraftFunctions.on(docs)
+        .select(col(idCol).as("doc_id"),
           posexplode(shingles(col("text"), k)))
         .select(col("doc_id"), col("pos"), unhex(md5(col("col"))).as("sh")))
     val dupSh = sp.groupBy("sh").agg(count(lit(1)).as("c"))
@@ -212,7 +214,8 @@ object DedupOps {
     import org.apache.spark.sql.expressions.Window
     // Same binary-digest span table as [[duplicatedSpanCoverage]].
     val sp = cachePersist(
-      docs.select(col(idCol).as("doc_id"),
+      graft.plans.GraftFunctions.on(docs)
+        .select(col(idCol).as("doc_id"),
           posexplode(shingles(col("text"), k)))
         .select(col("doc_id"), col("pos"), unhex(md5(col("col"))).as("sh")))
     val dupSh = sp.groupBy("sh").agg(count(lit(1)).as("c"))
@@ -272,7 +275,8 @@ object DedupOps {
     import org.apache.spark.sql.expressions.Window
     // Same binary-digest span table as [[duplicatedSpanCoverage]].
     val sp = cachePersist(
-      docs.select(col(idCol).as("doc_id"),
+      graft.plans.GraftFunctions.on(docs)
+        .select(col(idCol).as("doc_id"),
           posexplode(shingles(col("text"), k)))
         .select(col("doc_id"), col("pos"), unhex(md5(col("col"))).as("sh")))
     val bpSh = sp.select("sh", "doc_id").repartition(col("sh"))

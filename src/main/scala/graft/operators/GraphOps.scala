@@ -47,9 +47,27 @@ object GraphOps {
     * per round: at small graph sizes the per-round checkpoint job was
     * pure scheduling overhead (~5× the useful work), and at production
     * sizes the composed rounds still shuffle identically, they just skip
-    * the intermediate block writes. The final round is returned LAZY —
-    * consumers pay the composed tail once; persist it before consuming
-    * it more than once. */
+    * the intermediate block writes.
+    *
+    * EXACT early stop: ranks are integers under a deterministic map, so
+    * the iteration reaches an exact fixed point r = F(r) — after which
+    * every further round is the identity. At each checkpoint boundary
+    * the next round is ALSO materialized and the two adjacent rank
+    * tables compared exactly; on equality the remaining rounds are
+    * skipped with a BIT-IDENTICAL result (the oracle replays all `iters`
+    * rounds and agrees). Probe cost: one extra |V|-row cache write + one
+    * cached-to-cached join per boundary — at 10 M nodes that is seconds
+    * against the ~10 s/round it can save ×(iters − t) rounds.
+    *
+    * Return-plan lifecycle: for iters < ckptEvery (the gate shape) the
+    * result is LAZY — one composed job, pay it once, persist before
+    * consuming twice. For iters ≥ ckptEvery the FINAL round is
+    * checkpointed too, so the returned frame is a cheap block read that
+    * survives repeated consumption — but those blocks are registered
+    * with [[graft.core.Caches]], so `Caches.releaseAll()` /
+    * [[DedupOps.unpersistPipelines]] BEFORE consuming the result frees
+    * them and the read FAILS (lineage is truncated by design; it cannot
+    * recompute). Consume, then release — the registry's contract. */
   def pageRank(edges: DataFrame, iters: Int,
                scale: Long = 1000000000000L,
                ckptEvery: Int = 8): DataFrame = {
@@ -66,35 +84,60 @@ object GraphOps {
     require(n > 0, "pageRank on an empty edge list")
     val r0 = scale / n
     val base = (15L * r0) / 100L
-    var ranks = deg.select(col("src").as("id"), col("deg"), lit(r0).as("r"))
-    // Backing storage of the checkpoint the CURRENT plan reads (if any):
-    // freed when a newer checkpoint supersedes it, tracked for the
-    // registry once it feeds the returned plan.
-    var liveCkpt: Option[org.apache.spark.rdd.RDD[_]] = None
-    var t = 0
-    while (t < iters) {
+    def round(ranks: DataFrame): DataFrame = {
       val contrib = e
         .join(ranks.select(col("id").as("src"),
           expr("r div deg").as("share")), "src")
         .groupBy("dst").agg(sum(col("share")).as("contrib"))
-      var next = deg.select(col("src").as("id"), col("deg"))
+      deg.select(col("src").as("id"), col("deg"))
         .join(contrib.select(col("dst").as("id"), col("contrib")),
           Seq("id"), "left")
         .select(col("id"), col("deg"),
           (lit(base) +
             expr("(85 * coalesce(contrib, CAST(0 AS BIGINT))) div 100"))
             .as("r"))
+    }
+    var ranks = deg.select(col("src").as("id"), col("deg"), lit(r0).as("r"))
+    // Backing storage of the checkpoint the CURRENT plan reads (if any):
+    // freed when a newer checkpoint supersedes it, tracked for the
+    // registry once it feeds the returned plan.
+    var liveCkpt: Option[org.apache.spark.rdd.RDD[_]] = None
+    def supersede(ckpt: DataFrame): Unit = {
+      liveCkpt.foreach(_.unpersist(blocking = false)) // superseded round
+      liveCkpt = graft.core.Caches.checkpointRdd(ckpt)
+    }
+    var t = 0
+    var fixed = false
+    while (t < iters && !fixed) {
+      var next = round(ranks)
       t += 1
       if (t % ckptEvery == 0 && t < iters) {
         next = next.localCheckpoint() // eager: materializes BEFORE the free
-        liveCkpt.foreach(_.unpersist(blocking = false)) // superseded round
-        liveCkpt = graft.core.Caches.checkpointRdd(next)
+        supersede(next)
+        if (t < iters) {
+          // Fixed-point probe: run the adjacent round eagerly and compare
+          // the two CACHED rank tables exactly (both |V| rows in memory).
+          val probe = round(next).localCheckpoint()
+          t += 1
+          fixed = next.select(col("id"), col("r"))
+            .join(probe.select(col("id"), col("r").as("r2")), "id")
+            .filter(col("r") =!= col("r2")).isEmpty
+          supersede(probe)
+          next = probe
+        }
       }
       ranks = next
     }
-    // The returned plan may read the last intermediate checkpoint —
-    // released only after the caller consumes it (the registry's
-    // consume-then-release contract).
+    if (iters >= ckptEvery) {
+      // Root the RETURNED plan in its own blocks (cheap repeatable read;
+      // also releases the composed tail's reference to the last
+      // intermediate checkpoint). No-op-cheap when `ranks` already IS a
+      // checkpoint (the fixed-point exit path re-caches |V| rows).
+      ranks = ranks.localCheckpoint()
+      supersede(ranks)
+    }
+    // Released only after the caller consumes the result (the registry's
+    // consume-then-release contract — see scaladoc).
     liveCkpt.foreach(graft.core.Caches.trackRdd)
     ranks.select(col("id").as("vec_id"), col("r").as("pr"))
   }
@@ -340,9 +383,12 @@ object GraphOps {
     * to the node list; rounds compose lazily and re-root through an eager
     * localCheckpoint every `ckptEvery` rounds with superseded blocks
     * freed, so plan size stays bounded while short runs execute as one
-    * job (the [[pageRank]] lifecycle — the returned final round is lazy;
-    * persist before consuming more than once). The seed table is
-    * model-sized and broadcasts. */
+    * job (the [[pageRank]] lifecycle, including its exact fixed-point
+    * probe at boundaries and its return-plan rule: lazy below ckptEvery
+    * rounds, final-round checkpoint at or above it — with the same
+    * consume-then-release contract: `Caches.releaseAll()` before
+    * consuming frees the blocks the returned frame reads). The seed
+    * table is model-sized and broadcasts. */
   def personalizedPageRank(edges: DataFrame, seeds: DataFrame, iters: Int,
                            scale: Long = 1000000000000L,
                            ckptEvery: Int = 8): DataFrame = {
@@ -373,29 +419,50 @@ object GraphOps {
       withSeedFlag(nodes)
         .join(deg.select(col("src").as("id"), col("deg")), Seq("id"), "left")
         .select(col("id"), col("s"), coalesce(col("deg"), lit(1L)).as("deg")))
-    var ranks = flagged
-      .select(col("id"), col("deg"), (col("s") * lit(r0)).as("r"))
-    var liveCkpt: Option[org.apache.spark.rdd.RDD[_]] = None
-    var t = 0
-    while (t < iters) {
+    def round(ranks: DataFrame): DataFrame = {
       val contrib = e
         .join(ranks.select(col("id").as("src"),
           expr("r div deg").as("share")), "src")
         .groupBy("dst").agg(sum(col("share")).as("contrib"))
-      var next = flagged
+      flagged
         .join(contrib.select(col("dst").as("id"), col("contrib")),
           Seq("id"), "left")
         .select(col("id"), col("deg"),
           (col("s") * lit(base) +
             expr("(85 * coalesce(contrib, CAST(0 AS BIGINT))) div 100"))
             .as("r"))
+    }
+    var ranks = flagged
+      .select(col("id"), col("deg"), (col("s") * lit(r0)).as("r"))
+    var liveCkpt: Option[org.apache.spark.rdd.RDD[_]] = None
+    def supersede(ckpt: DataFrame): Unit = {
+      liveCkpt.foreach(_.unpersist(blocking = false)) // superseded round
+      liveCkpt = graft.core.Caches.checkpointRdd(ckpt)
+    }
+    var t = 0
+    var fixed = false
+    while (t < iters && !fixed) {
+      var next = round(ranks)
       t += 1
       if (t % ckptEvery == 0 && t < iters) {
         next = next.localCheckpoint()
-        liveCkpt.foreach(_.unpersist(blocking = false)) // superseded round
-        liveCkpt = graft.core.Caches.checkpointRdd(next)
+        supersede(next)
+        if (t < iters) {
+          // Exact fixed-point probe — the [[pageRank]] early stop.
+          val probe = round(next).localCheckpoint()
+          t += 1
+          fixed = next.select(col("id"), col("r"))
+            .join(probe.select(col("id"), col("r").as("r2")), "id")
+            .filter(col("r") =!= col("r2")).isEmpty
+          supersede(probe)
+          next = probe
+        }
       }
       ranks = next
+    }
+    if (iters >= ckptEvery) {
+      ranks = ranks.localCheckpoint() // cheap repeatable read — see pageRank
+      supersede(ranks)
     }
     liveCkpt.foreach(graft.core.Caches.trackRdd)
     ranks.select(col("id").as("vec_id"), col("r").as("ppr"))

@@ -282,7 +282,8 @@ object TextOps {
     // Per-doc top-bigram count: groupBy + join-back (partial-combining
     // aggregates bounded by doc length), NOT a window — the convention
     // everywhere in this library for per-key modes.
-    val topBg = docs.select(col(idCol).as("id"),
+    val topBg = graft.plans.GraftFunctions.on(docs)
+      .select(col(idCol).as("id"),
         explode(DedupOps.shingles(col("text"), 2)).as("bg"))
       .groupBy("id", "bg").agg(count(lit(1)).as("c"))
       .groupBy("id").agg(max(col("c")).as("top_bg"))

@@ -132,14 +132,31 @@ object GraftFunctions {
     }
   }
 
-  /** Registration hook for COLUMN BUILDERS, which carry no session:
-    * register on the thread's active session, falling back to the
-    * process default (column construction from a pool thread has no
+  /** Register on the Dataset's OWN session and return it unchanged — the
+    * multi-session-safe entry-point form: a `call_function("graft_*", …)`
+    * column is resolved by the session that analyzes the plan it lands
+    * in, i.e. `ds.sparkSession`, which in a multi-session app (or a pool
+    * thread whose ACTIVE session is someone else's) need not be the
+    * thread-ambient session [[registerCurrent]] reaches. Every operator
+    * that has the frame in hand goes through this. */
+  def on[T](ds: org.apache.spark.sql.Dataset[T]): org.apache.spark.sql.Dataset[T] = {
+    register(ds.sparkSession); ds
+  }
+
+  /** Registration fallback for PURE COLUMN BUILDERS, which carry no
+    * session: register on the thread's active session, falling back to
+    * the process default (column construction from a pool thread has no
     * active session but usually a default one — without the fallback the
-    * first action fails with 'Undefined function graft_*'). A builder
-    * invoked with NO session anywhere stays unregistered — resolution
-    * then happens against whatever session analyzes the plan, which is
-    * what [[GraftExtensions]] / an operator-level [[register]] covers. */
+    * first action fails with 'Undefined function graft_*'). SINGLE-
+    * SESSION ASSUMPTION: this reaches the right registry only when the
+    * frame the column is later applied to belongs to the thread-ambient
+    * session — in a multi-session app, prefer the [[on]] form at the
+    * operator entry point (all in-library DataFrame operators do), or
+    * configure [[GraftExtensions]] so every session is born registered.
+    * A builder invoked with NO session anywhere stays unregistered —
+    * resolution then happens against whatever session analyzes the plan,
+    * which is what [[GraftExtensions]] / an operator-level [[register]]
+    * covers. */
   def registerCurrent(): Unit =
     SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
       .foreach(register)

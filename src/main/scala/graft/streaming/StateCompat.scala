@@ -64,7 +64,18 @@ object StateCompat {
           s"write '$version' to ${marker.getFileName}.")
     } else {
       Files.createDirectories(dir)
-      Files.write(marker, version.toString.getBytes(UTF_8))
+      // CREATE_NEW makes the stamp ATOMIC: two queries guarding the same
+      // fresh directory concurrently cannot both write (the loser's
+      // FileAlreadyExistsException re-enters the validate branch and
+      // converges deterministically — same version passes, a racing
+      // DIFFERENT version fails loudly instead of silently last-writing).
+      try Files.write(marker, version.toString.getBytes(UTF_8),
+        java.nio.file.StandardOpenOption.CREATE_NEW,
+        java.nio.file.StandardOpenOption.WRITE)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          guard(checkpointDir, twin, version)
+      }
     }
   }
 }

@@ -59,7 +59,7 @@ object StreamBoilerplate {
     require(minDocs >= 2, s"minDocs must be >= 2: $minDocs")
     val spark = docs.sparkSession
     import spark.implicits._
-    val spans = docs
+    val spans = graft.plans.GraftFunctions.on(docs)
       .select(col(idCol).cast("long").as("docId"), col(tsCol).as("ts"),
         posexplode(DedupOps.shingles(col("text"), k)))
       .withWatermark("ts", lateness)

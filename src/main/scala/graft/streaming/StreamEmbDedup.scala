@@ -225,18 +225,84 @@ object StreamEmbDedup {
     * (e.g. `filter(dup)` for a drop-list, where the OR is free). Also
     * runs on a batch frame of votes (plain aggregation).
     *
-    * STREAMING CALLERS MUST SET `spark.sql.streaming.statefulOperator
-    * .checkCorrectness.enabled=false`: Spark's global-watermark check
-    * rejects any stateful-after-flatMapGroupsWithState chain because it
-    * cannot prove the first operator's OUTPUT event times — here it is
-    * safe BY CONSTRUCTION: every vote carries its arrival's own event
-    * time and is emitted in the arrival's own micro-batch, while the
-    * downstream watermark (computed from the same input, lagging one
-    * batch) can only be older — no vote is ever late to the aggregation.
-    * The check is per-session; scope it to the query's session. */
-  def orVotes(votes: Dataset[EmbVote], lateness: String): DataFrame =
+    * LATENESS COUPLING: `lateness` here must be ≥ the lateness passed to
+    * [[flagNearDupVotes]] — a SHORTER downstream watermark would put
+    * votes from late-but-admitted arrivals below it and silently drop
+    * those arrivals from the consolidated output. Pass the upstream value
+    * as `votesLateness` to have the coupling VALIDATED (the combined
+    * entry point [[flagNearDupsOr]] threads one shared lateness through
+    * both stages and needs no validation); `votesLateness = None` is for
+    * batch frames, where no watermark semantics apply.
+    *
+    * UNIQUENESS ASSUMPTION: groups on (ts, vec_id) — the natural key of
+    * one arrival, since all `tables` votes of an arrival carry its id and
+    * its event time. Two DISTINCT arrivals sharing BOTH id and timestamp
+    * (a re-send of the same vec_id within one event-time tick) collapse
+    * into one OR'd output row, diverging from [[flagNearDups]]'
+    * one-row-per-arrival contract. Carry a disambiguating id if the
+    * stream can contain such twins.
+    *
+    * STREAMING CALLERS: wrap the `.start()` in [[allowVotesChain]] —
+    * Spark's global-watermark check rejects any stateful-after-
+    * flatMapGroupsWithState chain because it cannot prove the first
+    * operator's OUTPUT event times; here it is safe BY CONSTRUCTION:
+    * every vote carries its arrival's own event time and is emitted in
+    * the arrival's own micro-batch, while the downstream watermark
+    * (computed from the same input, lagging one batch) can only be older
+    * — no vote is ever late to the aggregation. */
+  def orVotes(votes: Dataset[EmbVote], lateness: String,
+              votesLateness: Option[String] = None): DataFrame = {
+    votesLateness.foreach { vl =>
+      require(latenessMs(lateness) >= latenessMs(vl),
+        s"orVotes lateness '$lateness' must be >= flagNearDupVotes " +
+          s"lateness '$vl': a shorter downstream watermark silently drops " +
+          "late-but-admitted arrivals from the consolidated output")
+    }
     votes.withWatermark("ts", lateness)
       .groupBy(col("ts"), col("vec_id"))
       .agg(max(col("dup")).as("dup"))
       .select(col("vec_id"), col("dup"))
+  }
+
+  /** The blessed multi-table ingestion filter: [[flagNearDupVotes]] →
+    * [[orVotes]] with ONE shared `lateness` (the coupling the two-call
+    * form leaves to the caller — see [[orVotes]]'s scaladoc). Start the
+    * resulting stream inside [[allowVotesChain]]. */
+  def flagNearDupsOr(embs: DataFrame, idCol: String, tsCol: String,
+                     vecCol: String, tables: Int, bits: Int, dims: Int,
+                     minCos: Double, cap: Int, lateness: String,
+                     saturated: Option[org.apache.spark.util.LongAccumulator]
+                       = None): DataFrame =
+    orVotes(flagNearDupVotes(embs, idCol, tsCol, vecCol, tables, bits,
+      dims, minCos, cap, lateness, saturated), lateness, Some(lateness))
+
+  /** Scopes the `statefulOperator.checkCorrectness` waiver to ONE query
+    * start instead of the whole session: Spark consults the flag
+    * synchronously inside `.start()` (analysis-time
+    * UnsupportedOperationChecker), so set → start → restore confines the
+    * disable to exactly the [[orVotes]] chain being launched — other
+    * queries on the session keep the guard. `body` must contain the
+    * `.start()` call itself (not just build the DataFrame). */
+  def allowVotesChain[T](spark: org.apache.spark.sql.SparkSession)
+                        (body: => T): T = {
+    val key = "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "false")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
+  /** Watermark-delay string → milliseconds, with Spark's own interval
+    * parser (so "10 minutes", "1 hour", "90 seconds" all compare
+    * correctly). Month components are rejected — Spark's watermark
+    * machinery itself refuses non-fixed-duration delays. */
+  private def latenessMs(s: String): Long = {
+    val iv = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(s))
+    require(iv.months == 0, s"watermark delay must be month-free: '$s'")
+    iv.days * 86400000L + iv.microseconds / 1000L
+  }
 }

@@ -61,7 +61,7 @@ object StreamSubstrDedup {
     require(k >= 2 && k <= 1000, s"window width out of range: $k")
     val spark = docs.sparkSession
     import spark.implicits._
-    val spans = docs
+    val spans = graft.plans.GraftFunctions.on(docs)
       .select(col(idCol).cast("long").as("docId"), col(tsCol).as("ts"),
         posexplode(DedupOps.shingles(col("text"), k)))
       .withWatermark("ts", lateness)

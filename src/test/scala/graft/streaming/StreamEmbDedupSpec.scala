@@ -173,19 +173,21 @@ class StreamEmbDedupSpec extends AnyFunSuite {
     val minCos = 0.7
     val (x, y) = plantTable2Pair(bits, minCos)
     val stream = MemoryStream[(Long, java.sql.Timestamp, Array[Float])]
-    val out = StreamEmbDedup.orVotes(
-      StreamEmbDedup.flagNearDupVotes(
-        stream.toDF.toDF("vec_id", "ts", "embedding"), "vec_id", "ts",
-        "embedding", 2, bits, dims, minCos, cap = 8, "10 minutes"),
-      "10 minutes")
+    val out = StreamEmbDedup.flagNearDupsOr(
+      stream.toDF.toDF("vec_id", "ts", "embedding"), "vec_id", "ts",
+      "embedding", 2, bits, dims, minCos, cap = 8, "10 minutes")
     // The chain is safe by construction (votes carry their arrival's own
     // event time — see orVotes' scaladoc); Spark's conservative global-
-    // watermark check cannot prove that and must be waived.
+    // watermark check cannot prove that — allowVotesChain scopes the
+    // waiver to this one .start() and must restore the guard after.
     val checkKey = "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
     val prevCheck = spark.conf.getOption(checkKey)
-    spark.conf.set(checkKey, "false")
-    val q = out.writeStream.format("memory").queryName("emb_votes_or")
-      .outputMode("append").start()
+    val q = StreamEmbDedup.allowVotesChain(spark) {
+      out.writeStream.format("memory").queryName("emb_votes_or")
+        .outputMode("append").start()
+    }
+    assert(spark.conf.getOption(checkKey) === prevCheck,
+      "allowVotesChain must restore the correctness-check conf")
     try {
       stream.addData((1L, ts(600), x), (2L, ts(601), y))
       q.processAllAvailable()
@@ -198,13 +200,24 @@ class StreamEmbDedupSpec extends AnyFunSuite {
       assert(got.get(1L).contains(false), s"seed must consolidate false: $got")
       assert(got.get(2L).contains(true),
         s"table-2-only near-dup must consolidate true: $got")
-    } finally {
-      q.stop()
-      prevCheck match {
-        case Some(v) => spark.conf.set(checkKey, v)
-        case None    => spark.conf.unset(checkKey)
-      }
+    } finally q.stop()
+  }
+
+  test("orVotes rejects a downstream lateness shorter than the votes'") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val df = Seq((1L, ts(600), Array.fill(dims)(1.0f)))
+      .toDF("vec_id", "ts", "embedding")
+    val votes = StreamEmbDedup.flagNearDupVotes(
+      df, "vec_id", "ts", "embedding", 2, 4, dims, 0.7, cap = 8,
+      "10 minutes")
+    val e = intercept[IllegalArgumentException] {
+      StreamEmbDedup.orVotes(votes, "5 minutes", Some("10 minutes"))
     }
+    assert(e.getMessage.contains("lateness"))
+    // Equal and longer both pass (cross-unit comparison included).
+    StreamEmbDedup.orVotes(votes, "10 minutes", Some("10 minutes"))
+    StreamEmbDedup.orVotes(votes, "1 hour", Some("599 seconds"))
   }
 
   test("saturation counter fires once per rejected admission") {
