@@ -368,6 +368,36 @@ object DedupOps {
       .select(col("id") +: (col("bs.band").as("band") +:
         (0 until r).map(t => col(s"bs.h$t").as(s"h$t"))): _*)
 
+  /** Folded banded LSH keys (id, bk): each of the `b` bands' `r` minhash
+    * slots collapses to ONE xxhash64 over (band, m_{g·r}, …, m_{g·r+r−1})
+    * — the single-long equi-join key of the candidate stage, at well
+    * under half the shuffle width of the long-form [[bandedSignatures]]
+    * rows (one long vs band int + r longs, on BOTH sides of the
+    * self-join and through the hot-bucket window). Distinct (band, h…)
+    * tuples can collide in the fold — that only ADDS candidates, which
+    * exact verification removes, so pair output is identical; equal
+    * tuples always fold equal, so recall is exactly the banded recall.
+    * (A fold collision also merges two buckets for the [[hotBuckets]]
+    * cap's occupancy count — at 2⁻⁶⁴ per bucket pair, below any
+    * operational concern.) */
+  def bandedKeys(shingleRows: DataFrame, b: Int, r: Int): DataFrame =
+    minhashAggRow(shingleRows, b * r)
+      .select(col("id"), explode(array((0 until b).map(g =>
+        xxhash64((lit(g) +: (0 until r).map(t =>
+          col(s"m${g * r + t}"))): _*)): _*)).as("bk"))
+
+  /** [[candidatePairs]] over the folded [[bandedKeys]] — the production
+    * candidate stage ([[minhashNearDups]]/[[incrementalDedup]] run this
+    * shape); same hot-bucket cap semantics on the folded key. */
+  def candidatePairsKeyed(sig: DataFrame,
+                          maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val g = dropHotBuckets(sig, Seq("bk"), maxBucket)
+    g.as("a").join(g.as("b"),
+        col("a.bk") === col("b.bk") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+  }
+
   /** Candidate near-duplicate pairs via banded LSH: a pair is a candidate
     * iff some band agrees on ALL r values. A pair of true Jaccard s is a
     * candidate with probability 1-(1-s^r)^b — the r rows suppress the
@@ -398,7 +428,7 @@ object DedupOps {
   def minhashCandidates(docs: DataFrame, idCol: String, n: Int,
                         b: Int, r: Int,
                         maxBucket: Int = DefaultMaxBucket): DataFrame =
-    candidatePairs(bandedSignatures(rawShingleRows(docs, idCol, n), b, r), r,
+    candidatePairsKeyed(bandedKeys(rawShingleRows(docs, idCol, n), b, r),
       maxBucket)
 
   /** Verified near-duplicate pairs: LSH candidates whose true shingle-set
@@ -421,9 +451,9 @@ object DedupOps {
     require(num > 0 && den > 0 && num <= den,
       s"Jaccard threshold must be in (0, 1]: $num/$den")
     val sr  = cachePersist(shingleRows(docs, idCol, n))
-    val sig = cachePersist(bandedSignatures(sr, b, r))
+    val sig = cachePersist(bandedKeys(sr, b, r))
     val sz = shingleSizes(sr)
-    pairIntersections(sr, candidatePairs(sig, r, maxBucket))
+    pairIntersections(sr, candidatePairsKeyed(sig, maxBucket))
       .join(sz.select(col("id").as("id_a"), col("sz").as("sz_a")), "id_a")
       .join(sz.select(col("id").as("id_b"), col("sz").as("sz_b")), "id_b")
       .select(col("id_a"), col("id_b"), col("c_inter"),
@@ -522,8 +552,22 @@ object DedupOps {
     * prefix argument holds (pigeonhole on s = min(|A|,|B|): if none of
     * its ⌊s·(den−num)/den⌋+1 rarest shingles is shared, the intersection
     * is < s·num/den), and the partner element may sit anywhere in the
-    * other document. So candidates come from prefix ⋈ FULL shingle rows,
-    * both orientations at once, collapsed to the unordered pair.
+    * other document. So candidates come from prefix ⋈ FULL shingle rows
+    * — in the ONE orientation the pigeonhole actually licenses: the
+    * prefix side must be the SMALLER document (ties broken by id), since
+    * only the smaller set's prefix is guaranteed to hit; the larger
+    * document's prefix orientation proves nothing and is dropped
+    * entirely (it used to double the join fanout AND admit candidates no
+    * bound supported — large docs carry the longest prefixes, so it was
+    * the expensive half). On top of that the PPJoin positional filter
+    * (Xiao et al., WWW'08, adapted to the containment overlap bound):
+    * for the FIRST shared shingle in the global (df, s) order, the
+    * elements before it on each side are disjoint from the other set, so
+    * overlap ≤ 1 + min(sz_a − rnk_a, sz_b − rnk_b); a true pair needs
+    * overlap ≥ ⌈sz_a·num/den⌉, and its first-common-element row always
+    * satisfies both the prefix and this bound — so filtering every
+    * matched row by it keeps all true pairs while cutting deep-rank
+    * matches before the distinct.
     * Cost bound: the candidate join fans out df(s) per prefix row —
     * prefixes are the globally RAREST shingles of each doc (same
     * df-ascending order as the PPJoin path), so that fanout is small by
@@ -542,15 +586,25 @@ object DedupOps {
     val dfreq = sr.groupBy("s").agg(count(lit(1)).as("df"))
     val byDoc   = Window.partitionBy("id")
     val ordered = Window.partitionBy("id").orderBy(col("df"), col("s"))
-    val prefix =
+    // The rank/size lattice is computed ONCE and cached: the prefix side
+    // filters it, and the full side reads it directly (it needs rnk and
+    // sz for the positional filter — re-deriving the two windows per
+    // side would double the corpus-wide sort).
+    val ranked = cachePersist(
       sr.join(dfreq, "s")
         .select(col("id"), col("s"),
           row_number().over(ordered).as("rnk"),
-          count(lit(1)).over(byDoc).as("sz"))
-        .filter(col("rnk") <= floor(col("sz") * (den - num) / den) + 1)
-        .select("id", "s")
-    val cand = prefix.as("a").join(sr.as("b"),
-        col("a.s") === col("b.s") && col("a.id") =!= col("b.id"))
+          count(lit(1)).over(byDoc).as("sz")))
+    val prefix = ranked
+      .filter(col("rnk") <= floor(col("sz") * (den - num) / den) + 1)
+    // ⌈sz_a·num/den⌉ in integers; sz_a is the min by the orientation rule.
+    val needed = floor((col("a.sz") * num + (den - 1)) / den)
+    val cand = prefix.as("a").join(ranked.as("b"),
+        col("a.s") === col("b.s") &&
+          (col("a.sz") < col("b.sz") ||
+            (col("a.sz") === col("b.sz") && col("a.id") < col("b.id"))) &&
+          lit(1) + least(col("a.sz") - col("a.rnk"),
+            col("b.sz") - col("b.rnk")) >= needed)
       .select(least(col("a.id"), col("b.id")).as("id_a"),
         greatest(col("a.id"), col("b.id")).as("id_b"))
       .distinct()
@@ -1022,10 +1076,9 @@ object DedupOps {
     val tagged = oldDocs.select(col(idCol), col("text"), lit(0).as("side"))
       .unionAll(newDocs.select(col(idCol), col("text"), lit(1).as("side")))
     val sr = cachePersist(shingleRows(tagged, idCol, n))
-    val keys = Seq("band") ++ (0 until r).map(t => s"h$t")
-    val g = dropHotBuckets(bandedSignatures(sr, b, r), keys, maxBucket)
+    val g = dropHotBuckets(bandedKeys(sr, b, r), Seq("bk"), maxBucket)
       .join(tagged.select(col(idCol).as("id"), col("side")), "id")
-    val cond = keys.map(c => col(s"a.$c") === col(s"b.$c")).reduce(_ && _) &&
+    val cond = col("a.bk") === col("b.bk") &&
       col("a.side") === 1 && col("b.side") === 0
     val cand = g.as("a").join(g.as("b"), cond)
       .select(col("a.id").as("id_new"), col("b.id").as("id_old"))

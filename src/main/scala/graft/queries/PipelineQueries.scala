@@ -821,6 +821,17 @@ object PipelineQueries {
         col("vec_id").between(KmCentLo, KmCentHi), KmIters, IvfProbes,
         PqIters, PqM, EmbDims)),
 
+    // FULLY SAMPLED IVF+PQ build — coarse quantizer AND all m
+    // sub-codebooks train on the 1-in-IvfkSampleMod salted-md5 sample
+    // (the bounded-cost index build at 10⁸⁺ vectors); assignment,
+    // encoding, and search cover the full corpus. The oracle replays the
+    // draw, both sampled training chains, and every ADC sum.
+    "knn_ivfpq_sampled" -> ((s, d) =>
+      graft.operators.VectorOps.knnIvfPqSampled(
+        embs(s, d), "vec_id", "embedding", col("vec_id") < 8, 5,
+        col("vec_id").between(KmCentLo, KmCentHi), KmIters, IvfProbes,
+        PqIters, PqM, EmbDims, IvfkSampleMod)),
+
     // RESIDUAL IVF+PQ — the full FAISS form: codes quantize the
     // within-cell displacement v − centroid(cell), ADC tables are
     // per-(query, probed cell). Oracle replays coarse training, residual
@@ -830,6 +841,17 @@ object PipelineQueries {
         embs(s, d), "vec_id", "embedding", col("vec_id") < 8, 5,
         col("vec_id").between(KmCentLo, KmCentHi), KmIters, IvfProbes,
         PqIters, PqM, EmbDims)),
+
+    // Recall@5 of the fully sampled IVF+PQ build vs the exact baseline —
+    // the number showing what the bounded-sample books give up (at the
+    // fixture scale the sample is small enough to genuinely differ from
+    // the full-scan books, so this is a real trade readout, not a no-op).
+    "ann_recall_ivfpq_s" -> ((s, d) => annRecall(
+      graft.operators.VectorOps.knnIvfPqSampled(
+        embs(s, d), "vec_id", "embedding", col("vec_id") < 8, 5,
+        col("vec_id").between(KmCentLo, KmCentHi), KmIters, IvfProbes,
+        PqIters, PqM, EmbDims, IvfkSampleMod),
+      embs(s, d))),
 
     // Recall@5 of the residual path vs the exact baseline — measures what
     // residual encoding buys over knn_ivfpq at identical m/probes/iters.
@@ -2169,10 +2191,16 @@ object PipelineQueries {
     * the query ADC table `qd<sp>` (distance to EVERY sub-centroid). */
   private val pqCteSql: String = s"$kmQuantCtes,\n$pqChainsCte"
 
-  /** The per-subspace chains alone (expects `q`) — composable after any
-    * other chain that also consumes `q` (the knn_ivfpq oracle runs them
-    * beside the coarse kmeans chain). */
-  private lazy val pqChainsCte: String = {
+  /** The per-subspace chains alone (expects `q`; with `trainSrc = "qs"`
+    * also the sampled CTE `qs`) — composable after any other chain that
+    * also consumes `q` (the knn_ivfpq oracle runs them beside the coarse
+    * kmeans chain). The Lloyd iterations train from `trainSrc`'s
+    * subspace slices — "q" replays [[graft.operators.VectorOps
+    * .ivfPqModel]], "qs" the SAMPLED book training of
+    * [[graft.operators.VectorOps.ivfPqModelSampled]]; seeding, encoding,
+    * and the query tables always run over the FULL corpus slices, as the
+    * engine. */
+  private def pqChainsCteFrom(trainSrc: String): String = {
     val sub = EmbDims / PqM
     val dist = s"list_sum([(q.v[i]-c.cv[i])*(q.v[i]-c.cv[i]) for i in range(1, ${sub + 1})])"
     val sumCols = (1 to sub).map(i => s"SUM(v[$i]) AS s$i").mkString(", ")
@@ -2181,16 +2209,19 @@ object PipelineQueries {
       .mkString("[", ", ", "]")
     val chains = (0 until PqM).map { sp =>
       val off = sp * sub
+      val trainCte =
+        if (trainSrc == "q") ""
+        else s"$trainSrc$sp AS (SELECT id, v[${off + 1}:${off + sub}] AS v FROM $trainSrc),\n"
       val iterCtes = (1 to PqIters).map { t =>
         s"""a${t}_$sp AS (SELECT id, v, cid FROM (
            |  SELECT id, v, cid, ROW_NUMBER() OVER (PARTITION BY id ORDER BY d, cid) AS rn
-           |  FROM (SELECT q.id, q.v, c.cid, $dist AS d FROM q$sp q, c${t - 1}_$sp c)) WHERE rn = 1),
+           |  FROM (SELECT q.id, q.v, c.cid, $dist AS d FROM ${trainSrc}$sp q, c${t - 1}_$sp c)) WHERE rn = 1),
            |g${t}_$sp AS (SELECT cid, COUNT(*) AS n, $sumCols FROM a${t}_$sp GROUP BY cid),
            |c${t}_$sp AS (SELECT c.cid, CASE WHEN g.cid IS NULL THEN c.cv ELSE $centList END AS cv
            |  FROM c${t - 1}_$sp c LEFT JOIN g${t}_$sp g ON c.cid = g.cid)""".stripMargin
       }.mkString(",\n")
       s"""q$sp AS (SELECT id, v[${off + 1}:${off + sub}] AS v FROM q),
-         |c0_$sp AS (SELECT id AS cid, v AS cv FROM q$sp WHERE id BETWEEN $KmCentLo AND $KmCentHi),
+         |${trainCte}c0_$sp AS (SELECT id AS cid, v AS cv FROM q$sp WHERE id BETWEEN $KmCentLo AND $KmCentHi),
          |$iterCtes,
          |code$sp AS (SELECT id, cid FROM (
          |  SELECT id, cid, ROW_NUMBER() OVER (PARTITION BY id ORDER BY d, cid) AS rn
@@ -2200,6 +2231,8 @@ object PipelineQueries {
     }.mkString(",\n")
     chains
   }
+
+  private lazy val pqChainsCte: String = pqChainsCteFrom("q")
 
   /** The trained-IVF probe/re-rank replay ending in the ranked CTE `r`
     * (qid, nid, rnk by sim desc), appended to any training-chain prefix
@@ -2244,15 +2277,19 @@ object PipelineQueries {
   }
 
   /** The knn_ivfpq replay chain ending in ranked CTE `r` (qid, nid, adc,
-    * rnk) — shared by the gate and ann_recall_ivfpq. */
-  private lazy val ivfPqRankedCtes: String = {
+    * rnk) — shared by the gate and ann_recall_ivfpq; parameterized over
+    * the coarse training chain and the PQ chains so the SAMPLED build
+    * gates reuse one copy of the probe/ADC SQL (the ivfRankedCtesFrom
+    * pattern). */
+  private def ivfPqRankedCtesFrom(coarseCtes: String,
+                                  chains: String): String = {
     val parts = (0 until PqM).map(sp =>
       s"""SELECT c.qid, c.nid, d.dist FROM cand c
          |    JOIN code$sp cd ON cd.id = c.nid
          |    JOIN qd$sp d ON d.cid = cd.cid AND d.qid = c.qid""".stripMargin)
       .mkString("\n  UNION ALL\n  ")
-    s"""$kmeansCteSql,
-       |$pqChainsCte,
+    s"""$coarseCtes,
+       |$chains,
        |dists AS (SELECT q.id, c.cid, $kmDistSql AS d FROM q, c$KmIters c),
        |cells AS (SELECT id, cid FROM (
        |  SELECT id, cid, ROW_NUMBER() OVER (PARTITION BY id ORDER BY d, cid) AS rn
@@ -2267,6 +2304,15 @@ object PipelineQueries {
        |adc AS (SELECT qid, nid, SUM(dist) AS adc FROM parts GROUP BY 1, 2),
        |r AS (SELECT qid, nid, adc, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc, nid) AS rnk FROM adc)""".stripMargin
   }
+
+  private lazy val ivfPqRankedCtes: String =
+    ivfPqRankedCtesFrom(kmeansCteSql, pqChainsCte)
+
+  /** The knn_ivfpq_sampled replay: coarse chain trained from `qs` (the
+    * ivfk-sampled CTEs) AND every PQ sub-chain trained from the `qs`
+    * slices; assignment, encoding, probing, ADC over the full corpus. */
+  private lazy val ivfPqSampledRankedCtes: String =
+    ivfPqRankedCtesFrom(ivfkSampledCteSql, pqChainsCteFrom("qs"))
 
   /** Residual IVF+PQ replay ending in ranked `r` — the knn_ivfpq chain
     * with PQ trained/encoded on `v − centroid(cell(v))`: a residual
@@ -4363,6 +4409,20 @@ object PipelineQueries {
 
     "ann_recall_ivfpq" ->
       s"""WITH $ivfPqRankedCtes,
+         |mt AS (SELECT qid, nid FROM r WHERE rnk <= 5),
+         |$bruteTopCtes
+         |$recallSelectSql""".stripMargin,
+
+    // knn_ivfpq_sampled: the ivfk-sampled coarse chain beside PQ chains
+    // trained from the same `qs` sample slices; full-corpus assignment,
+    // encoding, probing, and ADC — the engine's fully sampled build.
+    "knn_ivfpq_sampled" ->
+      s"""WITH $ivfPqSampledRankedCtes
+         |SELECT qid, nid, CAST(adc AS BIGINT) AS adc, CAST(rnk AS BIGINT) AS rnk
+         |FROM r WHERE rnk <= 5""".stripMargin,
+
+    "ann_recall_ivfpq_s" ->
+      s"""WITH $ivfPqSampledRankedCtes,
          |mt AS (SELECT qid, nid FROM r WHERE rnk <= 5),
          |$bruteTopCtes
          |$recallSelectSql""".stripMargin,

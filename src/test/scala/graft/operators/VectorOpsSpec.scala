@@ -298,6 +298,61 @@ class VectorOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("knnIvfPqSampled: sampleMod=1 is the full IVF+PQ build; sampled books keep in-blob structure") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    def blob(center: Array[Float], n: Int, from: Long) =
+      (0 until n).map(i => (from + i,
+        center.map(c => c + (rnd.nextFloat() - 0.5f) * 0.1f)))
+    val rows = blob(Array(1f, 0f, 0f, 0f), 7, 0L) ++
+      blob(Array(0f, 1f, 0f, 0f), 7, 10L) ++
+      blob(Array(0f, 0f, 1f, 0f), 7, 20L)
+    val df = rows.toDF("vec_id", "embedding")
+    val seeds = col("vec_id") === 0 || col("vec_id") === 10 || col("vec_id") === 20
+    val queries = col("vec_id") === 1 || col("vec_id") === 11
+    val full = graft.core.Caches.scoped {
+      VectorOps.knnIvfPq(df, "vec_id", "embedding", queries, 4, seeds,
+          coarseIters = 2, probes = 2, pqIters = 2, m = 2, dims = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    }
+    val mod1 = graft.core.Caches.scoped {
+      VectorOps.knnIvfPqSampled(df, "vec_id", "embedding", queries, 4, seeds,
+          coarseIters = 2, probes = 2, pqIters = 2, m = 2, dims = 4,
+          sampleMod = 1)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    }
+    assert(mod1 == full, s"sampleMod=1 must equal the full build: $mod1 vs $full")
+    // Sampled books (mod 2): one-probe neighbors stay in the query's blob
+    // — the coarse structure survives training on the half-sample, and
+    // ADC over half-trained books still separates blobs (inter-blob
+    // distance dwarfs quantization error on this fixture).
+    val oneProbe = graft.core.Caches.scoped {
+      VectorOps.knnIvfPqSampled(df, "vec_id", "embedding", queries, 4, seeds,
+          coarseIters = 2, probes = 1, pqIters = 2, m = 2, dims = 4,
+          sampleMod = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    assert(oneProbe.nonEmpty)
+    oneProbe.foreach { case (q, n) =>
+      assert(n / 10 == q / 10, s"$q paired out-of-blob $n under sampled books")
+    }
+    // Residual sampled books: sampleMod=1 equals the full residual model.
+    val resFull = graft.core.Caches.scoped {
+      VectorOps.knnIvfPqResidual(df, "vec_id", "embedding", queries, 4,
+          seeds, coarseIters = 2, probes = 2, pqIters = 2, m = 2, dims = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    }
+    val resMod1 = graft.core.Caches.scoped {
+      val ivf = VectorOps.ivfModel(df, "vec_id", "embedding", seeds, 2, 4)
+      val pm = VectorOps.ivfPqResidualModelSampled(ivf, 2, 2, sampleMod = 1)
+      VectorOps.knnIvfPqResidualFrom(pm, df, "vec_id", queries, 4, probes = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    }
+    assert(resMod1 == resFull,
+      s"residual sampleMod=1 must equal the full build: $resMod1 vs $resFull")
+  }
+
   test("kmeansFarthestFirstSampled: sampleMod=1 is the full operator; sampled seeding still covers the blobs") {
     val spark = TestSpark.spark
     import spark.implicits._
