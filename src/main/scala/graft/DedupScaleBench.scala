@@ -66,68 +66,102 @@ object DedupScaleBench {
       docs.count()
       val genSec = (System.nanoTime() - t0) / 1e9
 
-      // Full chain, the dedup_clusters shape: banding (b=12, r=3) →
-      // verified pairs (Jaccard >= 1/2 over 3-shingles) → components.
-      val t1 = System.nanoTime()
-      val pairs = graft.operators.DedupOps.minhashNearDups(
-        docs, "doc_id", 3, 12, 3, 1, 2)
-      val nPairs = pairs.count()
-      val pairSec = (System.nanoTime() - t1) / 1e9
+      // The 10 M legs swing with page-cache/GC phase on this box (the
+      // SCALING.md method note), so at 10 M the WHOLE leg chain runs
+      // twice — per-leg first AND min land in the JSON (Bench.scala's
+      // protocol), counts are required identical across reps. Legs share
+      // persisted intermediates within one rep exactly as before (pairs'
+      // sr/sig stay warm for the cluster leg), so per-leg semantics match
+      // the single-run protocol of earlier rounds.
+      val reps = if (n >= 10000000L) 2 else 1
+      final case class Legs(pairSec: Double, nPairs: Long,
+                            clusterSec: Double, nClustered: Long,
+                            substrSec: Double, docsCov: Long, tokCov: Long,
+                            bpSec: Double, docsBp: Long, tokBp: Long,
+                            containSec: Double, nContain: Long)
+      def runLegs(): Legs = {
+        // Full chain, the dedup_clusters shape: banding (b=12, r=3) →
+        // verified pairs (Jaccard >= 1/2 over 3-shingles) → components.
+        val t1 = System.nanoTime()
+        val pairs = graft.operators.DedupOps.minhashNearDups(
+          docs, "doc_id", 3, 12, 3, 1, 2)
+        val nPairs = pairs.count()
+        val pairSec = (System.nanoTime() - t1) / 1e9
 
-      val t2 = System.nanoTime()
-      val labels = graft.operators.DedupOps.nearDupClusters(
-        docs, "doc_id", pairs)
-      val nClustered = labels.filter(col("cluster") =!= col("doc_id")).count()
-      val clusterSec = (System.nanoTime() - t2) / 1e9
-      graft.operators.DedupOps.unpersistPipelines()
+        val t2 = System.nanoTime()
+        val labels = graft.operators.DedupOps.nearDupClusters(
+          docs, "doc_id", pairs)
+        val nClustered = labels.filter(col("cluster") =!= col("doc_id")).count()
+        val clusterSec = (System.nanoTime() - t2) / 1e9
+        graft.operators.DedupOps.unpersistPipelines()
 
-      // SUB-DOCUMENT leg (round 12): window-level coverage over the same
-      // corpus — 17 positioned spans per doc (24 tokens, k=8), so the
-      // span table is the biggest intermediate of the three legs and the
-      // one that proves the shape at 10×. The planted near-dups share
-      // their 22-word prefix, so windows 0..14 of every base/dup pair are
-      // duplicated — coverage volume is known to scale linearly with n.
-      val t3 = System.nanoTime()
-      val covAgg = graft.operators.DedupOps
-        .duplicatedSpanCoverage(docs, "doc_id", 8)
-        .agg(sum(when(col("covered_tokens") > 0, 1L).otherwise(0L))
-            .as("docs_cov"),
-          sum(col("covered_tokens")).as("tok_cov")).head()
-      val (docsCov, tokCov) = (covAgg.getLong(0), covAgg.getLong(1))
-      val substrSec = (System.nanoTime() - t3) / 1e9
+        // SUB-DOCUMENT leg (round 12): window-level coverage over the same
+        // corpus — 17 positioned spans per doc (24 tokens, k=8), so the
+        // span table is the biggest intermediate of the three legs and the
+        // one that proves the shape at 10×. The planted near-dups share
+        // their 22-word prefix, so windows 0..14 of every base/dup pair are
+        // duplicated — coverage volume is known to scale linearly with n.
+        val t3 = System.nanoTime()
+        val covAgg = graft.operators.DedupOps
+          .duplicatedSpanCoverage(docs, "doc_id", 8)
+          .agg(sum(when(col("covered_tokens") > 0, 1L).otherwise(0L))
+              .as("docs_cov"),
+            sum(col("covered_tokens")).as("tok_cov")).head()
+        val (docsCov, tokCov) = (covAgg.getLong(0), covAgg.getLong(1))
+        val substrSec = (System.nanoTime() - t3) / 1e9
 
-      graft.operators.DedupOps.unpersistPipelines()
+        graft.operators.DedupOps.unpersistPipelines()
 
-      // BOILERPLATE leg (round 12, second wave): document-frequency
-      // coverage at minDocs=2 over the same corpus. This corpus has no
-      // self-repeats, so the result must EQUAL the occurrence-based
-      // coverage leg — the envelope doubles as a cross-operator
-      // consistency check at 10M (bp_tok_cov == covered_tokens), while
-      // the cost measures the sh-keyed dedup exchange the operator adds.
-      val t4 = System.nanoTime()
-      val bpAgg = graft.operators.DedupOps
-        .boilerplateCoverage(docs, "doc_id", 8, 2)
-        .agg(sum(when(col("bp_covered_tokens") > 0, 1L).otherwise(0L))
-            .as("docs_bp"),
-          sum(col("bp_covered_tokens")).as("tok_bp")).head()
-      val (docsBp, tokBp) = (bpAgg.getLong(0), bpAgg.getLong(1))
-      val bpSec = (System.nanoTime() - t4) / 1e9
-      graft.operators.DedupOps.unpersistPipelines()
+        // BOILERPLATE leg (round 12, second wave): document-frequency
+        // coverage at minDocs=2 over the same corpus. This corpus has no
+        // self-repeats, so the result must EQUAL the occurrence-based
+        // coverage leg — the envelope doubles as a cross-operator
+        // consistency check at 10M (bp_tok_cov == covered_tokens), while
+        // the cost measures the sh-keyed dedup exchange the operator adds.
+        val t4 = System.nanoTime()
+        val bpAgg = graft.operators.DedupOps
+          .boilerplateCoverage(docs, "doc_id", 8, 2)
+          .agg(sum(when(col("bp_covered_tokens") > 0, 1L).otherwise(0L))
+              .as("docs_bp"),
+            sum(col("bp_covered_tokens")).as("tok_bp")).head()
+        val (docsBp, tokBp) = (bpAgg.getLong(0), bpAgg.getLong(1))
+        val bpSec = (System.nanoTime() - t4) / 1e9
+        graft.operators.DedupOps.unpersistPipelines()
 
-      // CONTAINMENT leg (round 12, second wave): the prefix ⋈ FULL
-      // postings candidate geometry — the one pairing shape in the
-      // library whose cost is bounded by prefix-shingle document
-      // frequency rather than banding or blocking. Planted pairs share
-      // a 22-word prefix (containment 20/22 > 7/10), so the qualifying
-      // pair volume is known to scale linearly with n.
-      val t5 = System.nanoTime()
-      val nContain = graft.operators.DedupOps
-        .containmentNearDups(docs, "doc_id", 3, 7, 10).count()
-      val containSec = (System.nanoTime() - t5) / 1e9
-      graft.operators.DedupOps.unpersistPipelines()
+        // CONTAINMENT leg (round 12, second wave): the smaller-side
+        // prefix ⋈ FULL postings candidate geometry (r15: one pigeonhole
+        // orientation + positional filter) — the one pairing shape in the
+        // library whose cost is bounded by prefix-shingle document
+        // frequency rather than banding or blocking. Planted pairs share
+        // a 22-word prefix (containment 20/22 > 7/10), so the qualifying
+        // pair volume is known to scale linearly with n.
+        val t5 = System.nanoTime()
+        val nContain = graft.operators.DedupOps
+          .containmentNearDups(docs, "doc_id", 3, 7, 10).count()
+        val containSec = (System.nanoTime() - t5) / 1e9
+        graft.operators.DedupOps.unpersistPipelines()
+
+        Legs(pairSec, nPairs, clusterSec, nClustered,
+          substrSec, docsCov, tokCov, bpSec, docsBp, tokBp,
+          containSec, nContain)
+      }
+
+      val runs = (0 until reps).map(_ => runLegs())
+      val first = runs.head
+      require(runs.forall(r => (r.nPairs, r.nClustered, r.docsCov, r.tokCov,
+          r.docsBp, r.tokBp, r.nContain) ==
+          ((first.nPairs, first.nClustered, first.docsCov, first.tokCov,
+            first.docsBp, first.tokBp, first.nContain))),
+        s"rep counts diverged: $runs")
+      def mn(f: Legs => Double): Double = runs.map(f).min
 
       docs.unpersist(blocking = true)
-      f"""{"n":$n,"gen_sec":$genSec%.2f,"pairs_sec":$pairSec%.2f,"n_pairs":$nPairs,"cluster_sec":$clusterSec%.2f,"n_clustered":$nClustered,"substr_sec":$substrSec%.2f,"docs_with_dup_spans":$docsCov,"covered_tokens":$tokCov,"bp_sec":$bpSec%.2f,"docs_bp":$docsBp,"bp_covered_tokens":$tokBp,"contain_sec":$containSec%.2f,"n_contain":$nContain}"""
+      f"""{"n":$n,"gen_sec":$genSec%.2f,"reps":$reps,""" +
+        f""""pairs_sec":${mn(_.pairSec)}%.2f,"pairs_first":${first.pairSec}%.2f,"n_pairs":${first.nPairs},""" +
+        f""""cluster_sec":${mn(_.clusterSec)}%.2f,"cluster_first":${first.clusterSec}%.2f,"n_clustered":${first.nClustered},""" +
+        f""""substr_sec":${mn(_.substrSec)}%.2f,"substr_first":${first.substrSec}%.2f,"docs_with_dup_spans":${first.docsCov},"covered_tokens":${first.tokCov},""" +
+        f""""bp_sec":${mn(_.bpSec)}%.2f,"bp_first":${first.bpSec}%.2f,"docs_bp":${first.docsBp},"bp_covered_tokens":${first.tokBp},""" +
+        f""""contain_sec":${mn(_.containSec)}%.2f,"contain_first":${first.containSec}%.2f,"n_contain":${first.nContain}}"""
     }
 
     val line =

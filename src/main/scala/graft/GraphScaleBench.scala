@@ -36,7 +36,29 @@ object GraphScaleBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Bench.scala's first/min protocol for the big cells: the 10 M legs
+    // swing 2–3× run-to-run on this box (page cache + GC phase — the
+    // SCALING.md method note; r14's graph numbers read as regressions but
+    // counts were identical), so each 10 M leg runs twice and the JSON
+    // carries first AND min. 1 M legs stay single-run (their noise floor
+    // is well under the round-over-round deltas that matter).
+    def timedN[T](reps: Int)(body: => T): (T, Double, Double) = {
+      var out: Option[T] = None
+      var first = 0.0
+      var best = Double.MaxValue
+      for (i <- 0 until reps) {
+        val t = System.nanoTime()
+        out = Some(body) // body must CONSUME (count/collect) its result
+        val sec = (System.nanoTime() - t) / 1e9
+        if (i == 0) first = sec
+        best = math.min(best, sec)
+        graft.core.Caches.releaseAll()
+      }
+      (out.get, first, best)
+    }
+
     val cells = ns.map { n =>
+      val reps = if (n >= 10000000L) 2 else 1
       // Out-degree 1..5 per node (hash-varied), targets hash-derived;
       // self-loops bumped to the successor node.
       val edges = spark.range(0, n, 1, cpus.toInt * 4)
@@ -53,49 +75,44 @@ object GraphScaleBench {
       val nEdges = edges.count()
       val genSec = (System.nanoTime() - t0) / 1e9
 
-      val t1 = System.nanoTime()
-      val pr = graft.operators.GraphOps.pageRank(edges, 5)
-      val prMass = pr.agg(sum("pr")).collect()(0).getLong(0)
-      val prSec = (System.nanoTime() - t1) / 1e9
-      graft.core.Caches.releaseAll()
+      val (prMass, prFirst, prSec) = timedN(reps) {
+        graft.operators.GraphOps.pageRank(edges, 5)
+          .agg(sum("pr")).collect()(0).getLong(0)
+      }
 
-      // Production round count: 50 iterations = 6 lazily-composed spans
-      // re-rooted every ckptEvery = 8 rounds — the leg that proves the
-      // r14 lazy-compose change holds when lineage bounding actually
-      // matters, not just on the 5-round gate shape.
-      val t1b = System.nanoTime()
-      val pr50 = graft.operators.GraphOps.pageRank(edges, 50)
-      val pr50Mass = pr50.agg(sum("pr")).collect()(0).getLong(0)
-      val pr50Sec = (System.nanoTime() - t1b) / 1e9
-      graft.core.Caches.releaseAll()
+      // Production round count: 50 iterations under the ckptEvery = 8
+      // re-rooting AND the exact fixed-point early stop — the leg that
+      // proves lineage bounding holds when it matters and measures what
+      // the early exit buys (bit-identical pr50_mass either way).
+      val (pr50Mass, pr50First, pr50Sec) = timedN(reps) {
+        graft.operators.GraphOps.pageRank(edges, 50)
+          .agg(sum("pr")).collect()(0).getLong(0)
+      }
 
-      val t2 = System.nanoTime()
-      val nodes = spark.range(0, n).select(col("id").as("v"))
-      val labels = graft.operators.DedupOps.nearDupClusters(
-        nodes, "v", edges.select(col("src").as("id_a"), col("dst").as("id_b")))
-      val nComponents = labels.select(countDistinct("cluster")).collect()(0).getLong(0)
-      val ccSec = (System.nanoTime() - t2) / 1e9
-      graft.core.Caches.releaseAll()
+      val (nComponents, ccFirst, ccSec) = timedN(reps) {
+        val nodes = spark.range(0, n).select(col("id").as("v"))
+        graft.operators.DedupOps.nearDupClusters(
+            nodes, "v",
+            edges.select(col("src").as("id_a"), col("dst").as("id_b")))
+          .select(countDistinct("cluster")).collect()(0).getLong(0)
+      }
 
-      val t3 = System.nanoTime()
-      val core = graft.operators.GraphOps.kCore(edges, 4, 12)
-      val nCore = core.count()
-      val coreSec = (System.nanoTime() - t3) / 1e9
-      graft.core.Caches.releaseAll()
+      val (nCore, coreFirst, coreSec) = timedN(reps) {
+        graft.operators.GraphOps.kCore(edges, 4, 12).count()
+      }
 
-      val t4 = System.nanoTime()
-      val tri = graft.operators.GraphOps.trianglesDegreeOrdered(edges)
-        .collect()(0)
-      val triSec = (System.nanoTime() - t4) / 1e9
-      graft.core.Caches.releaseAll()
+      val (nTriangles, triFirst, triSec) = timedN(reps) {
+        graft.operators.GraphOps.trianglesDegreeOrdered(edges)
+          .collect()(0).getLong(2)
+      }
 
       edges.unpersist(blocking = true)
-      f"""{"n":$n,"n_edges":$nEdges,"gen_sec":$genSec%.2f,""" +
-        f""""pagerank_sec":$prSec%.2f,"pr_mass":$prMass,""" +
-        f""""pagerank50_sec":$pr50Sec%.2f,"pr50_mass":$pr50Mass,""" +
-        f""""cc_sec":$ccSec%.2f,"n_components":$nComponents,""" +
-        f""""kcore_sec":$coreSec%.2f,"n_core":$nCore,""" +
-        f""""triangles_sec":$triSec%.2f,"n_triangles":${tri.getLong(2)}}"""
+      f"""{"n":$n,"n_edges":$nEdges,"gen_sec":$genSec%.2f,"reps":$reps,""" +
+        f""""pagerank_sec":$prSec%.2f,"pagerank_first":$prFirst%.2f,"pr_mass":$prMass,""" +
+        f""""pagerank50_sec":$pr50Sec%.2f,"pagerank50_first":$pr50First%.2f,"pr50_mass":$pr50Mass,""" +
+        f""""cc_sec":$ccSec%.2f,"cc_first":$ccFirst%.2f,"n_components":$nComponents,""" +
+        f""""kcore_sec":$coreSec%.2f,"kcore_first":$coreFirst%.2f,"n_core":$nCore,""" +
+        f""""triangles_sec":$triSec%.2f,"triangles_first":$triFirst%.2f,"n_triangles":$nTriangles}"""
     }
 
     val line =

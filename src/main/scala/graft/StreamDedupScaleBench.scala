@@ -54,6 +54,15 @@ object StreamDedupScaleBench {
         .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
           "true")
     }
+    // Maintenance-cadence knob (seconds): the HDFS-backed provider's
+    // maintenance pass snapshots the WHOLE in-memory map (O(total state),
+    // default every 60 s — ~2 full 15.5M-row snapshots land inside the 1M
+    // ingest window, competing for the same 32 cores); raising the
+    // interval past the run length defers snapshotting to idle time — the
+    // recovery-time-vs-ingest-throughput trade a deployment tunes.
+    sys.env.get("SPARK_GRAFT_STATE_MAINT").foreach(s =>
+      builder.config("spark.sql.streaming.stateStore.maintenanceInterval",
+        s + "s"))
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._

@@ -189,6 +189,97 @@ object SkylineOps {
       .join(front, groupCols ++ dims, "left_semi")
   }
 
+  /** The skyline family's shared DEPLOY artifact: the first `layers`
+    * onion layers as one persisted DISTINCT point table (dims…, layer) —
+    * built with the same peel chain as [[skylineLayerRows]] /
+    * [[skybandRows]], materialized ONCE; the per-query consumers
+    * ([[layerRowsFrom]], [[skybandRowsFrom]], [[topDominatingFrom]]) are
+    * then point-table joins and one corpus scan each, never a re-peel.
+    * Point tables are frontier-scale (they SHRINK as dominance gets
+    * easier), so every consumer join broadcasts. Release via
+    * [[graft.core.Caches.releaseAll]] after the consumers finish. */
+  final case class SkylineModel(dims: Seq[String], layers: Int,
+                                pts: DataFrame)
+
+  /** Build a [[SkylineModel]]: `layers` [[frontier]] aggregation scans
+    * (each O(frontier) shuffle bytes), anti-joining each layer's points
+    * out before the next peel — [[skylineLayerRows]]'s exact chain on the
+    * DISTINCT point set. */
+  def skylineModel(df: DataFrame, dims: Seq[String],
+                   layers: Int): SkylineModel = {
+    require(layers >= 1 && layers <= 8,
+      s"layers must be in 1..8 (the onion-walk use case): $layers")
+    val dtypes = df.select(dims.map(col): _*).schema
+      .fields.map(f => f.name -> f.dataType).toMap
+    var rest = df.select(dims.map(col): _*)
+    var out: Option[DataFrame] = None
+    for (l <- 1 to layers) {
+      val sky = frontier(rest, dims)
+        .select(dims.map(c => col(c).cast(dtypes(c)).as(c)): _*)
+      out = Some(out.fold(sky.withColumn("layer", lit(l.toLong)))(
+        _.unionAll(sky.withColumn("layer", lit(l.toLong)))))
+      if (l < layers) rest = rest.join(sky, dims, "left_anti")
+    }
+    SkylineModel(dims, layers,
+      graft.core.Caches.persistTracked(out.get))
+  }
+
+  /** [[skylineLayerRows]] from a prebuilt model: ONE corpus scan through
+    * a broadcast equi-join to the point table — every duplicate row of a
+    * layer point comes back tagged with that layer (identical output to
+    * the re-peeling operator at equal `layers`; spec-pinned). */
+  def layerRowsFrom(m: SkylineModel, df: DataFrame): DataFrame =
+    df.select(m.dims.map(col): _*)
+      .join(broadcast(m.pts), m.dims)
+      .select(m.dims.map(col) :+ col("layer"): _*)
+
+  /** [[skybandRows]] from a prebuilt model (`k` ≤ the model's layers):
+    * the dominator count runs over the model's first-k-layers point set
+    * (point-scale, both sides broadcast), then one corpus equi-join
+    * recovers duplicates — identical output to the re-peeling operator
+    * (the k-skyband is contained in the first k layers, and so are all
+    * its dominators). */
+  def skybandRowsFrom(m: SkylineModel, df: DataFrame, k: Int): DataFrame = {
+    require(k >= 1 && k <= m.layers,
+      s"k=$k needs a model with >= k layers (built ${m.layers})")
+    val pts = m.pts.filter(col("layer") <= k)
+      .select(m.dims.map(col): _*)
+    val le = m.dims.map(c => col(s"b.$c") <= col(s"a.$c")).reduce(_ && _)
+    val lt = m.dims.map(c => col(s"b.$c") < col(s"a.$c")).reduce(_ || _)
+    val counted = pts.as("a")
+      .join(broadcast(pts.as("b")), le && lt, "left")
+      .groupBy(m.dims.map(c => col(s"a.$c").as(c)): _*)
+      .agg(count(col(s"b.${m.dims.head}")).as("dom_cnt"))
+      .filter(col("dom_cnt") < k)
+    df.select(m.dims.map(col): _*)
+      .join(counted, m.dims)
+      .select(m.dims.map(col) :+ col("dom_cnt"): _*)
+  }
+
+  /** [[topDominatingSkyline]] from a prebuilt model: the scoring join
+    * streams the corpus once through the model's layer-1 frontier
+    * (broadcast), then ranks frontier-scale rows — identical output to
+    * the self-training operator. */
+  def topDominatingFrom(m: SkylineModel, df: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"topDominatingFrom needs k >= 1: k=$k")
+    val sky = m.pts.filter(col("layer") === 1)
+      .select(m.dims.map(col): _*)
+    val le = m.dims.map(c => col(s"s.$c") <= col(s"r.$c")).reduce(_ && _)
+    val lt = m.dims.map(c => col(s"s.$c") < col(s"r.$c")).reduce(_ || _)
+    val scored = df.select(m.dims.map(col): _*).as("r")
+      .join(broadcast(sky.as("s")), le && lt)
+      .groupBy(m.dims.map(c => col(s"s.$c").as(c)): _*)
+      .agg(count(lit(1)).as("dom_cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("dom_cnt").desc +: m.dims.map(col): _*)
+    sky.join(scored, m.dims, "left")
+      .select(m.dims.map(col) :+ coalesce(col("dom_cnt"), lit(0L)).as("dom_cnt"): _*)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(m.dims.map(col) :+ col("dom_cnt") :+
+        col("rnk").cast("long").as("rnk"): _*)
+  }
+
   // ---------------------------------------------------------------- MR parity
 
   /** MR-Dim partition id as a column expression: range-partition on dim 0,

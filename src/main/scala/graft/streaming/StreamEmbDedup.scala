@@ -155,7 +155,30 @@ object StreamEmbDedup {
     * total) — still hyperparameter-bounded, watermark-evicted; `tables`×
     * the single-table shuffle volume (each arrival crosses the exchange
     * `tables` times). Null/dim-drifted vectors land in bucket 0 of every
-    * table and pass through unflagged, exactly as [[flagNearDups]]. */
+    * table and pass through unflagged, exactly as [[flagNearDups]].
+    *
+    * TUNING — tables vs cap vs bits (measured on the 1 M noisy-pair
+    * envelope, dims=64, bits=12, SCALE_SEMB_r14):
+    *   - LAYER TABLES when misses come from BUCKET SPLITS — a true
+    *     near-pair hashing to different buckets (the (1 − θ/π)^bits
+    *     collision loss; the `saturated` counter reads 0). Each extra
+    *     table multiplies state and shuffle ~×1 and retries the pair
+    *     independently: 1 table flagged 93.1 % of planted near-dups at
+    *     62.7 s / 4.1k state rows; 2 tables 99.1 % at 75.2 s / 8.1k rows
+    *     — +6 recall points for ~1.2× wall and 2× state.
+    *   - RAISE CAP when the `saturated` accumulator is climbing — misses
+    *     from FULL buckets (representatives rejected, so their
+    *     near-copies sail through). Costs state only in the buckets under
+    *     pressure, nothing in shuffle; a saturated=0 run gains zero
+    *     recall from more cap.
+    *   - LOWER BITS when compare cost is affordable — halving bits
+    *     doubles expected bucket occupancy (more comparisons per arrival,
+    *     the per-bucket loop is linear in kept reps) but raises
+    *     single-table collision probability for every θ, attacking the
+    *     same miss source as tables WITHOUT extra shuffle passes; state
+    *     bound cap × 2^bits shrinks. Prefer it over tables when arrivals
+    *     per bucket stay small; prefer tables when hot buckets already
+    *     run long. */
   def flagNearDupVotes(embs: DataFrame, idCol: String, tsCol: String,
                        vecCol: String, tables: Int, bits: Int, dims: Int,
                        minCos: Double, cap: Int, lateness: String,

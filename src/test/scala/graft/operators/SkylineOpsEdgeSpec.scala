@@ -181,4 +181,33 @@ class SkylineOpsEdgeSpec extends AnyFunSuite with PropHelpers {
     assert(colSide("q4, 42") == 0L, "whitespace is malformed on BOTH paths")
     assert(colSide("q5,-7") == -7L)
   }
+
+  test("skylineModel consumers are row-for-row the re-peeling operators (random duplicate-heavy sets)") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    def multiset(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(_.toSeq).groupBy(identity).view.mapValues(_.size).toMap
+    val ptsGen = Gen.listOfN(16,
+      Gen.zip(Gen.choose(0, 3), Gen.choose(0, 3))
+        .map { case (a, b) => (a.toDouble, b.toDouble) })
+    forAll2(ptsGen, Gen.choose(1, 3), n = 6) { (pts, k) =>
+      graft.core.Caches.scoped {
+        val df = pts.toDF("x", "y")
+        val m = SkylineOps.skylineModel(df, Seq("x", "y"), 3)
+        assert(
+          multiset(SkylineOps.layerRowsFrom(m, df)
+              .filter(col("layer") <= 2).collect()) ==
+            multiset(SkylineOps.skylineLayerRows(df, Seq("x", "y"), 2).collect()),
+          s"layers diverged: $pts")
+        assert(
+          multiset(SkylineOps.skybandRowsFrom(m, df, k).collect()) ==
+            multiset(SkylineOps.skybandRows(df, Seq("x", "y"), k).collect()),
+          s"skyband diverged: k=$k $pts")
+        assert(
+          multiset(SkylineOps.topDominatingFrom(m, df, 10).collect()) ==
+            multiset(SkylineOps.topDominatingSkyline(df, Seq("x", "y"), 10).collect()),
+          s"topdom diverged: $pts")
+      }
+    }
+  }
 }
