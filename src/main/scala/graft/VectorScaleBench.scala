@@ -178,6 +178,36 @@ object VectorScaleBench {
         graft.core.Caches.releaseAll()
       }
 
+      // IVF+PQ BUILD comparison (round 15): full-scan coarse + book
+      // training vs the fully sampled build (ivfModelSampled +
+      // ivfPqModelSampled at the same 1-in-(n/1M) draw). Timings cover
+      // coarse train + m×book train + the coded-index materialization —
+      // the whole index build; recall through the model-reuse search.
+      var ivfpqbFullSec = -1.0; var ivfpqbSampSec = -1.0
+      var ivfpqbFullHits = -1L; var ivfpqbSampHits = -1L
+      if (legs("ivfpqb")) {
+        val cpred = col("vec_id") >= 1000L && col("vec_id") < 1064L
+        val t0 = System.nanoTime()
+        val mf = graft.operators.VectorOps.ivfPqModel(
+          graft.operators.VectorOps.ivfModel(
+            embs, "vec_id", "embedding", cpred, 3, Dims), 2, 4)
+        mf.coded.count()
+        ivfpqbFullSec = (System.nanoTime() - t0) / 1e9
+        ivfpqbFullHits = recallAt10(graft.operators.VectorOps.knnIvfPqFrom(
+          mf, embs, "vec_id", qp, 10, 8), brute)
+        graft.core.Caches.releaseAll()
+        val t1 = System.nanoTime()
+        val ms = graft.operators.VectorOps.ivfPqModelSampled(
+          graft.operators.VectorOps.ivfModelSampled(
+            embs, "vec_id", "embedding", cpred, 3, Dims, sampMod),
+          2, 4, sampMod)
+        ms.coded.count()
+        ivfpqbSampSec = (System.nanoTime() - t1) / 1e9
+        ivfpqbSampHits = recallAt10(graft.operators.VectorOps.knnIvfPqFrom(
+          ms, embs, "vec_id", qp, 10, 8), brute)
+        graft.core.Caches.releaseAll()
+      }
+
       brute.unpersist(blocking = false)
       embs.unpersist(blocking = true)
       f"""{"n":$n,"gen_sec":$genSec%.2f,"brute_sec":$bruteSec%.2f,""" +
@@ -188,6 +218,8 @@ object VectorScaleBench {
         f""""ivfkb_full_sec":$ivfkbFullSec%.2f,"ivfkb_full_hits":$ivfkbFullHits,""" +
         f""""ivfkb_samp_sec":$ivfkbSampSec%.2f,"ivfkb_samp_hits":$ivfkbSampHits,""" +
         f""""ivfkb_samp_mod":$sampMod,""" +
+        f""""ivfpqb_full_sec":$ivfpqbFullSec%.2f,"ivfpqb_full_hits":$ivfpqbFullHits,""" +
+        f""""ivfpqb_samp_sec":$ivfpqbSampSec%.2f,"ivfpqb_samp_hits":$ivfpqbSampHits,""" +
         f""""sq8_sec":$sq8Sec%.2f,"sq8_hits":$sq8Hits,""" +
         s""""sq8_sweep":${sq8Sweep.mkString("[", ",", "]")}}"""
     }

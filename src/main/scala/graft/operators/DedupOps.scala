@@ -514,16 +514,26 @@ object DedupOps {
     // prefixLen = |x| − ⌈t·|x|⌉ + 1 = ⌊|x|·(den−num)/den⌋ + 1 (integer
     // identity; the double division is exact at per-doc set sizes).
     // Persisted: the candidate self-join would otherwise recompute the whole
-    // frequency+rank pipeline on BOTH sides.
+    // frequency+rank pipeline on BOTH sides. rnk/sz ride into the cache for
+    // the positional filter below.
     val prefix = cachePersist(
       sr.join(dfreq, "s")
         .select(col("id"), col("s"),
           row_number().over(ordered).as("rnk"),
           count(lit(1)).over(byDoc).as("sz"))
-        .filter(col("rnk") <= floor(col("sz") * (den - num) / den) + 1)
-        .select("id", "s"))
+        .filter(col("rnk") <= floor(col("sz") * (den - num) / den) + 1))
+    // PPJoin positional filter (Xiao et al., WWW'08): for the FIRST shared
+    // shingle in the global (df, s) order, elements before it on each side
+    // are disjoint from the other set, so overlap ≤ 1 + min(sz_a − rnk_a,
+    // sz_b − rnk_b); J ≥ num/den needs overlap·(num+den) ≥ num·(sz_a+sz_b),
+    // and the first-common-element row always satisfies both the prefix
+    // bound and this one — every true pair survives, deep-rank matches die
+    // before the distinct.
     val cand = prefix.as("a").join(prefix.as("b"),
-        col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+        col("a.s") === col("b.s") && col("a.id") < col("b.id") &&
+          (lit(1) + least(col("a.sz") - col("a.rnk"),
+            col("b.sz") - col("b.rnk"))) * (num + den) >=
+            (col("a.sz") + col("b.sz")) * num)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
     // Verification via [[pairIntersections]] — exact shared-shingle
