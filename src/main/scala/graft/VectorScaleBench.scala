@@ -178,33 +178,41 @@ object VectorScaleBench {
         graft.core.Caches.releaseAll()
       }
 
-      // IVF+PQ BUILD comparison (round 15): full-scan coarse + book
-      // training vs the fully sampled build (ivfModelSampled +
-      // ivfPqModelSampled at the same 1-in-(n/1M) draw). Timings cover
-      // coarse train + m×book train + the coded-index materialization —
-      // the whole index build; recall through the model-reuse search.
+      // RESIDUAL IVF+PQ BUILD comparison (round 15): full-scan coarse +
+      // residual book training vs the fully sampled build
+      // (ivfModelSampled + ivfPqResidualModelSampled at the same
+      // 1-in-(n/1M) draw). Timings cover coarse train + m×book train +
+      // the coded-index materialization — the whole index build; recall
+      // through the model-reuse search. RESIDUAL is the variant that can
+      // rank on this corpus: points share one of 1024 centers, so
+      // non-residual codes collapse same-center vectors to identical
+      // codes (ADC ties — recall ≈ 0 measured on the r15 draft); the
+      // residual books quantize the within-center displacement, which is
+      // exactly what separates the true top-10.
       var ivfpqbFullSec = -1.0; var ivfpqbSampSec = -1.0
       var ivfpqbFullHits = -1L; var ivfpqbSampHits = -1L
       if (legs("ivfpqb")) {
         val cpred = col("vec_id") >= 1000L && col("vec_id") < 1064L
         val t0 = System.nanoTime()
-        val mf = graft.operators.VectorOps.ivfPqModel(
+        val mf = graft.operators.VectorOps.ivfPqResidualModel(
           graft.operators.VectorOps.ivfModel(
             embs, "vec_id", "embedding", cpred, 3, Dims), 2, 4)
         mf.coded.count()
         ivfpqbFullSec = (System.nanoTime() - t0) / 1e9
-        ivfpqbFullHits = recallAt10(graft.operators.VectorOps.knnIvfPqFrom(
-          mf, embs, "vec_id", qp, 10, 8), brute)
+        ivfpqbFullHits = recallAt10(
+          graft.operators.VectorOps.knnIvfPqResidualFrom(
+            mf, embs, "vec_id", qp, 10, 8), brute)
         graft.core.Caches.releaseAll()
         val t1 = System.nanoTime()
-        val ms = graft.operators.VectorOps.ivfPqModelSampled(
+        val ms = graft.operators.VectorOps.ivfPqResidualModelSampled(
           graft.operators.VectorOps.ivfModelSampled(
             embs, "vec_id", "embedding", cpred, 3, Dims, sampMod),
           2, 4, sampMod)
         ms.coded.count()
         ivfpqbSampSec = (System.nanoTime() - t1) / 1e9
-        ivfpqbSampHits = recallAt10(graft.operators.VectorOps.knnIvfPqFrom(
-          ms, embs, "vec_id", qp, 10, 8), brute)
+        ivfpqbSampHits = recallAt10(
+          graft.operators.VectorOps.knnIvfPqResidualFrom(
+            ms, embs, "vec_id", qp, 10, 8), brute)
         graft.core.Caches.releaseAll()
       }
 

@@ -569,15 +569,14 @@ object DedupOps {
     * document's prefix orientation proves nothing and is dropped
     * entirely (it used to double the join fanout AND admit candidates no
     * bound supported — large docs carry the longest prefixes, so it was
-    * the expensive half). On top of that the PPJoin positional filter
-    * (Xiao et al., WWW'08, adapted to the containment overlap bound):
-    * for the FIRST shared shingle in the global (df, s) order, the
-    * elements before it on each side are disjoint from the other set, so
-    * overlap ≤ 1 + min(sz_a − rnk_a, sz_b − rnk_b); a true pair needs
-    * overlap ≥ ⌈sz_a·num/den⌉, and its first-common-element row always
-    * satisfies both the prefix and this bound — so filtering every
-    * matched row by it keeps all true pairs while cutting deep-rank
-    * matches before the distinct.
+    * the expensive half). The orientation needs only the FULL side's SET
+    * SIZE, which rides the one cached shingle table as a single extra
+    * int from a sort-free count window — measured faster at 10 M than
+    * the r15-draft variant that also ranked the full side for a PPJoin
+    * positional filter (the rank sort + a second corpus-sized cache cost
+    * more than the filter saved on real candidate volumes; the
+    * positional filter lives on in [[jaccardNearDupsFromShingles]],
+    * where both join sides are prefix tables that carry ranks for free).
     * Cost bound: the candidate join fans out df(s) per prefix row —
     * prefixes are the globally RAREST shingles of each doc (same
     * df-ascending order as the PPJoin path), so that fanout is small by
@@ -592,34 +591,34 @@ object DedupOps {
     require(num > 0 && den > 0 && num <= den,
       s"containment threshold must be in (0, 1]: $num/$den")
     import org.apache.spark.sql.expressions.Window
-    val sr = cachePersist(shingleRows(docs, idCol, n))
-    val dfreq = sr.groupBy("s").agg(count(lit(1)).as("df"))
-    val byDoc   = Window.partitionBy("id")
+    // ONE cached corpus table (id, s, sz): the set size comes from a
+    // sort-free count window and rides as a single int; it serves the
+    // frequency pass, the prefix build, the candidate join's FULL side,
+    // and both verification joins.
+    val byDoc = Window.partitionBy("id")
+    val srz = cachePersist(
+      shingleRows(docs, idCol, n)
+        .withColumn("sz", count(lit(1)).over(byDoc)))
+    val dfreq = srz.groupBy("s").agg(count(lit(1)).as("df"))
     val ordered = Window.partitionBy("id").orderBy(col("df"), col("s"))
-    // The rank/size lattice is computed ONCE and cached: the prefix side
-    // filters it, and the full side reads it directly (it needs rnk and
-    // sz for the positional filter — re-deriving the two windows per
-    // side would double the corpus-wide sort).
-    val ranked = cachePersist(
-      sr.join(dfreq, "s")
-        .select(col("id"), col("s"),
-          row_number().over(ordered).as("rnk"),
-          count(lit(1)).over(byDoc).as("sz")))
-    val prefix = ranked
-      .filter(col("rnk") <= floor(col("sz") * (den - num) / den) + 1)
-    // ⌈sz_a·num/den⌉ in integers; sz_a is the min by the orientation rule.
-    val needed = floor((col("a.sz") * num + (den - 1)) / den)
-    val cand = prefix.as("a").join(ranked.as("b"),
+    // Rank window on the JOINED (small-ish) prefix pipeline only — the
+    // full side never pays the per-doc sort.
+    val prefix =
+      srz.join(dfreq, "s")
+        .select(col("id"), col("s"), col("sz"),
+          row_number().over(ordered).as("rnk"))
+        .filter(col("rnk") <= floor(col("sz") * (den - num) / den) + 1)
+        .select("id", "s", "sz")
+    val cand = prefix.as("a").join(srz.as("b"),
         col("a.s") === col("b.s") &&
           (col("a.sz") < col("b.sz") ||
-            (col("a.sz") === col("b.sz") && col("a.id") < col("b.id"))) &&
-          lit(1) + least(col("a.sz") - col("a.rnk"),
-            col("b.sz") - col("b.rnk")) >= needed)
+            (col("a.sz") === col("b.sz") && col("a.id") < col("b.id"))))
       .select(least(col("a.id"), col("b.id")).as("id_a"),
         greatest(col("a.id"), col("b.id")).as("id_b"))
       .distinct()
     // Verification via [[pairIntersections]] — exact shared-shingle
     // counts per candidate, no per-doc arrays; sizes from the size table.
+    val sr = srz.select("id", "s")
     val sz = shingleSizes(sr)
     pairIntersections(sr, cand)
       .join(sz.select(col("id").as("id_a"), col("sz").as("sz_a")), "id_a")
