@@ -158,24 +158,48 @@ object VectorScaleBench {
       var ivfkbFullSec = -1.0; var ivfkbSampSec = -1.0
       var ivfkbFullHits = -1L; var ivfkbSampHits = -1L
       val sampMod = math.max(1L, n / 1000000L).toInt
+      // Build legs run the first/min protocol at 10M (reps=2, hits
+      // required identical): single-shot 10M builds swing ~2× with page
+      // cache — r15's first sample read "sampled slower than full",
+      // which the second sample disproved.
+      val bReps = if (n >= 10000000L) 2 else 1
+      // body times its own BUILD portion (train + index materialization,
+      // search excluded — the metric semantics of earlier rounds) and
+      // returns (buildSec, recallHits); min build sec across reps, hits
+      // required identical.
+      def minBuild(body: => (Double, Long)): (Double, Long) = {
+        var best = Double.MaxValue; var hits = -1L
+        for (i <- 0 until bReps) {
+          val (sec, h) = body
+          best = math.min(best, sec)
+          require(i == 0 || h == hits, s"build rep hits diverged: $h vs $hits")
+          hits = h
+          graft.core.Caches.releaseAll()
+        }
+        (best, hits)
+      }
       if (legs("ivfkb")) {
         val cpred = col("vec_id") >= 1000L && col("vec_id") < 1064L
-        val t0 = System.nanoTime()
-        val mf = graft.operators.VectorOps.ivfModel(
-          embs, "vec_id", "embedding", cpred, 3, Dims)
-        mf.cells.count()
-        ivfkbFullSec = (System.nanoTime() - t0) / 1e9
-        ivfkbFullHits = recallAt10(graft.operators.VectorOps.knnIvfKmeansFrom(
-          mf, embs, "vec_id", qp, 10, 8), brute)
-        graft.core.Caches.releaseAll()
-        val t1 = System.nanoTime()
-        val ms = graft.operators.VectorOps.ivfModelSampled(
-          embs, "vec_id", "embedding", cpred, 3, Dims, sampMod)
-        ms.cells.count()
-        ivfkbSampSec = (System.nanoTime() - t1) / 1e9
-        ivfkbSampHits = recallAt10(graft.operators.VectorOps.knnIvfKmeansFrom(
-          ms, embs, "vec_id", qp, 10, 8), brute)
-        graft.core.Caches.releaseAll()
+        val (fs, fh) = minBuild {
+          val t = System.nanoTime()
+          val mf = graft.operators.VectorOps.ivfModel(
+            embs, "vec_id", "embedding", cpred, 3, Dims)
+          mf.cells.count()
+          val sec = (System.nanoTime() - t) / 1e9
+          (sec, recallAt10(graft.operators.VectorOps.knnIvfKmeansFrom(
+            mf, embs, "vec_id", qp, 10, 8), brute))
+        }
+        ivfkbFullSec = fs; ivfkbFullHits = fh
+        val (ss, sh) = minBuild {
+          val t = System.nanoTime()
+          val ms = graft.operators.VectorOps.ivfModelSampled(
+            embs, "vec_id", "embedding", cpred, 3, Dims, sampMod)
+          ms.cells.count()
+          val sec = (System.nanoTime() - t) / 1e9
+          (sec, recallAt10(graft.operators.VectorOps.knnIvfKmeansFrom(
+            ms, embs, "vec_id", qp, 10, 8), brute))
+        }
+        ivfkbSampSec = ss; ivfkbSampHits = sh
       }
 
       // RESIDUAL IVF+PQ BUILD comparison (round 15): full-scan coarse +
@@ -193,27 +217,31 @@ object VectorScaleBench {
       var ivfpqbFullHits = -1L; var ivfpqbSampHits = -1L
       if (legs("ivfpqb")) {
         val cpred = col("vec_id") >= 1000L && col("vec_id") < 1064L
-        val t0 = System.nanoTime()
-        val mf = graft.operators.VectorOps.ivfPqResidualModel(
-          graft.operators.VectorOps.ivfModel(
-            embs, "vec_id", "embedding", cpred, 3, Dims), 2, 4)
-        mf.coded.count()
-        ivfpqbFullSec = (System.nanoTime() - t0) / 1e9
-        ivfpqbFullHits = recallAt10(
-          graft.operators.VectorOps.knnIvfPqResidualFrom(
-            mf, embs, "vec_id", qp, 10, 8), brute)
-        graft.core.Caches.releaseAll()
-        val t1 = System.nanoTime()
-        val ms = graft.operators.VectorOps.ivfPqResidualModelSampled(
-          graft.operators.VectorOps.ivfModelSampled(
-            embs, "vec_id", "embedding", cpred, 3, Dims, sampMod),
-          2, 4, sampMod)
-        ms.coded.count()
-        ivfpqbSampSec = (System.nanoTime() - t1) / 1e9
-        ivfpqbSampHits = recallAt10(
-          graft.operators.VectorOps.knnIvfPqResidualFrom(
-            ms, embs, "vec_id", qp, 10, 8), brute)
-        graft.core.Caches.releaseAll()
+        val (fs, fh) = minBuild {
+          val t = System.nanoTime()
+          val mf = graft.operators.VectorOps.ivfPqResidualModel(
+            graft.operators.VectorOps.ivfModel(
+              embs, "vec_id", "embedding", cpred, 3, Dims), 2, 4)
+          mf.coded.count()
+          val sec = (System.nanoTime() - t) / 1e9
+          (sec, recallAt10(
+            graft.operators.VectorOps.knnIvfPqResidualFrom(
+              mf, embs, "vec_id", qp, 10, 8), brute))
+        }
+        ivfpqbFullSec = fs; ivfpqbFullHits = fh
+        val (ss, sh) = minBuild {
+          val t = System.nanoTime()
+          val ms = graft.operators.VectorOps.ivfPqResidualModelSampled(
+            graft.operators.VectorOps.ivfModelSampled(
+              embs, "vec_id", "embedding", cpred, 3, Dims, sampMod),
+            2, 4, sampMod)
+          ms.coded.count()
+          val sec = (System.nanoTime() - t) / 1e9
+          (sec, recallAt10(
+            graft.operators.VectorOps.knnIvfPqResidualFrom(
+              ms, embs, "vec_id", qp, 10, 8), brute))
+        }
+        ivfpqbSampSec = ss; ivfpqbSampHits = sh
       }
 
       brute.unpersist(blocking = false)

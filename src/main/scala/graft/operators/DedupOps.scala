@@ -562,21 +562,21 @@ object DedupOps {
     * prefix argument holds (pigeonhole on s = min(|A|,|B|): if none of
     * its ⌊s·(den−num)/den⌋+1 rarest shingles is shared, the intersection
     * is < s·num/den), and the partner element may sit anywhere in the
-    * other document. So candidates come from prefix ⋈ FULL shingle rows
-    * — in the ONE orientation the pigeonhole actually licenses: the
-    * prefix side must be the SMALLER document (ties broken by id), since
-    * only the smaller set's prefix is guaranteed to hit; the larger
-    * document's prefix orientation proves nothing and is dropped
-    * entirely (it used to double the join fanout AND admit candidates no
-    * bound supported — large docs carry the longest prefixes, so it was
-    * the expensive half). The orientation needs only the FULL side's SET
-    * SIZE, which rides the one cached shingle table as a single extra
-    * int from a sort-free count window — measured faster at 10 M than
-    * the r15-draft variant that also ranked the full side for a PPJoin
-    * positional filter (the rank sort + a second corpus-sized cache cost
-    * more than the filter saved on real candidate volumes; the
-    * positional filter lives on in [[jaccardNearDupsFromShingles]],
-    * where both join sides are prefix tables that carry ranks for free).
+    * other document. So candidates come from prefix ⋈ FULL shingle rows,
+    * both orientations at once, collapsed to the unordered pair.
+    * NEGATIVE RESULT (round 15, measured at 10 M, committed so it is not
+    * re-tried): restricting the join to the one orientation the
+    * pigeonhole licenses (prefix side = smaller document) and/or adding
+    * the PPJoin positional filter both LOSE here — either form needs
+    * the full side to carry its set size (and rank, for the filter),
+    * which costs a corpus-wide exchange-or-window plus a wider cache,
+    * while the candidate join's cost is dominated by the probe/shuffle
+    * of the corpus-sized full side, not by its output rows (rare-first
+    * prefixes keep the fanout near the true pair count): 10 M contain
+    * cell 275 s (this shape) vs 327–344 s (both r15 variants) at
+    * identical output. The positional filter DOES pay where ranks are
+    * already on both sides for free — [[jaccardNearDupsFromShingles]]'s
+    * prefix×prefix join keeps it.
     * Cost bound: the candidate join fans out df(s) per prefix row —
     * prefixes are the globally RAREST shingles of each doc (same
     * df-ascending order as the PPJoin path), so that fanout is small by
@@ -591,34 +591,24 @@ object DedupOps {
     require(num > 0 && den > 0 && num <= den,
       s"containment threshold must be in (0, 1]: $num/$den")
     import org.apache.spark.sql.expressions.Window
-    // ONE cached corpus table (id, s, sz): the set size comes from a
-    // sort-free count window and rides as a single int; it serves the
-    // frequency pass, the prefix build, the candidate join's FULL side,
-    // and both verification joins.
-    val byDoc = Window.partitionBy("id")
-    val srz = cachePersist(
-      shingleRows(docs, idCol, n)
-        .withColumn("sz", count(lit(1)).over(byDoc)))
-    val dfreq = srz.groupBy("s").agg(count(lit(1)).as("df"))
+    val sr = cachePersist(shingleRows(docs, idCol, n))
+    val dfreq = sr.groupBy("s").agg(count(lit(1)).as("df"))
+    val byDoc   = Window.partitionBy("id")
     val ordered = Window.partitionBy("id").orderBy(col("df"), col("s"))
-    // Rank window on the JOINED (small-ish) prefix pipeline only — the
-    // full side never pays the per-doc sort.
     val prefix =
-      srz.join(dfreq, "s")
-        .select(col("id"), col("s"), col("sz"),
-          row_number().over(ordered).as("rnk"))
+      sr.join(dfreq, "s")
+        .select(col("id"), col("s"),
+          row_number().over(ordered).as("rnk"),
+          count(lit(1)).over(byDoc).as("sz"))
         .filter(col("rnk") <= floor(col("sz") * (den - num) / den) + 1)
-        .select("id", "s", "sz")
-    val cand = prefix.as("a").join(srz.as("b"),
-        col("a.s") === col("b.s") &&
-          (col("a.sz") < col("b.sz") ||
-            (col("a.sz") === col("b.sz") && col("a.id") < col("b.id"))))
+        .select("id", "s")
+    val cand = prefix.as("a").join(sr.as("b"),
+        col("a.s") === col("b.s") && col("a.id") =!= col("b.id"))
       .select(least(col("a.id"), col("b.id")).as("id_a"),
         greatest(col("a.id"), col("b.id")).as("id_b"))
       .distinct()
     // Verification via [[pairIntersections]] — exact shared-shingle
     // counts per candidate, no per-doc arrays; sizes from the size table.
-    val sr = srz.select("id", "s")
     val sz = shingleSizes(sr)
     pairIntersections(sr, cand)
       .join(sz.select(col("id").as("id_a"), col("sz").as("sz_a")), "id_a")
