@@ -48,8 +48,13 @@ object GraphScaleBench {
       var best = Double.MaxValue
       for (i <- 0 until reps) {
         val t = System.nanoTime()
-        out = Some(body) // body must CONSUME (count/collect) its result
+        val r = body // body must CONSUME (count/collect) its result
         val sec = (System.nanoTime() - t) / 1e9
+        // Counts/masses must be identical across reps — the protocol's
+        // whole point is that wall-clock varies and results don't
+        // (DedupScaleBench/VectorScaleBench fail the same way).
+        require(out.forall(_ == r), s"rep results diverged: $out vs $r")
+        out = Some(r)
         if (i == 0) first = sec
         best = math.min(best, sec)
         graft.core.Caches.releaseAll()

@@ -97,7 +97,26 @@ object GraphOps {
             expr("(85 * coalesce(contrib, CAST(0 AS BIGINT))) div 100"))
             .as("r"))
     }
-    var ranks = deg.select(col("src").as("id"), col("deg"), lit(r0).as("r"))
+    val init = deg.select(col("src").as("id"), col("deg"), lit(r0).as("r"))
+    iterateRounds(init, round, iters, ckptEvery)
+      .select(col("id").as("vec_id"), col("r").as("pr"))
+  }
+
+  /** The shared round-loop machinery of [[pageRank]] /
+    * [[personalizedPageRank]] — one copy of the stateful
+    * checkpoint/probe logic (the r15 review's duplication finding):
+    * rounds compose lazily and re-root through an eager
+    * `localCheckpoint` every `ckptEvery` rounds with superseded blocks
+    * freed immediately; at each boundary the EXACT integer fixed-point
+    * probe runs the adjacent round eagerly and compares the two CACHED
+    * rank tables on (id, r) — equality ends the loop with a
+    * bit-identical result; and at iters ≥ ckptEvery the final round is
+    * checkpointed so the returned frame is a repeatable block read. The
+    * live checkpoint is registered with [[graft.core.Caches]]
+    * (consume-then-release). `init`/`round` frames must carry (id, r). */
+  private def iterateRounds(init: DataFrame, round: DataFrame => DataFrame,
+                            iters: Int, ckptEvery: Int): DataFrame = {
+    var ranks = init
     // Backing storage of the checkpoint the CURRENT plan reads (if any):
     // freed when a newer checkpoint supersedes it, tracked for the
     // registry once it feeds the returned plan.
@@ -139,7 +158,7 @@ object GraphOps {
     // Released only after the caller consumes the result (the registry's
     // consume-then-release contract — see scaladoc).
     liveCkpt.foreach(graft.core.Caches.trackRdd)
-    ranks.select(col("id").as("vec_id"), col("r").as("pr"))
+    ranks
   }
 
   /** Triangle census of the undirected graph induced by a directed edge
@@ -432,39 +451,9 @@ object GraphOps {
             expr("(85 * coalesce(contrib, CAST(0 AS BIGINT))) div 100"))
             .as("r"))
     }
-    var ranks = flagged
+    val init = flagged
       .select(col("id"), col("deg"), (col("s") * lit(r0)).as("r"))
-    var liveCkpt: Option[org.apache.spark.rdd.RDD[_]] = None
-    def supersede(ckpt: DataFrame): Unit = {
-      liveCkpt.foreach(_.unpersist(blocking = false)) // superseded round
-      liveCkpt = graft.core.Caches.checkpointRdd(ckpt)
-    }
-    var t = 0
-    var fixed = false
-    while (t < iters && !fixed) {
-      var next = round(ranks)
-      t += 1
-      if (t % ckptEvery == 0 && t < iters) {
-        next = next.localCheckpoint()
-        supersede(next)
-        if (t < iters) {
-          // Exact fixed-point probe — the [[pageRank]] early stop.
-          val probe = round(next).localCheckpoint()
-          t += 1
-          fixed = next.select(col("id"), col("r"))
-            .join(probe.select(col("id"), col("r").as("r2")), "id")
-            .filter(col("r") =!= col("r2")).isEmpty
-          supersede(probe)
-          next = probe
-        }
-      }
-      ranks = next
-    }
-    if (iters >= ckptEvery) {
-      ranks = ranks.localCheckpoint() // cheap repeatable read — see pageRank
-      supersede(ranks)
-    }
-    liveCkpt.foreach(graft.core.Caches.trackRdd)
-    ranks.select(col("id").as("vec_id"), col("r").as("ppr"))
+    iterateRounds(init, round, iters, ckptEvery)
+      .select(col("id").as("vec_id"), col("r").as("ppr"))
   }
 }

@@ -64,18 +64,25 @@ object StateCompat {
           s"write '$version' to ${marker.getFileName}.")
     } else {
       Files.createDirectories(dir)
-      // CREATE_NEW makes the stamp ATOMIC: two queries guarding the same
-      // fresh directory concurrently cannot both write (the loser's
-      // FileAlreadyExistsException re-enters the validate branch and
-      // converges deterministically — same version passes, a racing
-      // DIFFERENT version fails loudly instead of silently last-writing).
-      try Files.write(marker, version.toString.getBytes(UTF_8),
-        java.nio.file.StandardOpenOption.CREATE_NEW,
-        java.nio.file.StandardOpenOption.WRITE)
+      // Atomic stamp WITH content: the bytes are written to a private
+      // temp file and LINKED into place — link creation either publishes
+      // the fully-written marker or fails with FileAlreadyExists, so a
+      // racing guard can never observe a created-but-empty marker (the
+      // CREATE_NEW + write form had that window: the loser could re-read
+      // before the winner's bytes landed and throw a spurious mismatch).
+      // The loser re-enters the validate branch and converges
+      // deterministically — same version passes, a racing DIFFERENT
+      // version fails loudly instead of silently last-writing.
+      val tmp = dir.resolve(
+        s"${marker.getFileName}.tmp-${ProcessHandle.current.pid}-${System.nanoTime}")
+      Files.write(tmp, version.toString.getBytes(UTF_8))
+      try Files.createLink(marker, tmp)
       catch {
         case _: java.nio.file.FileAlreadyExistsException =>
+          Files.deleteIfExists(tmp)
           guard(checkpointDir, twin, version)
       }
+      finally Files.deleteIfExists(tmp)
     }
   }
 }

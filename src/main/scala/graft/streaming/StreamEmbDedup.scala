@@ -300,14 +300,23 @@ object StreamEmbDedup {
       dims, minCos, cap, lateness, saturated), lateness, Some(lateness))
 
   /** Scopes the `statefulOperator.checkCorrectness` waiver to ONE query
-    * start instead of the whole session: Spark consults the flag
-    * synchronously inside `.start()` (analysis-time
+    * start instead of the whole session lifetime: Spark consults the
+    * flag synchronously inside `.start()` (analysis-time
     * UnsupportedOperationChecker), so set → start → restore confines the
-    * disable to exactly the [[orVotes]] chain being launched — other
-    * queries on the session keep the guard. `body` must contain the
-    * `.start()` call itself (not just build the DataFrame). */
+    * disable to the `body` window. `body` must contain the `.start()`
+    * call itself (not just build the DataFrame).
+    *
+    * CONCURRENCY SCOPE (honest limits): calls to this method are
+    * serialized JVM-wide, so two overlapping `allowVotesChain`s cannot
+    * restore each other's stale previous value — but the conf is
+    * SESSION-level state, so an UNRELATED stateful query started by
+    * another thread on the SAME session inside the window also skips
+    * the check. A multi-tenant driver that starts streaming queries
+    * concurrently should give the votes chain its own session
+    * (`spark.newSession()` shares the SparkContext; build the chain's
+    * input from that session) rather than share one session's conf. */
   def allowVotesChain[T](spark: org.apache.spark.sql.SparkSession)
-                        (body: => T): T = {
+                        (body: => T): T = votesChainLock.synchronized {
     val key = "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
     val prev = spark.conf.getOption(key)
     spark.conf.set(key, "false")
@@ -317,6 +326,8 @@ object StreamEmbDedup {
       case None    => spark.conf.unset(key)
     }
   }
+
+  private[this] val votesChainLock = new Object
 
   /** Watermark-delay string → milliseconds, with Spark's own interval
     * parser (so "10 minutes", "1 hour", "90 seconds" all compare

@@ -351,6 +351,28 @@ class VectorOpsSpec extends AnyFunSuite {
     }
     assert(resMod1 == resFull,
       s"residual sampleMod=1 must equal the full build: $resMod1 vs $resFull")
+    // mod 2: the sampled residual books must ACTUALLY train on the
+    // sample — on this fixed-seed noise fixture the half-sample centroid
+    // means differ from the full-scan ones, so identical books mean the
+    // sampleMod was dropped on the floor (the r15 review finding); and
+    // one-probe search must keep blob structure under the sampled books.
+    graft.core.Caches.scoped {
+      val ivf = VectorOps.ivfModel(df, "vec_id", "embedding", seeds, 2, 4)
+      val pmFull = VectorOps.ivfPqResidualModel(ivf, 2, 2)
+      val pmSamp = VectorOps.ivfPqResidualModelSampled(ivf, 2, 2, sampleMod = 2)
+      assert(pmSamp.books.flatten.map(_._2.toSeq) !=
+          pmFull.books.flatten.map(_._2.toSeq),
+        "sampled residual books must differ from full-scan books " +
+          "(sampleMod dropped?)")
+      val resOneProbe = VectorOps
+        .knnIvfPqResidualFrom(pmSamp, df, "vec_id", queries, 4, probes = 1)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(resOneProbe.nonEmpty)
+      resOneProbe.foreach { case (q, n) =>
+        assert(n / 10 == q / 10,
+          s"$q paired out-of-blob $n under sampled residual books")
+      }
+    }
   }
 
   test("kmeansFarthestFirstSampled: sampleMod=1 is the full operator; sampled seeding still covers the blobs") {
