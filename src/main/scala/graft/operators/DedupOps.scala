@@ -378,8 +378,11 @@ object DedupOps {
     * exact verification removes, so pair output is identical; equal
     * tuples always fold equal, so recall is exactly the banded recall.
     * (A fold collision also merges two buckets for the [[hotBuckets]]
-    * cap's occupancy count — at 2⁻⁶⁴ per bucket pair, below any
-    * operational concern.) */
+    * cap's occupancy count, so under a cap two individually sub-cap
+    * buckets whose COMBINED occupancy exceeds `maxBucket` are both
+    * dropped — i.e. a collision can REMOVE both buckets' candidates,
+    * not only add spurious ones; at 2⁻⁶⁴ per bucket pair, below any
+    * operational concern either way.) */
   def bandedKeys(shingleRows: DataFrame, b: Int, r: Int): DataFrame =
     minhashAggRow(shingleRows, b * r)
       .select(col("id"), explode(array((0 until b).map(g =>
