@@ -128,9 +128,10 @@ object DedupScaleBench {
         val bpSec = (System.nanoTime() - t4) / 1e9
         graft.operators.DedupOps.unpersistPipelines()
 
-        // CONTAINMENT leg (round 12, second wave): the smaller-side
-        // prefix ⋈ FULL postings candidate geometry (r15: one pigeonhole
-        // orientation + positional filter) — the one pairing shape in the
+        // CONTAINMENT leg (round 12, second wave): the rare-first
+        // prefix ⋈ FULL shingle-rows candidate geometry (the r15
+        // orientation/positional-filter variants measured slower and were
+        // reverted — see containmentNearDups) — the one pairing shape in the
         // library whose cost is bounded by prefix-shingle document
         // frequency rather than banding or blocking. Planted pairs share
         // a 22-word prefix (containment 20/22 > 7/10), so the qualifying

@@ -89,9 +89,14 @@ object GraphScaleBench {
       // re-rooting AND the exact fixed-point early stop — the leg that
       // proves lineage bounding holds when it matters and measures what
       // the early exit buys (bit-identical pr50_mass either way).
+      // rounds-executed is carried into the JSON (pr50_rounds) so the
+      // wall-clock spread can be attributed: < 50 means the probe fired,
+      // = 50 means the win is the final-round checkpoint + box variance.
+      var pr50Rounds = -1
       val (pr50Mass, pr50First, pr50Sec) = timedN(reps) {
-        graft.operators.GraphOps.pageRank(edges, 50)
-          .agg(sum("pr")).collect()(0).getLong(0)
+        val (pr, rounds) = graft.operators.GraphOps.pageRankCounted(edges, 50)
+        pr50Rounds = rounds
+        pr.agg(sum("pr")).collect()(0).getLong(0)
       }
 
       val (nComponents, ccFirst, ccSec) = timedN(reps) {
@@ -115,6 +120,7 @@ object GraphScaleBench {
       f"""{"n":$n,"n_edges":$nEdges,"gen_sec":$genSec%.2f,"reps":$reps,""" +
         f""""pagerank_sec":$prSec%.2f,"pagerank_first":$prFirst%.2f,"pr_mass":$prMass,""" +
         f""""pagerank50_sec":$pr50Sec%.2f,"pagerank50_first":$pr50First%.2f,"pr50_mass":$pr50Mass,""" +
+        f""""pr50_rounds":$pr50Rounds,""" +
         f""""cc_sec":$ccSec%.2f,"cc_first":$ccFirst%.2f,"n_components":$nComponents,""" +
         f""""kcore_sec":$coreSec%.2f,"kcore_first":$coreFirst%.2f,"n_core":$nCore,""" +
         f""""triangles_sec":$triSec%.2f,"triangles_first":$triFirst%.2f,"n_triangles":$nTriangles}"""

@@ -67,9 +67,18 @@ object StreamDedupScaleBench {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
+    // first/min protocol (round 16 — the batch benches' timedN, adopted
+    // here after r15's single-sample lever claims): ingest wall swings
+    // with page-cache/GC phase while flag counts and state rows are
+    // exact, so each cell runs `reps` independent queries (fresh
+    // MemoryStream + checkpoint each), counts REQUIRED identical, and
+    // the JSON carries first AND min ingest seconds.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "2").toInt
+
     val cells = ns.map { n =>
       val nBase = (n * 9) / 10
       val blockSz = n / blocks
+      def runOnce(): (Double, (Long, Long, Long)) = {
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
       val feed = MemoryStream[Int]
       // Block b → ids [b*blockSz, (b+1)*blockSz); same generator as
@@ -128,8 +137,20 @@ object StreamDedupScaleBench {
       val stateRows = Option(q.lastProgress)
         .flatMap(p => p.stateOperators.headOption)
         .map(_.numRowsTotal).getOrElse(-1L)
+      (ingestSec, (total, flagged, stateRows))
+      }
+      var first = 0.0; var best = Double.MaxValue
+      var counts: Option[(Long, Long, Long)] = None
+      for (i <- 0 until reps) {
+        val (sec, c) = runOnce()
+        require(counts.forall(_ == c), s"rep counts diverged: $counts vs $c")
+        counts = Some(c)
+        if (i == 0) first = sec
+        best = math.min(best, sec)
+      }
+      val (total, flagged, stateRows) = counts.get
       val expFlagged = (n - nBase) * 15L
-      f"""{"n":$n,"ingest_sec":$ingestSec%.2f,"docs_per_sec":${(n / ingestSec).toLong},"spans":$total,"flagged":$flagged,"exp_flagged":$expFlagged,"state_rows":$stateRows}"""
+      f"""{"n":$n,"ingest_sec":$best%.2f,"ingest_first":$first%.2f,"reps":$reps,"docs_per_sec":${(n / best).toLong},"spans":$total,"flagged":$flagged,"exp_flagged":$expFlagged,"state_rows":$stateRows}"""
     }
 
     val line =

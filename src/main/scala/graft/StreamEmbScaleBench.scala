@@ -66,9 +66,28 @@ object StreamEmbScaleBench {
 
     val legFilter = sys.env.getOrElse("SPARK_GRAFT_SCALE_LEGS", "exact,multi")
       .split(",").map(_.trim).filter(_.nonEmpty).toSet
+    // first/min protocol (round 16): ingest wall swings with page-cache/
+    // GC phase while flag counts, state rows, and saturation are exact
+    // (flagging is order-independent on these corpora: all copies of a
+    // slot are mutually above threshold, so WHICH copy seeds the bucket
+    // never changes a flag count) — each leg runs `reps` independent
+    // queries, counts REQUIRED identical, JSON carries first AND min.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "2").toInt
+    def timedRuns[T](body: => (Double, T)): (Double, Double, T) = {
+      var first = 0.0; var best = Double.MaxValue; var out: Option[T] = None
+      for (i <- 0 until reps) {
+        val (sec, r) = body
+        require(out.forall(_ == r), s"rep counts diverged: $out vs $r")
+        out = Some(r)
+        if (i == 0) first = sec
+        best = math.min(best, sec)
+      }
+      (first, best, out.get)
+    }
     val cells = (if (legFilter("exact")) ns else Seq.empty[Long]).map { n =>
       val m = n / 10
       val blockSz = n / blocks
+      val (ingestFirst, ingestMin, (total, flagged, stateRows)) = timedRuns {
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
       val feed = MemoryStream[Int]
       val slot = pmod(col("vec_id"), lit(m))
@@ -107,11 +126,13 @@ object StreamEmbScaleBench {
         val _ = q.lastProgress // touch before stop
         q.stop()
       }
-      val stateRows = Option(q.lastProgress)
+      val sr = Option(q.lastProgress)
         .flatMap(p => p.stateOperators.headOption)
         .map(_.numRowsTotal).getOrElse(-1L)
+      (ingestSec, (total, flagged, sr))
+      }
       val expFlagged = n - m
-      f"""{"n":$n,"ingest_sec":$ingestSec%.2f,"vecs_per_sec":${(n / ingestSec).toLong},"rows":$total,"flagged":$flagged,"exp_flagged":$expFlagged,"state_rows":$stateRows}"""
+      f"""{"n":$n,"ingest_sec":$ingestMin%.2f,"ingest_first":$ingestFirst%.2f,"reps":$reps,"vecs_per_sec":${(n / ingestMin).toLong},"rows":$total,"flagged":$flagged,"exp_flagged":$expFlagged,"state_rows":$stateRows}"""
     }
 
     // Multi-table leg: noisy copies (center + ~2° deviation), tables 1
@@ -122,6 +143,7 @@ object StreamEmbScaleBench {
       val m = n / 10
       val blockSz = n / blocks
       val runs = Seq(1, 2).map { tables =>
+        val (tFirst, tMin, (tot, fl, st, sat)) = timedRuns {
         implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
         val feed = MemoryStream[Int]
         val slot = pmod(col("vec_id"), lit(m))
@@ -172,13 +194,16 @@ object StreamEmbScaleBench {
         val stateRows = Option(q.lastProgress)
           .flatMap(p => p.stateOperators.headOption)
           .map(_.numRowsTotal).getOrElse(-1L)
-        (tables, ingestSec, total, flagged, stateRows, sat.value)
+        (ingestSec, (total, flagged, stateRows, sat.value))
+        }
+        (tables, tFirst, tMin, tot, fl, st, sat)
       }
-      val Seq((_, s1, tot1, f1, st1, sat1), (_, s2, tot2, f2, st2, sat2)) = runs
+      val Seq((_, fst1, s1, tot1, f1, st1, sat1),
+              (_, fst2, s2, tot2, f2, st2, sat2)) = runs
       assert(tot1 == n && tot2 == n, s"row loss: $tot1/$tot2 of $n")
-      f"""{"n":$n,"exp_flagged":${n - m},""" +
-        f""""t1_ingest_sec":$s1%.2f,"t1_flagged":$f1,"t1_state_rows":$st1,"t1_saturated":$sat1,""" +
-        f""""t2_ingest_sec":$s2%.2f,"t2_flagged":$f2,"t2_state_rows":$st2,"t2_saturated":$sat2}"""
+      f"""{"n":$n,"exp_flagged":${n - m},"reps":$reps,""" +
+        f""""t1_ingest_sec":$s1%.2f,"t1_ingest_first":$fst1%.2f,"t1_flagged":$f1,"t1_state_rows":$st1,"t1_saturated":$sat1,""" +
+        f""""t2_ingest_sec":$s2%.2f,"t2_ingest_first":$fst2%.2f,"t2_flagged":$f2,"t2_state_rows":$st2,"t2_saturated":$sat2}"""
     }
 
     val line =

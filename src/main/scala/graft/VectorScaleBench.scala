@@ -165,10 +165,10 @@ object VectorScaleBench {
       val bReps = if (n >= 10000000L) 2 else 1
       // body times its own BUILD portion (train + index materialization,
       // search excluded — the metric semantics of earlier rounds) and
-      // returns (buildSec, recallHits); min build sec across reps, hits
-      // required identical.
-      def minBuild(body: => (Double, Long)): (Double, Long) = {
-        var best = Double.MaxValue; var hits = -1L
+      // returns (buildSec, recallHits per search path); min build sec
+      // across reps, every hits cell required identical.
+      def minBuild(body: => (Double, Seq[Long])): (Double, Seq[Long]) = {
+        var best = Double.MaxValue; var hits: Seq[Long] = null
         for (i <- 0 until bReps) {
           val (sec, h) = body
           best = math.min(best, sec)
@@ -186,20 +186,20 @@ object VectorScaleBench {
             embs, "vec_id", "embedding", cpred, 3, Dims)
           mf.cells.count()
           val sec = (System.nanoTime() - t) / 1e9
-          (sec, recallAt10(graft.operators.VectorOps.knnIvfKmeansFrom(
-            mf, embs, "vec_id", qp, 10, 8), brute))
+          (sec, Seq(recallAt10(graft.operators.VectorOps.knnIvfKmeansFrom(
+            mf, embs, "vec_id", qp, 10, 8), brute)))
         }
-        ivfkbFullSec = fs; ivfkbFullHits = fh
+        ivfkbFullSec = fs; ivfkbFullHits = fh.head
         val (ss, sh) = minBuild {
           val t = System.nanoTime()
           val ms = graft.operators.VectorOps.ivfModelSampled(
             embs, "vec_id", "embedding", cpred, 3, Dims, sampMod)
           ms.cells.count()
           val sec = (System.nanoTime() - t) / 1e9
-          (sec, recallAt10(graft.operators.VectorOps.knnIvfKmeansFrom(
-            ms, embs, "vec_id", qp, 10, 8), brute))
+          (sec, Seq(recallAt10(graft.operators.VectorOps.knnIvfKmeansFrom(
+            ms, embs, "vec_id", qp, 10, 8), brute)))
         }
-        ivfkbSampSec = ss; ivfkbSampHits = sh
+        ivfkbSampSec = ss; ivfkbSampHits = sh.head
       }
 
       // RESIDUAL IVF+PQ BUILD comparison (round 15): full-scan coarse +
@@ -215,8 +215,30 @@ object VectorScaleBench {
       // exactly what separates the true top-10.
       var ivfpqbFullSec = -1.0; var ivfpqbSampSec = -1.0
       var ivfpqbFullHits = -1L; var ivfpqbSampHits = -1L
+      // Refined-search readout (round 16): the same indexes searched
+      // through the exact refine stage (ADC top-rrCand per query →
+      // full-precision cosine top-10 — knnIvfPqResidualRerankFrom, the
+      // FAISS IndexRefineFlat composition). Raw ADC at m=4 sub-books over
+      // 64 dims CANNOT rank a clustered corpus (measured 2/80 at 1M, 0/80
+      // at 10M — same-code ties inside cells); the refine is what makes
+      // the compressed index usable, at one broadcast-sized join chain of
+      // extra search cost. Pool = the sq8 guidance (n/10⁴, min 100).
+      var ivfpqbFullRrHits = -1L; var ivfpqbSampRrHits = -1L
+      var ivfpqbFullRrSec = -1.0; var ivfpqbSampRrSec = -1.0
+      val rrCand = math.max(100, (n / 10000L).toInt)
       if (legs("ivfpqb")) {
         val cpred = col("vec_id") >= 1000L && col("vec_id") < 1064L
+        def searches(pm: graft.operators.VectorOps.IvfPqResModel)
+            : (Seq[Long], Double) = {
+          val adc = recallAt10(
+            graft.operators.VectorOps.knnIvfPqResidualFrom(
+              pm, embs, "vec_id", qp, 10, 8), brute)
+          val t = System.nanoTime()
+          val rr = recallAt10(
+            graft.operators.VectorOps.knnIvfPqResidualRerankFrom(
+              pm, embs, "vec_id", "embedding", qp, 10, 8, rrCand), brute)
+          (Seq(adc, rr), (System.nanoTime() - t) / 1e9)
+        }
         val (fs, fh) = minBuild {
           val t = System.nanoTime()
           val mf = graft.operators.VectorOps.ivfPqResidualModel(
@@ -224,11 +246,13 @@ object VectorScaleBench {
               embs, "vec_id", "embedding", cpred, 3, Dims), 2, 4)
           mf.coded.count()
           val sec = (System.nanoTime() - t) / 1e9
-          (sec, recallAt10(
-            graft.operators.VectorOps.knnIvfPqResidualFrom(
-              mf, embs, "vec_id", qp, 10, 8), brute))
+          val (hits, rrSec) = searches(mf)
+          ivfpqbFullRrSec =
+            if (ivfpqbFullRrSec < 0) rrSec else math.min(ivfpqbFullRrSec, rrSec)
+          (sec, hits)
         }
-        ivfpqbFullSec = fs; ivfpqbFullHits = fh
+        ivfpqbFullSec = fs; ivfpqbFullHits = fh.head
+        ivfpqbFullRrHits = fh(1)
         val (ss, sh) = minBuild {
           val t = System.nanoTime()
           val ms = graft.operators.VectorOps.ivfPqResidualModelSampled(
@@ -237,11 +261,13 @@ object VectorScaleBench {
             2, 4, sampMod)
           ms.coded.count()
           val sec = (System.nanoTime() - t) / 1e9
-          (sec, recallAt10(
-            graft.operators.VectorOps.knnIvfPqResidualFrom(
-              ms, embs, "vec_id", qp, 10, 8), brute))
+          val (hits, rrSec) = searches(ms)
+          ivfpqbSampRrSec =
+            if (ivfpqbSampRrSec < 0) rrSec else math.min(ivfpqbSampRrSec, rrSec)
+          (sec, hits)
         }
-        ivfpqbSampSec = ss; ivfpqbSampHits = sh
+        ivfpqbSampSec = ss; ivfpqbSampHits = sh.head
+        ivfpqbSampRrHits = sh(1)
       }
 
       brute.unpersist(blocking = false)
@@ -256,6 +282,9 @@ object VectorScaleBench {
         f""""ivfkb_samp_mod":$sampMod,""" +
         f""""ivfpqb_full_sec":$ivfpqbFullSec%.2f,"ivfpqb_full_hits":$ivfpqbFullHits,""" +
         f""""ivfpqb_samp_sec":$ivfpqbSampSec%.2f,"ivfpqb_samp_hits":$ivfpqbSampHits,""" +
+        f""""ivfpqb_full_rr_hits":$ivfpqbFullRrHits,"ivfpqb_full_rr_sec":$ivfpqbFullRrSec%.2f,""" +
+        f""""ivfpqb_samp_rr_hits":$ivfpqbSampRrHits,"ivfpqb_samp_rr_sec":$ivfpqbSampRrSec%.2f,""" +
+        f""""ivfpqb_rr_cand":$rrCand,""" +
         f""""sq8_sec":$sq8Sec%.2f,"sq8_hits":$sq8Hits,""" +
         s""""sq8_sweep":${sq8Sweep.mkString("[", ",", "]")}}"""
     }

@@ -70,7 +70,18 @@ object GraphOps {
     * recompute). Consume, then release — the registry's contract. */
   def pageRank(edges: DataFrame, iters: Int,
                scale: Long = 1000000000000L,
-               ckptEvery: Int = 8): DataFrame = {
+               ckptEvery: Int = 8): DataFrame =
+    pageRankCounted(edges, iters, scale, ckptEvery)._1
+
+  /** [[pageRank]] plus the number of rounds the loop ACTUALLY executed
+    * (= `iters` unless the exact fixed-point probe fired at a checkpoint
+    * boundary) — the diagnostic that attributes a long-run speedup to
+    * early convergence vs the final-round checkpoint (the
+    * SCALE_GRAPH `pr50_rounds` readout). The count is final when this
+    * returns: the probe jobs run eagerly during plan construction. */
+  def pageRankCounted(edges: DataFrame, iters: Int,
+                      scale: Long = 1000000000000L,
+                      ckptEvery: Int = 8): (DataFrame, Int) = {
     require(iters >= 1 && iters <= 1000, s"iters out of range: $iters")
     require(ckptEvery >= 1 && ckptEvery <= 16,
       s"ckptEvery out of range: $ckptEvery")
@@ -98,8 +109,8 @@ object GraphOps {
             .as("r"))
     }
     val init = deg.select(col("src").as("id"), col("deg"), lit(r0).as("r"))
-    iterateRounds(init, round, iters, ckptEvery)
-      .select(col("id").as("vec_id"), col("r").as("pr"))
+    val (ranks, rounds) = iterateRounds(init, round, iters, ckptEvery)
+    (ranks.select(col("id").as("vec_id"), col("r").as("pr")), rounds)
   }
 
   /** The shared round-loop machinery of [[pageRank]] /
@@ -115,7 +126,8 @@ object GraphOps {
     * live checkpoint is registered with [[graft.core.Caches]]
     * (consume-then-release). `init`/`round` frames must carry (id, r). */
   private def iterateRounds(init: DataFrame, round: DataFrame => DataFrame,
-                            iters: Int, ckptEvery: Int): DataFrame = {
+                            iters: Int,
+                            ckptEvery: Int): (DataFrame, Int) = {
     var ranks = init
     // Backing storage of the checkpoint the CURRENT plan reads (if any):
     // freed when a newer checkpoint supersedes it, tracked for the
@@ -158,7 +170,7 @@ object GraphOps {
     // Released only after the caller consumes the result (the registry's
     // consume-then-release contract — see scaladoc).
     liveCkpt.foreach(graft.core.Caches.trackRdd)
-    ranks
+    (ranks, t)
   }
 
   /** Triangle census of the undirected graph induced by a directed edge
@@ -453,7 +465,7 @@ object GraphOps {
     }
     val init = flagged
       .select(col("id"), col("deg"), (col("s") * lit(r0)).as("r"))
-    iterateRounds(init, round, iters, ckptEvery)
+    iterateRounds(init, round, iters, ckptEvery)._1
       .select(col("id").as("vec_id"), col("r").as("ppr"))
   }
 }

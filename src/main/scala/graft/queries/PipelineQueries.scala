@@ -862,6 +862,27 @@ object PipelineQueries {
         PqIters, PqM, EmbDims),
       embs(s, d))),
 
+    // Residual IVF+PQ with the EXACT REFINE stage (the FAISS
+    // IndexRefineFlat composition): ADC top-RrCand per query re-ranked by
+    // full-precision cosine to the final top-5. The oracle replays the
+    // whole chain — coarse + residual book training, encoding, per-cell
+    // ADC tables, the RrCand pool cut, and the exact refine.
+    "knn_ivfpq_rerank" -> ((s, d) =>
+      graft.operators.VectorOps.knnIvfPqResidualRerank(
+        embs(s, d), "vec_id", "embedding", col("vec_id") < 8, 5,
+        col("vec_id").between(KmCentLo, KmCentHi), KmIters, IvfProbes,
+        PqIters, PqM, EmbDims, RrCand)),
+
+    // Recall@5 of the refined path vs the exact baseline — the number
+    // that shows what the refine stage recovers over raw ADC ranking
+    // (ann_recall_ivfpq_res) at identical index hyperparameters.
+    "ann_recall_ivfpq_rr" -> ((s, d) => annRecall(
+      graft.operators.VectorOps.knnIvfPqResidualRerank(
+        embs(s, d), "vec_id", "embedding", col("vec_id") < 8, 5,
+        col("vec_id").between(KmCentLo, KmCentHi), KmIters, IvfProbes,
+        PqIters, PqM, EmbDims, RrCand),
+      embs(s, d))),
+
     // SemDeDup-style semantic dedup: k-means cells (the trained quantizer,
     // same seeds/iters as emb_kmeans) as blocking buckets, exact cosine
     // >= 0.35 within cells, connected components — every vector labeled
@@ -1787,6 +1808,11 @@ object PipelineQueries {
   private val KmppK     = 8
   private val PqM       = 4
   private val PqIters   = 2
+  /** ADC candidate-pool size of the knn_ivfpq_rerank / ann_recall_ivfpq_rr
+    * gates (the exact-refine stage re-ranks this many ADC winners per
+    * query) — 4× k, small enough that the fixture's refine genuinely
+    * reorders the pool instead of degenerating to brute force. */
+  private val RrCand    = 20
   private val BpeSteps  = 8
   private val ProjDims  = 8
   private val SemMinCos = 0.35
@@ -2371,6 +2397,24 @@ object PipelineQueries {
        |  $parts),
        |adc AS (SELECT qid, nid, SUM(dist) AS adc FROM parts GROUP BY 1, 2),
        |r AS (SELECT qid, nid, adc, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc, nid) AS rnk FROM adc)""".stripMargin
+  }
+
+  /** Exact-refine CTEs over a ranked chain ending in `r(qid, nid, rnk)`:
+    * the ADC top-`RrCand` pool (`win`), the full-precision cosine scores
+    * over the raw float vectors (`rrs`), and the refined ranking `rr`
+    * with knn_brute's (sim desc, nid) order — the
+    * [[graft.operators.VectorOps.knnIvfPqResidualRerank]] refine replay,
+    * shared by the knn_ivfpq_rerank / ann_recall_ivfpq_rr oracles. */
+  private lazy val rerankCtes: String = {
+    val cos = cosSql("a.v", "b.v")
+    s"""win AS (SELECT qid, nid FROM r WHERE rnk <= $RrCand),
+       |rrev AS (SELECT vec_id, embedding AS v FROM embeddings),
+       |rrs AS (SELECT w.qid, w.nid, $cos AS sim
+       |  FROM win w JOIN rrev a ON a.vec_id = w.qid
+       |  JOIN rrev b ON b.vec_id = w.nid),
+       |rr AS (SELECT qid, nid,
+       |  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rrnk
+       |  FROM rrs)""".stripMargin
   }
 
   /** Exact-cosine top-5 baseline CTEs (`bev`, `bs`, `bt`) — the knn_brute
@@ -4435,6 +4479,22 @@ object PipelineQueries {
     "ann_recall_ivfpq_res" ->
       s"""WITH $rIvfPqRankedCtes,
          |mt AS (SELECT qid, nid FROM r WHERE rnk <= 5),
+         |$bruteTopCtes
+         |$recallSelectSql""".stripMargin,
+
+    // knn_ivfpq_rerank: the full residual replay, the ADC top-RrCand pool
+    // cut, then the exact-cosine refine over the raw float vectors with
+    // knn_brute's (sim desc, nid) order.
+    "knn_ivfpq_rerank" ->
+      s"""WITH $rIvfPqRankedCtes,
+         |$rerankCtes
+         |SELECT qid, nid, CAST(rrnk AS BIGINT) AS rnk FROM rr
+         |WHERE rrnk <= 5""".stripMargin,
+
+    "ann_recall_ivfpq_rr" ->
+      s"""WITH $rIvfPqRankedCtes,
+         |$rerankCtes,
+         |mt AS (SELECT qid, nid FROM rr WHERE rrnk <= 5),
          |$bruteTopCtes
          |$recallSelectSql""".stripMargin,
 

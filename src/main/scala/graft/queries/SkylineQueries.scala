@@ -96,6 +96,32 @@ object SkylineQueries {
       SkylineOps.skybandRows(li(s, d).filter(col("l_orderkey") % 20 === 0),
         Seq("l_quantity", "l_extendedprice", "l_discount"), 3)),
 
+    // DEPLOY-LANE consumers of the shared SkylineModel artifact (one
+    // materialized onion peel, point-table joins per consumer — never a
+    // re-peel): each gate builds the model then answers through the
+    // *From consumer, and reuses the re-peeling gate's oracle verbatim
+    // (the consumers are row-for-row equal by construction —
+    // SkylineOpsEdgeSpec pins it; these gates make the DRIVER check it).
+    "sky_layers_from" -> ((s, d) =>
+      SkylineOps.layerRowsFrom(
+        SkylineOps.skylineModel(li(s, d),
+          Seq("l_quantity", "l_extendedprice"), 2),
+        li(s, d))),
+
+    "sky_skyband_from" -> ((s, d) => {
+      val t = li(s, d).filter(col("l_orderkey") % 20 === 0)
+      SkylineOps.skybandRowsFrom(
+        SkylineOps.skylineModel(t,
+          Seq("l_quantity", "l_extendedprice", "l_discount"), 3),
+        t, 3)
+    }),
+
+    "sky_topdom_from" -> ((s, d) =>
+      SkylineOps.topDominatingFrom(
+        SkylineOps.skylineModel(li(s, d),
+          Seq("l_quantity", "l_extendedprice"), 1),
+        li(s, d), 10)),
+
     "sky3d" -> ((s, d) =>
       skylineRows(li(s, d).filter(col("l_orderkey") % 20 === 0),
         Seq("l_quantity", "l_extendedprice", "l_discount"))),
@@ -331,7 +357,7 @@ object SkylineQueries {
        |SELECT p.x AS x, p.y AS y FROM pts p JOIN r ON p.x = r.x
        |WHERE p.y = r.my AND (r.pm IS NULL OR r.pm > p.y)""".stripMargin
 
-  val oracles: Map[String, String] = Map(
+  private val baseOracles: Map[String, String] = Map(
     "sky2d" -> sky2dSql("l_extendedprice", "l_discount", "lineitem"),
 
     "sky2d_dup" -> sky2dSql("l_quantity", "l_discount", "lineitem"),
@@ -477,4 +503,12 @@ object SkylineQueries {
         metricsRecordSql((i + 1).toString) + "\n)"
     }.mkString("\nUNION ALL\n")
   )
+
+  /** The deploy-lane consumer gates replay the SAME SQL as their
+    * re-peeling twins — row-for-row equality of the model-reuse path with
+    * the from-scratch path is exactly what the gate checks. */
+  val oracles: Map[String, String] = baseOracles ++ Map(
+    "sky_layers_from"  -> baseOracles("sky_layers"),
+    "sky_skyband_from" -> baseOracles("sky_skyband"),
+    "sky_topdom_from"  -> baseOracles("sky_topdom"))
 }

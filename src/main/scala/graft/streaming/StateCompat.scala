@@ -81,6 +81,21 @@ object StateCompat {
         case _: java.nio.file.FileAlreadyExistsException =>
           Files.deleteIfExists(tmp)
           guard(checkpointDir, twin, version)
+        // Filesystems without hard links (FAT/exFAT, some network
+        // mounts) throw instead of linking — fall back to the plain
+        // CREATE_NEW write there. That form has the observable-empty
+        // window the link publish closes, but only between two guards
+        // racing the FIRST stamp on such a filesystem; the loser
+        // re-validates and converges the same way.
+        case _: UnsupportedOperationException |
+             _: java.nio.file.FileSystemException =>
+          try Files.write(marker, version.toString.getBytes(UTF_8),
+            java.nio.file.StandardOpenOption.CREATE_NEW)
+          catch {
+            case _: java.nio.file.FileAlreadyExistsException =>
+              Files.deleteIfExists(tmp)
+              guard(checkpointDir, twin, version)
+          }
       }
       finally Files.deleteIfExists(tmp)
     }

@@ -836,6 +836,67 @@ class VectorOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("knnIvfPqResidualRerank: all-probes full pool equals brute force; From variant matches; narrow pool is the re-ranked ADC subset") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val rnd = new scala.util.Random(61)
+    val rows = (0L until 24L).map(id =>
+      (id, Array.fill(4)((rnd.nextFloat() - 0.5f) * 2f)))
+    val df = rows.toDF("vec_id", "embedding")
+    val seeds = col("vec_id").between(10, 13)
+    val queries = col("vec_id") < 3
+    // probes=4 = all cells and cand=23 = corpus−1: the refine sees every
+    // candidate, so the result IS the exact brute ranking.
+    val full = graft.core.Caches.scoped {
+      VectorOps.knnIvfPqResidualRerank(df, "vec_id", "embedding", queries, 5,
+          seeds, 2, 4, 1, 2, 4, cand = 23)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    }
+    val brute = VectorOps.knnBrute(df, "vec_id", "embedding", queries, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(full == brute, s"full-pool refine must equal brute: $full vs $brute")
+    // Model-reuse parity at a NARROW pool (the deployment path).
+    val (oneShot, fromModel) = graft.core.Caches.scoped {
+      val a = VectorOps.knnIvfPqResidualRerank(df, "vec_id", "embedding",
+          queries, 4, seeds, 2, 2, 1, 2, 4, cand = 8)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val pm = VectorOps.ivfPqResidualModel(
+        VectorOps.ivfModel(df, "vec_id", "embedding", seeds, 2, 4), 1, 2)
+      val b = VectorOps.knnIvfPqResidualRerankFrom(pm, df, "vec_id",
+          "embedding", queries, 4, probes = 2, cand = 8)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      (a, b)
+    }
+    assert(fromModel == oneShot,
+      s"From must equal the one-shot: $fromModel vs $oneShot")
+    // Narrow pool: every refined neighbor came from the raw ADC top-cand
+    // of the SAME index, re-ranked in exact-cosine order.
+    graft.core.Caches.scoped {
+      val pm = VectorOps.ivfPqResidualModel(
+        VectorOps.ivfModel(df, "vec_id", "embedding", seeds, 2, 4), 1, 2)
+      val pool = VectorOps.knnIvfPqResidualFrom(pm, df, "vec_id", queries,
+          8, probes = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val refined = VectorOps.knnIvfPqResidualRerankFrom(pm, df, "vec_id",
+          "embedding", queries, 4, probes = 2, cand = 8)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      def cos(a: Array[Float], b: Array[Float]): Double = {
+        def d(x: Array[Double], y: Array[Double]) =
+          x.indices.map(i => x(i) * y(i)).sum
+        val (ad, bd) = (a.map(_.toDouble), b.map(_.toDouble))
+        d(ad, bd) / (math.sqrt(d(ad, ad)) * math.sqrt(d(bd, bd)))
+      }
+      val vecs = rows.toMap
+      for (q <- 0L until 3L) {
+        val exp = pool.filter(_._1 == q).toSeq
+          .map { case (_, nid) => (nid, cos(vecs(q), vecs(nid))) }
+          .sortBy { case (id, s) => (-s, id) }
+          .take(4).zipWithIndex.map { case ((id, _), i) => (q, id, (i + 1).toLong) }
+        assert(refined.filter(_._1 == q).sortBy(_._3).toSeq == exp, s"query $q")
+      }
+    }
+  }
+
   test("knnMips matches brute-force inner products and differs from cosine NN on varied norms") {
     val spark = TestSpark.spark
     import spark.implicits._
