@@ -580,6 +580,14 @@ object DedupOps {
     * identical output. The positional filter DOES pay where ranks are
     * already on both sides for free — [[jaccardNearDupsFromShingles]]'s
     * prefix×prefix join keeps it.
+    * POSITIVE RESULT (round 16, the probe-dominated diagnosis applied):
+    * keying df/prefix/candidates on `xxhash64(s)` (one long) instead of
+    * the n-word shingle string shrinks the BYTES of every corpus-wide
+    * exchange in the candidate geometry without adding any plumbing —
+    * interleaved same-JVM A/B at 10 M, identical n_contain=1,000,000
+    * in all four reps: legacy 836.7/518.4 s vs hashed 613.6/387.8 s
+    * (−25…−27 % at matched position). Kept as the default; exactness
+    * argument in the inline comment below.
     * Cost bound: the candidate join fans out df(s) per prefix row —
     * prefixes are the globally RAREST shingles of each doc (same
     * df-ascending order as the PPJoin path), so that fanout is small by
@@ -590,22 +598,46 @@ object DedupOps {
     * Output: (id_a, id_b, c_inter, sz_a, sz_b) for pairs at containment
     * ≥ num/den (integer cross-multiply; consumers derive the ratio). */
   def containmentNearDups(docs: DataFrame, idCol: String, n: Int,
-                          num: Int, den: Int): DataFrame = {
+                          num: Int, den: Int): DataFrame =
+    containmentNearDupsImpl(docs, idCol, n, num, den, hashedKeys = true)
+
+  /** [[containmentNearDups]] with the candidate-key choice exposed for
+    * the same-JVM A/B only: `hashedKeys = false` is the pre-r16 shape
+    * whose df/prefix/candidate stages all key on the SHINGLE STRING. */
+  private[graft] def containmentNearDupsImpl(docs: DataFrame, idCol: String,
+                                             n: Int, num: Int, den: Int,
+                                             hashedKeys: Boolean): DataFrame = {
     require(num > 0 && den > 0 && num <= den,
       s"containment threshold must be in (0, 1]: $num/$den")
     import org.apache.spark.sql.expressions.Window
     val sr = cachePersist(shingleRows(docs, idCol, n))
-    val dfreq = sr.groupBy("s").agg(count(lit(1)).as("df"))
+    // r16: the df / prefix / candidate stages key on xxhash64(s) — ONE
+    // long instead of the n-word shingle string, on both sides of every
+    // corpus-wide exchange in the candidate geometry (the bandedKeys
+    // fold applied here). Correct for the same reason: string equality
+    // implies hash equality, so hashed-key candidates are a SUPERSET of
+    // string-key candidates (no miss is possible) and the spurious
+    // additions (2⁻⁶⁴ per shingle pair) are removed by the exact
+    // pairIntersections verification, which keys on true strings. A
+    // within-doc collision cannot shrink the prefix either: sr is
+    // (id, s)-distinct, so colliding rows stay distinct rows — sz and
+    // the prefix length count TRUE shingles; only the rare-first ORDER
+    // (a performance heuristic, not a correctness input) can be
+    // perturbed, at the same 2⁻⁶⁴.
+    val srk =
+      if (hashedKeys) sr.select(col("id"), xxhash64(col("s")).as("s"))
+      else sr
+    val dfreq = srk.groupBy("s").agg(count(lit(1)).as("df"))
     val byDoc   = Window.partitionBy("id")
     val ordered = Window.partitionBy("id").orderBy(col("df"), col("s"))
     val prefix =
-      sr.join(dfreq, "s")
+      srk.join(dfreq, "s")
         .select(col("id"), col("s"),
           row_number().over(ordered).as("rnk"),
           count(lit(1)).over(byDoc).as("sz"))
         .filter(col("rnk") <= floor(col("sz") * (den - num) / den) + 1)
         .select("id", "s")
-    val cand = prefix.as("a").join(sr.as("b"),
+    val cand = prefix.as("a").join(srk.as("b"),
         col("a.s") === col("b.s") && col("a.id") =!= col("b.id"))
       .select(least(col("a.id"), col("b.id")).as("id_a"),
         greatest(col("a.id"), col("b.id")).as("id_b"))
