@@ -153,8 +153,13 @@ object StreamDedupScaleBench {
       f"""{"n":$n,"ingest_sec":$best%.2f,"ingest_first":$first%.2f,"reps":$reps,"docs_per_sec":${(n / best).toLong},"spans":$total,"flagged":$flagged,"exp_flagged":$expFlagged,"state_rows":$stateRows}"""
     }
 
+    // The artifact self-describes its state-store config: r16 runs the
+    // default-provider cells and the RocksDB big-horizon cell as separate
+    // artifacts, and a bare cells array would leave the provider ambiguous.
+    val maint = sys.env.getOrElse("SPARK_GRAFT_STATE_MAINT", "default")
     val line =
-      s"""{"metric":"scale_stream_dedup","cells":${cells.mkString("[", ",", "]")},"planted_dup_share":0.1,"k":8,"blocks":10}"""
+      s"""{"metric":"scale_stream_dedup","cells":${cells.mkString("[", ",", "]")},"planted_dup_share":0.1,"k":8,"blocks":10,""" +
+        s""""provider":"$provider","maintenance_interval":"$maint"}"""
     println(line)
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(
