@@ -222,10 +222,15 @@ object VectorScaleBench {
       // 64 dims CANNOT rank a clustered corpus (measured 2/80 at 1M, 0/80
       // at 10M — same-code ties inside cells); the refine is what makes
       // the compressed index usable, at one broadcast-sized join chain of
-      // extra search cost. Pool = the sq8 guidance (n/10⁴, min 100).
+      // extra search cost. Pool = n/10³ (min 100): the ADC pool cut is
+      // row_number over (adc, nid), so inside a tie group it slices by id
+      // — and m=4 tie groups GROW with per-cell occupancy, so the sq8
+      // n/10⁴ guidance under-pools here (measured 10/80 at both 1M and
+      // 10M; the 100k smoke's 80/80 at cand=100 was small-tie-group luck).
+      // n/10³ keeps the winner list broadcast-sized (8 × n/10³ rows).
       var ivfpqbFullRrHits = -1L; var ivfpqbSampRrHits = -1L
       var ivfpqbFullRrSec = -1.0; var ivfpqbSampRrSec = -1.0
-      val rrCand = math.max(100, (n / 10000L).toInt)
+      val rrCand = math.max(100, (n / 1000L).toInt)
       if (legs("ivfpqb")) {
         val cpred = col("vec_id") >= 1000L && col("vec_id") < 1064L
         def searches(pm: graft.operators.VectorOps.IvfPqResModel)
