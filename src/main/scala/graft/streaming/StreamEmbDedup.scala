@@ -158,14 +158,18 @@ object StreamEmbDedup {
     * table and pass through unflagged, exactly as [[flagNearDups]].
     *
     * TUNING — tables vs cap vs bits (measured on the 1 M noisy-pair
-    * envelope, dims=64, bits=12, SCALE_SEMB_r14):
+    * envelope, dims=64, bits=12, SCALE_SEMB_r16 — min-of-2 per cell
+    * with flag counts required identical across reps; the r14 single
+    * samples had the two cells' wall-clocks INVERTED by box noise at
+    * 300k, which is why the protocol moved to first/min):
     *   - LAYER TABLES when misses come from BUCKET SPLITS — a true
     *     near-pair hashing to different buckets (the (1 − θ/π)^bits
     *     collision loss; the `saturated` counter reads 0). Each extra
     *     table multiplies state and shuffle ~×1 and retries the pair
     *     independently: 1 table flagged 93.1 % of planted near-dups at
-    *     62.7 s / 4.1k state rows; 2 tables 99.1 % at 75.2 s / 8.1k rows
-    *     — +6 recall points for ~1.2× wall and 2× state.
+    *     50.7 s / 4.1k state rows; 2 tables 99.1 % at 58.2 s / 8.1k rows
+    *     — +6 recall points for ~1.15× wall and 2× state (flag counts
+    *     bit-identical to r14's run: 838,342 / 891,998 of 900,000).
     *   - RAISE CAP when the `saturated` accumulator is climbing — misses
     *     from FULL buckets (representatives rejected, so their
     *     near-copies sail through). Costs state only in the buckets under
