@@ -8,23 +8,23 @@ import org.apache.spark.sql.functions._
   * every batch before publishing it, and diffs against the previous batch to
   * catch schema rot / null storms / cardinality explosions.
   *
-  * Scale shape: ONE pass over the input — all per-column measures are
-  * aggregates of a single global `agg(...)`, then the one result row is
-  * unpivoted driver-free with `stack`. Min/max are emitted as strings so one
-  * long-form schema covers heterogeneous column types. The distinct counts
-  * are EXACT here (Spark plans n distinct aggregates as one Expand ×(n+1)
-  * pass — acceptable at gate scale and oracle-replayable); the production
-  * swap for a 100 TB batch is `approx_count_distinct` per column, which
-  * collapses the Expand back to one streaming HLL pass, same output schema.
-  *
-  * Plan note (why `.explain` shows SortAggregate, not HashAggregate):
-  * min/max over STRING columns carry immutable string aggregation buffers,
-  * which Spark's hash aggregate cannot hold in its fixed-width row — the
-  * whole aggregate falls back to sort-based, so the Expand output is sorted
-  * per grouping instance (~5 s at sf0.1, the dominant cost). This is the
-  * price of numerically-correct min/max (aggregating the native type, THEN
-  * casting — stringifying first would make "9" > "10"). The approx swap
-  * above also drops the Expand sort volume 5×.
+  * Scale shape: TWO pruned passes over the input, deliberately not one.
+  * Spark plans n exact distinct aggregates as one Expand ×(n+1) pass, and a
+  * single `agg(...)` carrying BOTH the distinct counts and min/max would put
+  * string min/max buffers into that keyed Expand aggregate — string buffers
+  * are not hash-aggregatable, so the whole aggregate falls back to
+  * SortAggregate and SORTS the ×(n+1)-expanded input by its 5-part grouping
+  * key (measured as the dominant cost of the r15 gate, ~4 s at sf0.1; at
+  * 100 TB that sort is ~5× the table). Split, each family keeps its cheap
+  * shape: the distinct pass is Expand ×n → pure HashAggregate (count buffers
+  * only, string values are KEYS, which hash fine), and the count/min/max
+  * pass has empty grouping keys, where sort-based aggregation degenerates to
+  * a single fold with NO sort. Both results are one row; the cross join is a
+  * trivial 1×1 broadcast and the unpivot stays driver-free via `stack`.
+  * Min/max aggregate the NATIVE type and cast after (stringifying first
+  * would make "9" > "10"); the production swap for a 100 TB batch is
+  * `approx_count_distinct`, which collapses the Expand pass to one streaming
+  * HLL pass, same output schema.
   */
 object ProfileOps {
 
@@ -38,13 +38,14 @@ object ProfileOps {
       require(!c.exists(ch => ch == '`' || ch == '\'' || ch == '\n'),
         s"profile: column name contains a quote/backtick/newline: $c")
     }
-    val aggs = cols.flatMap { c =>
+    val plainAggs = cols.flatMap { c =>
       Seq(count(col(c)).as(s"${c}__nn"),
-        countDistinct(col(c)).as(s"${c}__nd"),
         min(col(c)).cast("string").as(s"${c}__mn"),
         max(col(c)).cast("string").as(s"${c}__mx"))
     } :+ count(lit(1)).as("__n")
-    val row = df.agg(aggs.head, aggs.tail: _*)
+    val distinctAggs = cols.map(c => countDistinct(col(c)).as(s"${c}__nd"))
+    val row = df.agg(plainAggs.head, plainAggs.tail: _*)
+      .crossJoin(df.agg(distinctAggs.head, distinctAggs.tail: _*))
     val stackArgs = cols.map(c =>
       s"'$c', `${c}__nn`, `${c}__nd`, `${c}__mn`, `${c}__mx`").mkString(", ")
     row.selectExpr(

@@ -144,15 +144,27 @@ class PlanShapeSpec extends AnyFunSuite {
       s"fence join not broadcast:\n$plan")
   }
 
-  test("dq_profile reads exactly its profiled columns in one scan") {
+  test("dq_profile: two pruned scans, hash-aggregated distincts, no expanded sort") {
+    // r16 split: one plain-agg scan (empty-key fold) + one distinct-agg scan
+    // (Expand → HashAggregate). The shape this pin guards against is the
+    // r15 single-agg form, where string min/max buffers forced the WHOLE
+    // multi-distinct aggregate to SortAggregate and sorted the ×5-expanded
+    // corpus by its 5-part grouping key.
     val spark = TestSpark.spark
     val df = graft.queries.PipelineQueries.queries("dq_profile")(spark, sf)
-    val scans = fileScans(df.queryExecution.sparkPlan)
-    assert(scans.length == 1, s"expected one lineitem scan, got ${scans.length}")
+    val plan = df.queryExecution.sparkPlan
+    val scans = fileScans(plan)
+    assert(scans.length == 2, s"expected two lineitem scans, got ${scans.length}")
     val meta = scanMeta(df)
     assert(meta.contains("l_orderkey") && !meta.contains("l_comment") &&
       !meta.contains("l_extendedprice"),
       s"profile scan not pruned to its columns: $meta")
+    // No Sort node anywhere: the Expand path must hash-aggregate and the
+    // plain path's empty-key fold needs no ordering.
+    assert(!plan.treeString.contains("Sort "),
+      s"profile plan re-grew a sort:\n${plan.treeString}")
+    assert(plan.treeString.contains("Expand"),
+      "distinct counts are no longer exact-Expand planned — update this pin")
   }
 
   test("dedup_substr: no cartesian anywhere; the run twin adds NO exchange over coverage") {
