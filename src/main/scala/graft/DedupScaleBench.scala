@@ -21,7 +21,9 @@ import org.apache.spark.sql.functions._
   *
   * Run: `sbt -batch "runMain graft.DedupScaleBench"` (env knobs:
   * SPARK_GRAFT_CPUS, SPARK_GRAFT_SCALE_NS="1000000,10000000",
-  * SPARK_GRAFT_SCALE_OUT=SCALE_DEDUP_out.json).
+  * SPARK_GRAFT_SCALE_OUT=SCALE_DEDUP_out.json; set SPARK_DRIVER_MEM=16g
+  * for the 10M legs — the 8g default OOMed mid-chain on a loaded box in
+  * r16).
   */
 object DedupScaleBench {
 

@@ -26,7 +26,12 @@ import org.apache.spark.sql.functions._
   * SPARK_GRAFT_CPUS, SPARK_GRAFT_SCALE_NS="300000,1000000",
   * SPARK_GRAFT_SCALE_OUT=SCALE_SDEDUP_out.json). Heap note: the state
   * store keeps one entry per distinct span in the horizon (md5-hex key +
-  * boolean) — size SPARK_DRIVER_MEM for ~100 B × 17 × n.
+  * boolean) — size SPARK_DRIVER_MEM for ~100 B × 17 × n (the 8g default
+  * OOMed the 1M leg on a loaded box in r16; 16g held), and use
+  * SPARK_GRAFT_STATE_PROVIDER=rocksdb past ~2M docs — the r16 3M leg ran
+  * 46.5M state rows off-heap at 16k docs/s where the on-heap map would
+  * not fit (note: RocksDB native teardown can abort the JVM AFTER the
+  * artifact is written at that state size; the measurement is complete).
   */
 object StreamDedupScaleBench {
 
