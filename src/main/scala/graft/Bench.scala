@@ -231,6 +231,17 @@ object Bench {
           graft.queries.PipelineQueries.annRecall(
             VectorOps.knnIvfPqResidualFrom(pqr, ee, "vec_id",
               col("vec_id") < 8, 5, 3), ee).count())
+        // Refined search off the SAME persisted model (round 17): the
+        // serving-path number — ADC over the persisted codes + the exact
+        // refine of the top-20 pool (the gate's RrCand), no train/encode.
+        // The marginal cost over ann_recall_ivfpq_res IS the refine stage.
+        deployEntries += "knn_ivfpq_rerank" -> timed(
+          VectorOps.knnIvfPqResidualRerankFrom(pqr, ee, "vec_id",
+            "embedding", col("vec_id") < 8, 5, 3, 20).count())
+        deployEntries += "ann_recall_ivfpq_rr" -> timed(
+          graft.queries.PipelineQueries.annRecall(
+            VectorOps.knnIvfPqResidualRerankFrom(pqr, ee, "vec_id",
+              "embedding", col("vec_id") < 8, 5, 3, 20), ee).count())
         graft.operators.DedupOps.unpersistPipelines()
         // kNN-GRAPH family: the similarity graph is built ONCE (the cost
         // every graph_* gate pays from scratch) and the persisted edge

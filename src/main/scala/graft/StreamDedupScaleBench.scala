@@ -80,6 +80,18 @@ object StreamDedupScaleBench {
     // the JSON carries first AND min ingest seconds.
     val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "2").toInt
 
+    // The artifact's state-store self-description (written at the bottom):
+    // the EFFECTIVE maintenance interval with its unit (the config above
+    // appends "s"; unset means Spark's 60s default, not "default"), both
+    // values validated BEFORE the hour-scale runs — a quote or backslash
+    // in an env value would otherwise emit invalid JSON after the fact.
+    val maint = sys.env.get("SPARK_GRAFT_STATE_MAINT")
+      .map(_ + "s").getOrElse("60s")
+    Seq("provider" -> provider, "maintenance_interval" -> maint).foreach {
+      case (k, v) => require(v.matches("[A-Za-z0-9_.-]+"),
+        s"$k value is not JSON-safe to interpolate: $v")
+    }
+
     val cells = ns.map { n =>
       val nBase = (n * 9) / 10
       val blockSz = n / blocks
@@ -158,10 +170,10 @@ object StreamDedupScaleBench {
       f"""{"n":$n,"ingest_sec":$best%.2f,"ingest_first":$first%.2f,"reps":$reps,"docs_per_sec":${(n / best).toLong},"spans":$total,"flagged":$flagged,"exp_flagged":$expFlagged,"state_rows":$stateRows}"""
     }
 
-    // The artifact self-describes its state-store config: r16 runs the
-    // default-provider cells and the RocksDB big-horizon cell as separate
-    // artifacts, and a bare cells array would leave the provider ambiguous.
-    val maint = sys.env.getOrElse("SPARK_GRAFT_STATE_MAINT", "default")
+    // The artifact self-describes its state-store config (provider/maint
+    // validated above, before the runs): r16 runs the default-provider
+    // cells and the RocksDB big-horizon cell as separate artifacts, and a
+    // bare cells array would leave the provider ambiguous.
     val line =
       s"""{"metric":"scale_stream_dedup","cells":${cells.mkString("[", ",", "]")},"planted_dup_share":0.1,"k":8,"blocks":10,""" +
         s""""provider":"$provider","maintenance_interval":"$maint"}"""

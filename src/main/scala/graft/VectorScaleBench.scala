@@ -105,6 +105,29 @@ object VectorScaleBench {
           bucketCap = mpCap), brute)
       }
 
+      // Multi-probe design-point sweep (round 17): at 1M the flipped
+      // probes buy recall over plain LSH (70 vs 61/80) but at 10M the two
+      // read IDENTICAL (66/80) — the open question is whether the probe
+      // budget or the per-bucket candidate cap is what saturates at
+      // higher occupancy (at 14 bits a 10M clustered corpus concentrates
+      // each cluster into few buckets, so the query's own bucket can
+      // exceed the cap and truncation eats what the probes add). The
+      // sweep crosses flips × cap around the production point to read
+      // which axis moves recall.
+      val lshmpSweep: Seq[String] =
+        if (!legs("lshmpsweep")) Seq.empty
+        else for {
+          cap <- Seq(8192, 32768, 131072)
+          fl <- Seq(0, 3, 5)
+        } yield {
+          val t = System.nanoTime()
+          val hits = recallAt10(graft.operators.VectorOps.knnLshMultiProbe(
+            embs, "vec_id", "embedding", qp, 10, mpT, mpB, fl, Dims,
+            bucketCap = cap), brute)
+          graft.core.Caches.releaseAll()
+          f"""{"cap":$cap,"flips":$fl,"sec":${(System.nanoTime() - t) / 1e9}%.2f,"hits":$hits}"""
+        }
+
       val (ivfSec, ivfHits) = leg("ivf") {
         recallAt10(graft.operators.VectorOps.knnIvf(
           embs, "vec_id", "embedding", qp, 10,
@@ -125,13 +148,17 @@ object VectorScaleBench {
       // Candidate pool scales with the corpus: a FIXED pool (the old 100)
       // is 1e-5 of a 10M corpus, and int8 dot ties inside the query's own
       // cluster make a pool that small effectively arbitrary — recall@10
-      // measured 26→10/80 across 1M→10M. n/10⁴ keeps the pool a constant
-      // FRACTION of the corpus (100 @ 1M, 1000 @ 10M): still a broadcast-
-      // sized winners table, exact re-rank cost unchanged in shape.
+      // measured 26→10/80 across 1M→10M at n/10⁴. The HEADLINE cell runs
+      // the scaladoc's own guidance for clustered corpora, n/10³ (round
+      // 17 — the r16 sweep measured 80/80 there vs 26/80 at n/10⁴ on 10M;
+      // a headline at a config the docs tell users not to run understates
+      // the method): still a broadcast-sized winners table, exact re-rank
+      // cost linear in the pool. The sweep below keeps the n/10⁴ and
+      // n/3·10³ cells for the sensitivity story.
       val (sq8Sec, sq8Hits) = leg("sq8") {
         recallAt10(graft.operators.VectorOps.knnSq8(
           embs, "vec_id", "embedding", qp, 10,
-          math.max(100, (n / 10000L).toInt)), brute)
+          math.max(100, (n / 1000L).toInt)), brute)
       }
 
       // SQ8 rerank-pool sweep: the n/10⁴ pool's 26/80 recall (r13) is a
@@ -280,6 +307,7 @@ object VectorScaleBench {
       f"""{"n":$n,"gen_sec":$genSec%.2f,"brute_sec":$bruteSec%.2f,""" +
         f""""n_brute":$nBrute,"lsh_sec":$lshSec%.2f,"lsh_hits":$lshHits,""" +
         f""""lshmp_sec":$mpSec%.2f,"lshmp_hits":$mpHits,""" +
+        s""""lshmp_sweep":${lshmpSweep.mkString("[", ",", "]")},""" +
         f""""ivf_sec":$ivfSec%.2f,"ivf_hits":$ivfHits,""" +
         f""""ivfk_sec":$ivfkSec%.2f,"ivfk_hits":$ivfkHits,""" +
         f""""ivfkb_full_sec":$ivfkbFullSec%.2f,"ivfkb_full_hits":$ivfkbFullHits,""" +

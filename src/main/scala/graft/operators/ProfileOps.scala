@@ -25,6 +25,15 @@ import org.apache.spark.sql.functions._
   * would make "9" > "10"); the production swap for a 100 TB batch is
   * `approx_count_distinct`, which collapses the Expand pass to one streaming
   * HLL pass, same output schema.
+  *
+  * Snapshot caveat: the two passes are two independent jobs, so on a source
+  * that can change between actions (a JDBC relation, a concurrently-appended
+  * table, a non-deterministic transform) n_distinct may reflect different
+  * data than n_rows/n_null/min/max — the pre-split single-agg form was
+  * internally consistent by construction. The gate inputs are immutable
+  * parquet snapshots (both passes share the same file-sourced relation), so
+  * they are safe; `df.persist()` before calling restores single-snapshot
+  * semantics for mutable inputs.
   */
 object ProfileOps {
 

@@ -883,6 +883,35 @@ object PipelineQueries {
         PqIters, PqM, EmbDims, RrCand),
       embs(s, d))),
 
+    // DEPLOY-LANE twins of the refined path (the sky_*_from pattern):
+    // train the IvfPqResModel ONCE, answer through
+    // knnIvfPqResidualRerankFrom over the model's PERSISTED codes — no
+    // training or encoding job runs inside the search. Both reuse the
+    // from-scratch gates' oracle SQL verbatim, so the driver checks
+    // model-reuse ≡ from-scratch row-for-row — the serving-path shape a
+    // production index actually runs (build once, refine per query batch).
+    "knn_ivfpq_rerank_from" -> ((s, d) => {
+      val ee = embs(s, d)
+      graft.operators.VectorOps.knnIvfPqResidualRerankFrom(
+        graft.operators.VectorOps.ivfPqResidualModel(
+          graft.operators.VectorOps.ivfModel(ee, "vec_id", "embedding",
+            col("vec_id").between(KmCentLo, KmCentHi), KmIters, EmbDims),
+          PqIters, PqM),
+        ee, "vec_id", "embedding", col("vec_id") < 8, 5, IvfProbes, RrCand)
+    }),
+
+    "ann_recall_ivfpq_rr_from" -> ((s, d) => {
+      val ee = embs(s, d)
+      annRecall(
+        graft.operators.VectorOps.knnIvfPqResidualRerankFrom(
+          graft.operators.VectorOps.ivfPqResidualModel(
+            graft.operators.VectorOps.ivfModel(ee, "vec_id", "embedding",
+              col("vec_id").between(KmCentLo, KmCentHi), KmIters, EmbDims),
+            PqIters, PqM),
+          ee, "vec_id", "embedding", col("vec_id") < 8, 5, IvfProbes, RrCand),
+        ee)
+    }),
+
     // SemDeDup-style semantic dedup: k-means cells (the trained quantizer,
     // same seeds/iters as emb_kmeans) as blocking buckets, exact cosine
     // >= 0.35 within cells, connected components — every vector labeled
@@ -2416,6 +2445,23 @@ object PipelineQueries {
        |  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rrnk
        |  FROM rrs)""".stripMargin
   }
+
+  /** The knn_ivfpq_rerank replay — shared verbatim by the
+    * knn_ivfpq_rerank_from deploy twin (see the oracle-map comment). */
+  private lazy val knnIvfPqRerankSql: String =
+    s"""WITH $rIvfPqRankedCtes,
+       |$rerankCtes
+       |SELECT qid, nid, CAST(rrnk AS BIGINT) AS rnk FROM rr
+       |WHERE rrnk <= 5""".stripMargin
+
+  /** The ann_recall_ivfpq_rr replay — shared verbatim by the
+    * ann_recall_ivfpq_rr_from deploy twin. */
+  private lazy val annRecallIvfPqRrSql: String =
+    s"""WITH $rIvfPqRankedCtes,
+       |$rerankCtes,
+       |mt AS (SELECT qid, nid FROM rr WHERE rrnk <= 5),
+       |$bruteTopCtes
+       |$recallSelectSql""".stripMargin
 
   /** Exact-cosine top-5 baseline CTEs (`bev`, `bs`, `bt`) — the knn_brute
     * replay at k=5, namespaced to compose beside any method chain. Shared
@@ -4484,19 +4530,15 @@ object PipelineQueries {
 
     // knn_ivfpq_rerank: the full residual replay, the ADC top-RrCand pool
     // cut, then the exact-cosine refine over the raw float vectors with
-    // knn_brute's (sim desc, nid) order.
-    "knn_ivfpq_rerank" ->
-      s"""WITH $rIvfPqRankedCtes,
-         |$rerankCtes
-         |SELECT qid, nid, CAST(rrnk AS BIGINT) AS rnk FROM rr
-         |WHERE rrnk <= 5""".stripMargin,
+    // knn_brute's (sim desc, nid) order. The *_from deploy twins reuse
+    // these oracles VERBATIM (the sky_*_from pattern): model-reuse search
+    // is row-for-row equal to the from-scratch gate by construction, and
+    // sharing the SQL makes the DRIVER check that equivalence.
+    "knn_ivfpq_rerank" -> knnIvfPqRerankSql,
+    "knn_ivfpq_rerank_from" -> knnIvfPqRerankSql,
 
-    "ann_recall_ivfpq_rr" ->
-      s"""WITH $rIvfPqRankedCtes,
-         |$rerankCtes,
-         |mt AS (SELECT qid, nid FROM rr WHERE rrnk <= 5),
-         |$bruteTopCtes
-         |$recallSelectSql""".stripMargin,
+    "ann_recall_ivfpq_rr" -> annRecallIvfPqRrSql,
+    "ann_recall_ivfpq_rr_from" -> annRecallIvfPqRrSql,
 
     // semdedup: the emb_kmeans training replay, then cells as blocking
     // buckets — exact cosine within cells, recursive-CTE components (the

@@ -87,6 +87,11 @@ object StateCompat {
         // window the link publish closes, but only between two guards
         // racing the FIRST stamp on such a filesystem; the loser
         // re-validates and converges the same way.
+        // FileSystemException is caught BROADLY on purpose: a disk-full
+        // or permission failure on the link retries as a CREATE_NEW
+        // write to the same directory, which then throws ITS OWN
+        // (uncaught) error under the same condition — nothing is
+        // swallowed, the failure just surfaces from the fallback write.
         case _: UnsupportedOperationException |
              _: java.nio.file.FileSystemException =>
           try Files.write(marker, version.toString.getBytes(UTF_8),

@@ -159,10 +159,22 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(meta.contains("l_orderkey") && !meta.contains("l_comment") &&
       !meta.contains("l_extendedprice"),
       s"profile scan not pruned to its columns: $meta")
-    // No Sort node anywhere: the Expand path must hash-aggregate and the
-    // plain path's empty-key fold needs no ordering.
-    assert(!plan.treeString.contains("Sort "),
-      s"profile plan re-grew a sort:\n${plan.treeString}")
+    // No SortExec anywhere: the Expand path must hash-aggregate and the
+    // plain path's empty-key fold needs no ordering. Typed collects — the
+    // old "Sort " substring match only avoided matching the (legitimate)
+    // SortAggregate below by spacing luck. SortAggregate itself IS the
+    // planned shape for the plain pass (string min/max buffers are not
+    // hash-aggregatable), but only with EMPTY grouping keys, where it
+    // degenerates to a single fold; a keyed SortAggregate would mean the
+    // r15 expanded-corpus sort grew back.
+    assert(plan.collect {
+      case s: org.apache.spark.sql.execution.SortExec => s
+    }.isEmpty, s"profile plan re-grew a sort:\n${plan.treeString}")
+    assert(plan.collect {
+      case a: org.apache.spark.sql.execution.aggregate.SortAggregateExec
+          if a.groupingExpressions.nonEmpty => a
+    }.isEmpty,
+      s"profile plan grew a KEYED sort-aggregate:\n${plan.treeString}")
     assert(plan.treeString.contains("Expand"),
       "distinct counts are no longer exact-Expand planned — update this pin")
   }
