@@ -587,7 +587,16 @@ object DedupOps {
     * interleaved same-JVM A/B at 10 M, identical n_contain=1,000,000
     * in all four reps: legacy 836.7/518.4 s vs hashed 613.6/387.8 s
     * (−25…−27 % at matched position). Kept as the default; exactness
-    * argument in the inline comment below.
+    * argument in the inline comment below. GATE-SCALE parity (round 17,
+    * `SCALE_DEDUP_r17ab.json`): at sf0.1 (5k docs) the hashed projection
+    * is a noise-level fixed cost — 4-rep interleaved A/B composed with
+    * the cluster collapse reads hashed 4.87/5.28 s vs legacy
+    * 3.87/4.39 s (pair/composed mins, hashed always in the penalized
+    * first slot) at identical counts; the r16 bench's 11.23 s
+    * `dedup_containment_clusters` reading was box stall, not this
+    * change (the composed gate is the pair stage plus a 256-edge
+    * collapse — milliseconds — and re-read 4.96 s min through the
+    * bench protocol on the r17 box).
     * Cost bound: the candidate join fans out df(s) per prefix row —
     * prefixes are the globally RAREST shingles of each doc (same
     * df-ascending order as the PPJoin path), so that fanout is small by
