@@ -21,7 +21,13 @@ import org.apache.spark.sql.functions._
   *
   * Run: `sbt -batch "runMain graft.VectorScaleBench"` (env knobs:
   * SPARK_GRAFT_CPUS, SPARK_GRAFT_SCALE_NS="1000000,10000000",
-  * SPARK_GRAFT_SCALE_OUT=SCALE_ANN_out.json).
+  * SPARK_GRAFT_SCALE_LEGS, SPARK_GRAFT_SCALE_OUT=SCALE_ANN_out.json).
+  * Heap: the 10M full-leg single-JVM run needs SPARK_DRIVER_MEM=24g;
+  * the build legs are heap-SENSITIVE below that — the ivfkb 10M build
+  * read 350/205 s (full/sampled) at a dedicated 16g JVM vs 159/98 s at
+  * a shared 24g JVM (r17: MemoryStore evicts the persisted cells frame
+  * at 16g and the assignment recomputes), while the ivfpqb legs are
+  * heap-INVARIANT at ~145–190 s on this box (16g vs 24g within noise).
   */
 object VectorScaleBench {
 
