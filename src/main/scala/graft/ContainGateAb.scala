@@ -12,11 +12,15 @@ import org.apache.spark.sql.functions._
   * the pair stage alone (the `dedup_containment` gate shape) and composed
   * with [[graft.operators.DedupOps.nearDupClusters]] (the
   * `dedup_containment_clusters` gate shape) — under the driver bench's
-  * exact session config and cache hygiene (count, unpersistPipelines,
-  * clearCache per measurement). `dedup_jaccard` rides along as a third
-  * lane (no key knob — it is in the same attribution ask). Counts are
-  * required identical across variants and reps; wall-clock is reported
-  * per position so a box drift inside the run is visible.
+  * session config AS THE DRIVER RUNS IT (cpus/shuffle 32 — note
+  * Bench.scala's own env DEFAULT is 4; pin SPARK_GRAFT_CPUS identically
+  * when comparing absolute wall-clocks across the two harnesses) and the
+  * bench's cache hygiene (count, unpersistPipelines, clearCache per
+  * measurement). `dedup_jaccard` rides along as a third lane (no key
+  * knob — it is in the same attribution ask). Counts are REQUIRED
+  * identical across variants and reps (enforced, the sibling benches'
+  * contract); wall-clock is reported per position so a box drift inside
+  * the run is visible.
   *
   * Run: `sbt -batch "runMain graft.ContainGateAb"` (env knobs:
   * SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS, SPARK_GRAFT_SCALE_REPS,
@@ -51,10 +55,17 @@ object ContainGateAb {
       (sec, n)
     }
 
-    // Warm-up (Bench.scala's discipline): JVM/codegen/scan setup lands
-    // here, not on whichever variant happens to run first.
-    SparkEntry.entry(spark).count()
+    // The sf dir lands in the artifact JSON verbatim — validate before
+    // the minutes-long runs (StreamDedupScaleBench's env-string rule).
+    require(!sfDir.exists(c => c == '"' || c == '\\'),
+      s"SPARK_GRAFT_SF_DIR is not JSON-safe to interpolate: $sfDir")
 
+    // Warm-up (Bench.scala's discipline, incl. its try/catch): JVM/
+    // codegen/scan setup lands here, not on whichever variant runs
+    // first; a missing sf0.001 fixture must not kill the measurement.
+    try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+
+    var counts: Option[(Long, Long, Long)] = None
     val rows = (0 until reps).flatMap { rep =>
       Seq(true, false).map { hashed =>
         val (pairSec, nPairs) = timed {
@@ -71,6 +82,14 @@ object ContainGateAb {
           graft.operators.DedupOps.jaccardNearDups(dd, "doc_id", 3, 1, 2)
             .count()
         }
+        // The harness's validity contract: both key variants and every
+        // rep must see the same pair/row/jaccard counts — a divergence is
+        // a correctness regression, not a timing result, so fail loudly
+        // instead of writing a normal-looking artifact.
+        val c = (nPairs, nCl, nJ)
+        require(counts.forall(_ == c),
+          s"variant counts diverged: ${counts.get} vs $c (rep=$rep hashed=$hashed)")
+        counts = Some(c)
         f"""{"rep":$rep,"hashed":$hashed,"pair_sec":$pairSec%.2f,"n_pairs":$nPairs,"cluster_sec":$clSec%.2f,"n_rows":$nCl,"jaccard_sec":$jSec%.2f,"n_jaccard":$nJ}"""
       }
     }
