@@ -20,7 +20,9 @@ import org.apache.spark.sql.functions._
   * knob — it is in the same attribution ask). Counts are REQUIRED
   * identical across variants and reps (enforced, the sibling benches'
   * contract); wall-clock is reported per position so a box drift inside
-  * the run is visible.
+  * the run is visible, and the variant ORDER alternates per rep so the
+  * first-slot warm-up penalty lands on each variant equally often
+  * (min-of-reps is position-deconfounded).
   *
   * Run: `sbt -batch "runMain graft.ContainGateAb"` (env knobs:
   * SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS, SPARK_GRAFT_SCALE_REPS,
@@ -67,7 +69,11 @@ object ContainGateAb {
 
     var counts: Option[(Long, Long, Long)] = None
     val rows = (0 until reps).flatMap { rep =>
-      Seq(true, false).map { hashed =>
+      // ALTERNATE the variant order per rep (r18, ADVICE): a fixed order
+      // would confound the first-position warm-up/cache penalty with the
+      // variant effect — alternation puts each variant in each slot
+      // equally often, so position and variant deconfound in the mins.
+      (if (rep % 2 == 0) Seq(true, false) else Seq(false, true)).map { hashed =>
         val (pairSec, nPairs) = timed {
           graft.operators.DedupOps
             .containmentNearDupsImpl(dd, "doc_id", 3, 7, 10, hashed).count()

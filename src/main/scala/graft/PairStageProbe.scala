@@ -84,9 +84,14 @@ object PairStageProbe {
         val (candSec, nCand) = timed(ops.candidatePairsKeyed(sig).count())
         val (fullSec, nPairs) = timed(
           ops.minhashNearDups(docs, "doc_id", 3, 12, 3, 1, 2).count())
+        // Release only the probe's OWN caches (r18, ADVICE): a blanket
+        // clearCache() would also evict the persisted `docs` corpus frame
+        // (persisted once before the reps loop), so reps >= 2 would
+        // regenerate the corpus inside every stage scan — diverging from
+        // rep 1 and from DedupScaleBench's warm-docs discipline (which
+        // only ever calls unpersistPipelines, never clearCache).
         ops.unpersistPipelines()
         graft.core.Caches.releaseAll()
-        spark.catalog.clearCache()
         Stages(srSec, nSr, sigSec, nSig, candSec, nCand, fullSec, nPairs)
       }
       val runs = (0 until reps).map(_ => runOnce())

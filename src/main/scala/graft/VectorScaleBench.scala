@@ -31,7 +31,23 @@ import org.apache.spark.sql.functions._
   */
 object VectorScaleBench {
 
-  private val Dims = 64
+  private[graft] val Dims = 64
+
+  /** The clustered synthetic corpus (center(id % 1024) + 0.3 · noise, every
+    * component hash-derived — see the object scaladoc for why CLUSTERED).
+    * Shared with [[IvfkbProbe]] so the build-cliff probe measures the
+    * exact corpus the envelope legs measure. */
+  private[graft] def clusteredEmbs(spark: SparkSession, n: Long,
+                                   parts: Int): DataFrame = {
+    def comp(seed: Int, key: Column, i: Column): Column =
+      (pmod(xxhash64(lit(seed), key, i), lit(2001L)).cast("double") /
+        lit(1000.0)) - lit(1.0)
+    val vec = transform(sequence(lit(0), lit(Dims - 1)), i =>
+      (comp(17, pmod(col("id"), lit(1024L)), i) +
+        comp(23, col("id"), i) * lit(0.3)).cast("float"))
+    spark.range(0, n, 1, parts)
+      .select(col("id").as("vec_id"), vec.as("embedding"))
+  }
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -58,15 +74,7 @@ object VectorScaleBench {
       .split(",").map(_.trim).filter(_.nonEmpty).toSet
 
     val cells = ns.map { n =>
-      // center(id % 1024) + 0.3 · noise(id), every component hash-derived.
-      def comp(seed: Int, key: Column, i: Column): Column =
-        (pmod(xxhash64(lit(seed), key, i), lit(2001L)).cast("double") /
-          lit(1000.0)) - lit(1.0)
-      val vec = transform(sequence(lit(0), lit(Dims - 1)), i =>
-        (comp(17, pmod(col("id"), lit(1024L)), i) +
-          comp(23, col("id"), i) * lit(0.3)).cast("float"))
-      val embs = spark.range(0, n, 1, cpus.toInt * 4)
-        .select(col("id").as("vec_id"), vec.as("embedding"))
+      val embs = clusteredEmbs(spark, n, cpus.toInt * 4)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val t0 = System.nanoTime()
       embs.count()
@@ -101,10 +109,20 @@ object VectorScaleBench {
       // probes to recover the per-table recall the extra bits give up,
       // and a per-(table, bucket) candidate cap that bounds per-query
       // work at tables × (1+flips) × cap regardless of cluster density.
-      // Design point env-tunable: SPARK_GRAFT_MP="tables,bits,flips,cap".
-      val Array(mpT, mpB, mpF, mpCap) =
-        sys.env.getOrElse("SPARK_GRAFT_MP", "4,14,3,8192")
-          .split(",").map(_.trim.toInt)
+      // Design point env-tunable: SPARK_GRAFT_MP="tables,bits,flips,cap"
+      // (cap also takes "auto" — the occupancy-sized AutoBucketCap mode,
+      // r18's API for the r17 finding that a fixed cap is the 10M recall
+      // ceiling; the artifact records the RESOLVED cap either way).
+      val Array(mpTS, mpBS, mpFS, mpCapS) =
+        sys.env.getOrElse("SPARK_GRAFT_MP", "4,14,3,8192").split(",").map(_.trim)
+      val (mpT, mpB, mpF) = (mpTS.toInt, mpBS.toInt, mpFS.toInt)
+      val mpCap =
+        if (mpCapS == "auto") graft.operators.VectorOps.AutoBucketCap
+        else mpCapS.toInt
+      val mpCapResolved =
+        if (mpCap == graft.operators.VectorOps.AutoBucketCap)
+          graft.operators.VectorOps.autoBucketCapFor(n, mpB)
+        else mpCap
       val (mpSec, mpHits) = leg("lshmp") {
         recallAt10(graft.operators.VectorOps.knnLshMultiProbe(
           embs, "vec_id", "embedding", qp, 10, mpT, mpB, mpF, Dims,
@@ -313,6 +331,7 @@ object VectorScaleBench {
       f"""{"n":$n,"gen_sec":$genSec%.2f,"brute_sec":$bruteSec%.2f,""" +
         f""""n_brute":$nBrute,"lsh_sec":$lshSec%.2f,"lsh_hits":$lshHits,""" +
         f""""lshmp_sec":$mpSec%.2f,"lshmp_hits":$mpHits,""" +
+        s""""lshmp_cap":$mpCapResolved,"lshmp_cap_auto":${mpCap == graft.operators.VectorOps.AutoBucketCap},""" +
         s""""lshmp_sweep":${lshmpSweep.mkString("[", ",", "]")},""" +
         f""""ivf_sec":$ivfSec%.2f,"ivf_hits":$ivfHits,""" +
         f""""ivfk_sec":$ivfkSec%.2f,"ivfk_hits":$ivfkHits,""" +

@@ -724,6 +724,27 @@ object PipelineQueries {
         .groupBy("sz").agg(count(lit(1)).as("n_components"))
     }),
 
+    // DEPLOY-LANE twin of graph_components (the sky_*_from pattern): the
+    // kNN edge set is built ONCE into a PERSISTED artifact (the
+    // "kgraph_model" the bench deploy lane already times) and the
+    // component collapse answers off the stored edges — no graph build
+    // runs inside the algorithm. Reuses the graph_components oracle SQL
+    // verbatim, so the driver checks stored-edges ≡ rebuild row-for-row.
+    // The persisted edge list registers with Caches (released by
+    // Verify/Bench hygiene after the result is consumed).
+    "graph_components_from" -> ((s, d) => {
+      val ee = embs(s, d)
+      val kgEdges = graft.core.Caches.persistTracked(
+        graft.operators.VectorOps.knnGraph(
+            ee, "vec_id", "embedding", KnnGraphK, LshTables, LshBits, EmbDims)
+          .select(col("qid").as("src"), col("nid").as("dst")))
+      graft.operators.DedupOps.nearDupClusters(
+          ee.select(col("vec_id")), "vec_id",
+          kgEdges.select(col("src").as("id_a"), col("dst").as("id_b")))
+        .groupBy("cluster").agg(count(lit(1)).as("sz"))
+        .groupBy("sz").agg(count(lit(1)).as("n_components"))
+    }),
+
     // IVF (inverted-file) top-5: 16 deterministic corpus-vector centroids
     // (vec_id 8..23), nearest-cell assignment, 3 probed cells per query,
     // exact re-rank. The oracle replays the identical index in SQL.
@@ -922,6 +943,22 @@ object PipelineQueries {
         embs(s, d), "vec_id", "embedding",
         col("vec_id").between(KmCentLo, KmCentHi), KmIters, EmbDims, SemMinCos)
         .select(col("doc_id").as("vec_id"), col("cluster"))),
+
+    // DEPLOY-LANE twin of semdedup (the sky_*_from / rerank_from
+    // pattern): train the IvfModel ONCE, collapse through
+    // semDedupClustersFrom over the model's PERSISTED cell assignment —
+    // no training job runs inside the dedup. Reuses the semdedup oracle
+    // SQL verbatim, so the driver checks model-reuse ≡ from-scratch
+    // row-for-row — the serving shape a production curation run executes
+    // (quantizer trained once, every batch deduped through its cells).
+    "semdedup_from" -> ((s, d) => {
+      val ee = embs(s, d)
+      graft.operators.VectorOps.semDedupClustersFrom(
+        graft.operators.VectorOps.ivfModel(ee, "vec_id", "embedding",
+          col("vec_id").between(KmCentLo, KmCentHi), KmIters, EmbDims),
+        ee, "vec_id", SemMinCos)
+        .select(col("doc_id").as("vec_id"), col("cluster"))
+    }),
 
     // Embedding-cosine near-dup pairs among LSH-colliding candidates
     // (the oracle replays the identical hyperplanes, so the candidate set —
@@ -2462,6 +2499,45 @@ object PipelineQueries {
        |mt AS (SELECT qid, nid FROM rr WHERE rrnk <= 5),
        |$bruteTopCtes
        |$recallSelectSql""".stripMargin
+
+  /** The graph_components replay — shared verbatim by the
+    * graph_components_from deploy twin (see the oracle-map comment). */
+  private lazy val graphComponentsSql: String =
+    s"""WITH RECURSIVE $knnGraphCtes,
+       |ge AS (SELECT qid AS a, nid AS b FROM kg
+       |  UNION ALL SELECT nid, qid FROM kg),
+       |reach(id, r) AS (
+       |  SELECT a, a FROM ge
+       |  UNION
+       |  SELECT re.id, e.b FROM reach re JOIN ge e ON e.a = re.r),
+       |lbl AS (SELECT id, MIN(r) AS cluster FROM reach GROUP BY id),
+       |lblfull AS (SELECT v.vec_id, COALESCE(l.cluster, v.vec_id) AS cluster
+       |  FROM embeddings v LEFT JOIN lbl l ON v.vec_id = l.id),
+       |cs AS (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS sz FROM lblfull GROUP BY 1)
+       |SELECT sz, CAST(COUNT(*) AS BIGINT) AS n_components FROM cs GROUP BY 1""".stripMargin
+
+  /** The semdedup replay — shared verbatim by the semdedup_from deploy
+    * twin (see the oracle-map comment). */
+  private lazy val semdedupSql: String = {
+    val cos = cosSql("a.v", "b.v")
+    s"""WITH RECURSIVE $kmeansCteSql,
+       |cells AS (SELECT id, cid FROM (
+       |  SELECT id, cid, ROW_NUMBER() OVER (PARTITION BY id ORDER BY d, cid) AS rn
+       |  FROM (SELECT q.id, c.cid, $kmDistSql AS d FROM q, c$KmIters c)) WHERE rn = 1),
+       |ev AS (SELECT vec_id, embedding AS v FROM embeddings),
+       |pairs AS (SELECT x.id AS id_a, y.id AS id_b
+       |  FROM cells x JOIN cells y ON x.cid = y.cid AND x.id < y.id
+       |  JOIN ev a ON a.vec_id = x.id JOIN ev b ON b.vec_id = y.id
+       |  WHERE $cos >= $SemMinCos),
+       |edges AS (SELECT id_a AS a, id_b AS b FROM pairs UNION ALL SELECT id_b, id_a FROM pairs),
+       |reach(id, r) AS (
+       |  SELECT a, a FROM edges
+       |  UNION
+       |  SELECT re.id, e.b FROM reach re JOIN edges e ON e.a = re.r),
+       |lbl AS (SELECT id, MIN(r) AS cluster FROM reach GROUP BY id)
+       |SELECT e2.vec_id, CAST(COALESCE(l.cluster, e2.vec_id) AS BIGINT) AS cluster
+       |FROM embeddings e2 LEFT JOIN lbl l ON e2.vec_id = l.id""".stripMargin
+  }
 
   /** Exact-cosine top-5 baseline CTEs (`bev`, `bs`, `bt`) — the knn_brute
     * replay at k=5, namespaced to compose beside any method chain. Shared
@@ -4281,20 +4357,13 @@ object PipelineQueries {
 
     // graph_components: the kNN-graph replay + recursive reachability
     // min-label (the dedup_clusters pattern), singletons recovered off
-    // the embeddings table, reduced to the size census.
-    "graph_components" ->
-      s"""WITH RECURSIVE $knnGraphCtes,
-         |ge AS (SELECT qid AS a, nid AS b FROM kg
-         |  UNION ALL SELECT nid, qid FROM kg),
-         |reach(id, r) AS (
-         |  SELECT a, a FROM ge
-         |  UNION
-         |  SELECT re.id, e.b FROM reach re JOIN ge e ON e.a = re.r),
-         |lbl AS (SELECT id, MIN(r) AS cluster FROM reach GROUP BY id),
-         |lblfull AS (SELECT v.vec_id, COALESCE(l.cluster, v.vec_id) AS cluster
-         |  FROM embeddings v LEFT JOIN lbl l ON v.vec_id = l.id),
-         |cs AS (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS sz FROM lblfull GROUP BY 1)
-         |SELECT sz, CAST(COUNT(*) AS BIGINT) AS n_components FROM cs GROUP BY 1""".stripMargin,
+    // the embeddings table, reduced to the size census. The _from deploy
+    // twin reuses the SQL VERBATIM (the sky_*_from pattern): answering
+    // off the persisted edge artifact is row-for-row equal to the
+    // rebuild by construction, and sharing the SQL makes the DRIVER
+    // check that equivalence.
+    "graph_components" -> graphComponentsSql,
+    "graph_components_from" -> graphComponentsSql,
 
     // graph_triangles: undirect kg canonically (a<b), close wedges.
     "graph_triangles" ->
@@ -4543,26 +4612,10 @@ object PipelineQueries {
     // semdedup: the emb_kmeans training replay, then cells as blocking
     // buckets — exact cosine within cells, recursive-CTE components (the
     // dedup_clusters collapse shape), singletons labeled by their own id.
-    "semdedup" -> {
-      val cos = cosSql("a.v", "b.v")
-      s"""WITH RECURSIVE $kmeansCteSql,
-         |cells AS (SELECT id, cid FROM (
-         |  SELECT id, cid, ROW_NUMBER() OVER (PARTITION BY id ORDER BY d, cid) AS rn
-         |  FROM (SELECT q.id, c.cid, $kmDistSql AS d FROM q, c$KmIters c)) WHERE rn = 1),
-         |ev AS (SELECT vec_id, embedding AS v FROM embeddings),
-         |pairs AS (SELECT x.id AS id_a, y.id AS id_b
-         |  FROM cells x JOIN cells y ON x.cid = y.cid AND x.id < y.id
-         |  JOIN ev a ON a.vec_id = x.id JOIN ev b ON b.vec_id = y.id
-         |  WHERE $cos >= $SemMinCos),
-         |edges AS (SELECT id_a AS a, id_b AS b FROM pairs UNION ALL SELECT id_b, id_a FROM pairs),
-         |reach(id, r) AS (
-         |  SELECT a, a FROM edges
-         |  UNION
-         |  SELECT re.id, e.b FROM reach re JOIN edges e ON e.a = re.r),
-         |lbl AS (SELECT id, MIN(r) AS cluster FROM reach GROUP BY id)
-         |SELECT e2.vec_id, CAST(COALESCE(l.cluster, e2.vec_id) AS BIGINT) AS cluster
-         |FROM embeddings e2 LEFT JOIN lbl l ON e2.vec_id = l.id""".stripMargin
-    },
+    // The _from deploy twin reuses the SQL VERBATIM (see
+    // graph_components' note).
+    "semdedup" -> semdedupSql,
+    "semdedup_from" -> semdedupSql,
 
     "dedup_jaccard" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

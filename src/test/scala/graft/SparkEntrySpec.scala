@@ -20,7 +20,7 @@ class SparkEntrySpec extends AnyFunSuite {
   test("the gate count only moves deliberately") {
     // COVERAGE.md / README.md carry this number; failing here on an
     // accidental add/drop keeps the docs honest.
-    assert(SparkEntry.queries.size == 179,
+    assert(SparkEntry.queries.size == 181,
       s"gate count moved to ${SparkEntry.queries.size} — update COVERAGE.md/README.md and this pin")
   }
 }

@@ -469,6 +469,33 @@ class VectorOpsSpec extends AnyFunSuite {
       assert(got(id) == id, s"$id should be a singleton: $got"))
   }
 
+  test("semDedupClustersFrom over a pre-trained model equals the one-shot semDedupClusters") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val rnd = new scala.util.Random(29)
+    def noisy(c: Array[Float]) = c.map(x => x + (rnd.nextFloat() - 0.5f) * 0.6f)
+    val ax = Array(1f, 0f, 0f, 0f); val ay = Array(0f, 1f, 0f, 0f)
+    val dup = noisy(ax)
+    val df = Seq(
+      (0L, ax), (10L, ay),
+      (1L, dup), (2L, dup.clone()),
+      (3L, noisy(ax)), (13L, noisy(ay))).toDF("vec_id", "embedding")
+    val seeds = col("vec_id") === 0 || col("vec_id") === 10
+    val (oneShot, fromModel) = graft.core.Caches.scoped {
+      val a = VectorOps.semDedupClusters(df, "vec_id", "embedding",
+        seeds, 2, 4, 0.999).collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+      val b = VectorOps.semDedupClustersFrom(
+          VectorOps.ivfModel(df, "vec_id", "embedding", seeds, 2, 4),
+          df, "vec_id", 0.999)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+      (a.toSeq, b.toSeq)
+    }
+    // The deploy lane answers through the model's PERSISTED assignment —
+    // the semdedup_from gate shares semdedup's oracle SQL verbatim on the
+    // strength of this row-for-row equality.
+    assert(fromModel == oneShot, s"From must equal the one-shot: $fromModel vs $oneShot")
+  }
+
   test("projectInt matches the in-memory integer projection") {
     val spark = TestSpark.spark
     import spark.implicits._
@@ -791,6 +818,36 @@ class VectorOpsSpec extends AnyFunSuite {
     val tree = capped.queryExecution.sparkPlan.treeString
     assert(tree.contains("WindowGroupLimit"),
       s"bucket cap must plan as WindowGroupLimit:\n$tree")
+  }
+
+  test("knnLshMultiProbe AutoBucketCap: sizing formula anchored, fixture result equals uncapped") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // The occupancy rule itself: 64 × ceil(n / 2^bits), floored at 1024.
+    // 10M × 14 bits is the measured SCALE_ANN_r17 anchor (mean occupancy
+    // 611 → cap 39,104 — inside the sweep's saturated 32,768..131,072).
+    assert(VectorOps.autoBucketCapFor(10000000L, 14) == 39104)
+    assert(VectorOps.autoBucketCapFor(1000000L, 14) == 64 * 62)
+    assert(VectorOps.autoBucketCapFor(120L, 6) == 1024, "small-n floor")
+    assert(VectorOps.autoBucketCapFor(Long.MaxValue / 4, 1) == Int.MaxValue,
+      "overflow clamps to uncapped")
+    // At fixture scale the floor (1024) sits far above any bucket, so the
+    // auto mode must reproduce the uncapped result row-for-row — the
+    // same no-op contract the explicit-cap gates rely on.
+    val rnd = new scala.util.Random(31)
+    val centers = Array.fill(3)(Array.fill(16)(rnd.nextFloat() * 2 - 1))
+    val df = (0L until 120L).map { i =>
+      val c = centers((i % 3).toInt)
+      (i, c.map(x => x + (rnd.nextFloat() - 0.5f) * 0.02f))
+    }.toDF("vec_id", "embedding")
+    def rows(r: org.apache.spark.sql.DataFrame) =
+      r.collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+    val auto = rows(VectorOps.knnLshMultiProbe(
+      df, "vec_id", "embedding", col("vec_id") < 3, 5, 2, 6, 1, 16,
+      bucketCap = VectorOps.AutoBucketCap))
+    val uncapped = rows(VectorOps.knnLshMultiProbe(
+      df, "vec_id", "embedding", col("vec_id") < 3, 5, 2, 6, 1, 16))
+    assert(auto == uncapped, "auto cap must be a no-op at fixture scale")
   }
 
   test("knnSq8: full-candidate re-rank equals brute force; narrow candidates stay a re-ranked subset") {
