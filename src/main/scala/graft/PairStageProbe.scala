@@ -21,7 +21,14 @@ import org.apache.spark.sql.functions._
   *                   count in the same JVM with sr/sig still warm (the
   *                   CacheManager matches the re-derived plan fragments),
   *                   so `full_sec − cand_sec` ≈ the verify stage
-  *                   (candidate re-gen is cache-served in both terms).
+  *                   (candidate re-gen is cache-served in both terms);
+  *   5. `fullp_sec` — (r18) the
+  *                   [[graft.operators.DedupOps.minhashNearDupsSizePruned]]
+  *                   twin over the same warm caches — the size-ratio
+  *                   verify-prune A/B; pair count REQUIRED equal to lane
+  *                   4 (the prune is exactness-preserving). Both lanes
+  *                   read the same warm sr/sig, so the back-to-back
+  *                   order costs fullp no cold-cache penalty.
   *
   * Per rep the caches are RELEASED and rebuilt, so stage 1/2 always
   * measure cold builds; counts are required identical across reps.
@@ -73,7 +80,8 @@ object PairStageProbe {
       }
       final case class Stages(srSec: Double, nSr: Long, sigSec: Double,
                               nSig: Long, candSec: Double, nCand: Long,
-                              fullSec: Double, nPairs: Long)
+                              fullSec: Double, nPairs: Long,
+                              fullpSec: Double)
       def runOnce(): Stages = {
         val ops = graft.operators.DedupOps
         val sr = graft.core.Caches.persistTracked(
@@ -84,6 +92,14 @@ object PairStageProbe {
         val (candSec, nCand) = timed(ops.candidatePairsKeyed(sig).count())
         val (fullSec, nPairs) = timed(
           ops.minhashNearDups(docs, "doc_id", 3, 12, 3, 1, 2).count())
+        // r18: the size-ratio verify prune A/B — same warm caches, same
+        // JVM slot shape; counts REQUIRED equal to the unpruned lane
+        // (the prune is exactness-preserving by construction).
+        val (fullpSec, nPairsP) = timed(
+          ops.minhashNearDupsSizePruned(docs, "doc_id", 3, 12, 3, 1, 2)
+            .count())
+        require(nPairsP == nPairs,
+          s"size-pruned pair count diverged: $nPairsP vs $nPairs")
         // Release only the probe's OWN caches (r18, ADVICE): a blanket
         // clearCache() would also evict the persisted `docs` corpus frame
         // (persisted once before the reps loop), so reps >= 2 would
@@ -92,7 +108,8 @@ object PairStageProbe {
         // only ever calls unpersistPipelines, never clearCache).
         ops.unpersistPipelines()
         graft.core.Caches.releaseAll()
-        Stages(srSec, nSr, sigSec, nSig, candSec, nCand, fullSec, nPairs)
+        Stages(srSec, nSr, sigSec, nSig, candSec, nCand, fullSec, nPairs,
+          fullpSec)
       }
       val runs = (0 until reps).map(_ => runOnce())
       val f = runs.head
@@ -104,7 +121,8 @@ object PairStageProbe {
       f"""{"n":$n,"reps":$reps,"sr_sec":${mn(_.srSec)}%.2f,"sr_first":${f.srSec}%.2f,"n_sr":${f.nSr},""" +
         f""""sig_sec":${mn(_.sigSec)}%.2f,"sig_first":${f.sigSec}%.2f,"n_sig":${f.nSig},""" +
         f""""cand_sec":${mn(_.candSec)}%.2f,"cand_first":${f.candSec}%.2f,"n_cand":${f.nCand},""" +
-        f""""full_sec":${mn(_.fullSec)}%.2f,"full_first":${f.fullSec}%.2f,"n_pairs":${f.nPairs}}"""
+        f""""full_sec":${mn(_.fullSec)}%.2f,"full_first":${f.fullSec}%.2f,"n_pairs":${f.nPairs},""" +
+        f""""fullp_sec":${mn(_.fullpSec)}%.2f,"fullp_first":${f.fullpSec}%.2f}"""
     }
 
     val line =

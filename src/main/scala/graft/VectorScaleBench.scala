@@ -23,11 +23,27 @@ import org.apache.spark.sql.functions._
   * SPARK_GRAFT_CPUS, SPARK_GRAFT_SCALE_NS="1000000,10000000",
   * SPARK_GRAFT_SCALE_LEGS, SPARK_GRAFT_SCALE_OUT=SCALE_ANN_out.json).
   * Heap: the 10M full-leg single-JVM run needs SPARK_DRIVER_MEM=24g;
-  * the build legs are heap-SENSITIVE below that — the ivfkb 10M build
-  * read 350/205 s (full/sampled) at a dedicated 16g JVM vs 159/98 s at
-  * a shared 24g JVM (r17: MemoryStore evicts the persisted cells frame
-  * at 16g and the assignment recomputes), while the ivfpqb legs are
-  * heap-INVARIANT at ~145–190 s on this box (16g vs 24g within noise).
+  * the ivfkb build legs are heap-SENSITIVE below that, while the ivfpqb
+  * legs are heap-INVARIANT at ~145–190 s on this box (16g vs 24g within
+  * noise). MECHANISM (r18, corrected — IVFKB_PROBE_r18.json, the r17
+  * "evicts the cells frame and the assignment recomputes" note was
+  * WRONG): the storage census shows 128/128 partitions cached in every
+  * configuration (MEMORY_AND_DISK never recomputes — evicted blocks
+  * spill), zero shuffle spill, GC 2–4% of run time. What 16g actually
+  * changes: the ~10 GB quantized-corpus cache no longer transits the
+  * MemoryStore (9.65 GB ceiling), and blocks that FAIL in-memory unroll
+  * stream to disk at ~21–22.5 GB — ~2.2× the bytes of the
+  * memory-transited drops at 24g (~9.5–10 GB) — which the three Lloyd
+  * scans and the assignment then re-read. Same-session deconfounded A/B
+  * (min-of-2 per config, serial): 16g 140 s vs 24g 116 s at
+  * MEMORY_AND_DISK (1.21× — r17's 350-vs-159 reading stacked box phase
+  * on top of the byte inflation), 135.6 vs 90.3 s at
+  * MEMORY_AND_DISK_SER (the SPARK_GRAFT_PERSIST_LEVEL knob; never
+  * slower, compacter memory entries at higher GC). Sizing rule: give
+  * the build a storage ceiling ≥ the quantized-corpus cache (~1 KB/row
+  * at d=64) so it transits memory — a multi-executor cluster does this
+  * by construction; below that, expect the disk-byte inflation, not a
+  * cliff.
   */
 object VectorScaleBench {
 
