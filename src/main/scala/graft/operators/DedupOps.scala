@@ -465,16 +465,19 @@ object DedupOps {
     * length filter, Xiao et al.).
     *
     * MEASURED (r18, PairStageProbe `fullp` lane, 10M docs, b=12 r=3
-    * τ=1/2): a NEGATIVE result at gate shape — banding precision is so
-    * high there (1,000,203 candidates → 999,963 verified, so < 0.03% of
-    * candidates are size-ratio-prunable even in principle) that the
-    * prune removes ~nothing while its two extra size-table joins add
-    * measurable cost; the verify stage's cost lives in the corpus-sized
-    * shingle joins that run for every SURVIVING pair regardless. Kept as
-    * an explicit variant (not the default) for corpora where banding
-    * admits many size-skewed false candidates — e.g. low r, aggressive
-    * b, or containment-like length skew — where the same bound is the
-    * established prefix-filter win. */
+    * τ=1/2, PAIR_STAGE_r18.json): NEUTRAL at gate shape, leaning
+    * slightly positive — 39.8/43.4 s (min/first) vs 47.1/47.1 unpruned
+    * over the same warm shingle/signature caches. Structurally it
+    * CANNOT be a large win there: banding precision leaves < 0.03% of
+    * candidates prunable (1,000,203 → 999,963 verified), so the probe
+    * mostly shows the two extra size-table joins costing ~nothing
+    * against the warm shingle cache; the 4–7 s edge is within this
+    * box's phase noise and position-confounded (the pruned lane runs
+    * second each rep). Default stays the unpruned path — identical
+    * output by construction, one fewer plan stage; reach for this
+    * variant where banding admits MANY size-skewed false candidates
+    * (low r, aggressive b, containment-like length skew), where the
+    * same bound is the established prefix-filter win. */
   def minhashNearDupsSizePruned(docs: DataFrame, idCol: String, n: Int,
                                 b: Int, r: Int, num: Int, den: Int,
                                 maxBucket: Int = DefaultMaxBucket): DataFrame =
