@@ -182,7 +182,25 @@ object StreamEmbDedup {
     *     same miss source as tables WITHOUT extra shuffle passes; state
     *     bound cap × 2^bits shrinks. Prefer it over tables when arrivals
     *     per bucket stay small; prefer tables when hot buckets already
-    *     run long. */
+    *     run long.
+    *
+    * The saturated regime itself is measured at 10 M vectors
+    * (SCALE_SEMB_r18, RocksDB + changelog, 1 M distinct slots over
+    * 2^12 buckets at cap 16,384 — counters read 685k/1.34M rejected
+    * admissions, every bucket occupied): recall pays the bound
+    * visibly (86.5 % single-table) and a SECOND TABLE recovers most
+    * of the trade (98.2 % at 1.11× wall, both tables saturating
+    * independently) — when the counter climbs and cap × 2^bits is
+    * already your state budget, layering a table is the measured
+    * recovery path, because each table's cap rejections are
+    * independent draws over a different bucketing. Unlike the batch
+    * [[graft.operators.VectorOps.knnLshMultiProbe]] cap (an
+    * occupancy-sized candidate TRUNCATION, auto-sizable from a
+    * materialized corpus count), this cap is a STATE BOUND on an
+    * unbounded stream — there is no corpus n to derive it from, so
+    * it stays an explicit budget knob: size it as
+    * state-budget-rows / (tables × 2^bits) and read `saturated` to
+    * know when the budget, not the hashing, is the recall ceiling. */
   def flagNearDupVotes(embs: DataFrame, idCol: String, tsCol: String,
                        vecCol: String, tables: Int, bits: Int, dims: Int,
                        minCos: Double, cap: Int, lateness: String,
