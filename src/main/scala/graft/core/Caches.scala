@@ -42,6 +42,28 @@ object Caches {
     p
   }
 
+  /** [[persistTracked]] + EAGER materialization (one count over the
+    * persisted plan before it is handed to consumers).
+    *
+    * Why eager (r18, measured): AQE materializes a plan's INDEPENDENT
+    * shuffle stages concurrently (they are submitted as parallel jobs), so
+    * a lazily persisted intermediate that feeds several of them is computed
+    * once PER CONSUMER STAGE on first use — the block store keeps one copy
+    * ("Block rdd_N already exists; not re-adding") but every racing stage
+    * pays the full upstream pipeline. JobProbe on the sf0.1 containment
+    * gate showed the shingle scan+distinct evaluated three times in
+    * parallel (~13 s of task time each) before this fix; at 10M docs the
+    * same race re-runs a corpus-sized pipeline per stage. The extra job is
+    * one cache-backed count — noise next to the duplicated pipeline.
+    * Use for intermediates consumed by ≥ 2 independent downstream stages;
+    * keep plain [[persistTracked]] for single-consumer/loop frames where
+    * the count job would be pure added latency. */
+  def persistEagerTracked(df: DataFrame): DataFrame = {
+    val p = persistTracked(df)
+    p.count()
+    p
+  }
+
   /** Register a persisted RDD (e.g. a `localCheckpoint`'s backing storage,
     * which lives below the CacheManager) for [[releaseAll]]. */
   def trackRdd(rdd: org.apache.spark.rdd.RDD[_]): Unit = liveRdds.add(rdd)

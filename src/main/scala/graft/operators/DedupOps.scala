@@ -26,6 +26,16 @@ object DedupOps {
   private def cachePersist(df: DataFrame): DataFrame =
     graft.core.Caches.persistTracked(df)
 
+  // Eager variant for intermediates consumed by SEVERAL independent
+  // downstream shuffle stages: AQE materializes those stages concurrently,
+  // and a still-lazy cache is then computed once per racing stage (the
+  // block store keeps one copy but each stage pays the full upstream
+  // pipeline — JobProbe measured the containment gate's shingle pipeline
+  // evaluated 3× in parallel, ~13 s task time each at sf0.1). See
+  // [[graft.core.Caches.persistEagerTracked]].
+  private def cacheEager(df: DataFrame): DataFrame =
+    graft.core.Caches.persistEagerTracked(df)
+
   /** Unpersist every intermediate graft operators have persisted so far.
     * Call after consuming a near-dup/k-means result (count/collect/write);
     * long-lived sessions that skip it accumulate cached shingle sets — disk
@@ -165,7 +175,7 @@ object DedupOps {
     // 10M-doc envelope cell spills it), and the binary form cuts the
     // persisted row roughly a third with identical equality semantics.
     // Persisted — consumed twice (occurrence counts + the join back).
-    val sp = cachePersist(
+    val sp = cacheEager(
       graft.plans.GraftFunctions.on(docs)
         .select(col(idCol).as("doc_id"),
           posexplode(shingles(col("text"), k)))
@@ -213,7 +223,7 @@ object DedupOps {
     require(k >= 2 && k <= 1000, s"window width out of range: $k")
     import org.apache.spark.sql.expressions.Window
     // Same binary-digest span table as [[duplicatedSpanCoverage]].
-    val sp = cachePersist(
+    val sp = cacheEager(
       graft.plans.GraftFunctions.on(docs)
         .select(col(idCol).as("doc_id"),
           posexplode(shingles(col("text"), k)))
@@ -274,7 +284,7 @@ object DedupOps {
     require(minDocs >= 2, s"minDocs must be >= 2: $minDocs")
     import org.apache.spark.sql.expressions.Window
     // Same binary-digest span table as [[duplicatedSpanCoverage]].
-    val sp = cachePersist(
+    val sp = cacheEager(
       graft.plans.GraftFunctions.on(docs)
         .select(col(idCol).as("doc_id"),
           posexplode(shingles(col("text"), k)))
@@ -490,8 +500,8 @@ object DedupOps {
                                   sizePrune: Boolean): DataFrame = {
     require(num > 0 && den > 0 && num <= den,
       s"Jaccard threshold must be in (0, 1]: $num/$den")
-    val sr  = cachePersist(shingleRows(docs, idCol, n))
-    val sig = cachePersist(bandedKeys(sr, b, r))
+    val sr  = cacheEager(shingleRows(docs, idCol, n))
+    val sig = cacheEager(bandedKeys(sr, b, r))
     val sz = shingleSizes(sr)
     val cand0 = candidatePairsKeyed(sig, maxBucket)
     val cand =
@@ -539,7 +549,7 @@ object DedupOps {
   def jaccardNearDups(docs: DataFrame, idCol: String, n: Int,
                       num: Int, den: Int): DataFrame =
     jaccardNearDupsFromShingles(
-      cachePersist(shingleRows(docs, idCol, n)), num, den)
+      cacheEager(shingleRows(docs, idCol, n)), num, den)
 
   /** [[jaccardNearDups]] from an already-built (and persisted) distinct
     * shingle table — the stage split that lets a shared-model pipeline
@@ -565,7 +575,7 @@ object DedupOps {
     // Persisted: the candidate self-join would otherwise recompute the whole
     // frequency+rank pipeline on BOTH sides. rnk/sz ride into the cache for
     // the positional filter below.
-    val prefix = cachePersist(
+    val prefix = cacheEager(
       sr.join(dfreq, "s")
         .select(col("id"), col("s"),
           row_number().over(ordered).as("rnk"),
@@ -665,7 +675,7 @@ object DedupOps {
     require(num > 0 && den > 0 && num <= den,
       s"containment threshold must be in (0, 1]: $num/$den")
     import org.apache.spark.sql.expressions.Window
-    val sr = cachePersist(shingleRows(docs, idCol, n))
+    val sr = cacheEager(shingleRows(docs, idCol, n))
     // r16: the df / prefix / candidate stages key on xxhash64(s) — ONE
     // long instead of the n-word shingle string, on both sides of every
     // corpus-wide exchange in the candidate geometry (the bandedKeys
@@ -727,7 +737,7 @@ object DedupOps {
     * est_matches ∈ 0..k). */
   def minhashEstimates(docs: DataFrame, idCol: String, n: Int, k: Int,
                        num: Int, den: Int): DataFrame = {
-    val sr = cachePersist(shingleRows(docs, idCol, n))
+    val sr = cacheEager(shingleRows(docs, idCol, n))
     minhashEstimatesFrom(jaccardNearDupsFromShingles(sr, num, den),
       mdSignatures(sr, k))
   }
@@ -802,7 +812,7 @@ object DedupOps {
     // Cache the directed pair list BEFORE mirroring it: both unionAll
     // branches would otherwise each evaluate the full (expensive, uncached)
     // pair-detection subtree.
-    val fwd = cachePersist(pairs.select(col("id_a").as("a"), col("id_b").as("b")))
+    val fwd = cacheEager(pairs.select(col("id_a").as("a"), col("id_b").as("b")))
     val edges = cachePersist(fwd.unionAll(
       fwd.select(col("b").as("a"), col("a").as("b"))))
     // The checkpoint's backing storage lives below the CacheManager, so it
@@ -957,7 +967,7 @@ object DedupOps {
     * [[jaccardNearDupsFromShingles]] → persist; signatures on demand. */
   def fuzzyPairModel(docs: DataFrame, idCol: String, n: Int,
                      num: Int, den: Int, k: Int = 36): FuzzyPairModel = {
-    val sr = cachePersist(shingleRows(docs, idCol, n))
+    val sr = cacheEager(shingleRows(docs, idCol, n))
     FuzzyPairModel(sr,
       graft.core.Caches.persistTracked(
         jaccardNearDupsFromShingles(sr, num, den)), k)
@@ -1111,7 +1121,7 @@ object DedupOps {
     }
     val m = blocks - maxDist
     val combos = (0 until blocks).combinations(m).toSeq
-    val sig = cachePersist(sig0.select(col("id"), col("h")))
+    val sig = cacheEager(sig0.select(col("id"), col("h")))
     val exploded = dropHotBuckets(
       sig.select(col("id"), col("h"),
         explode(array(combos.zipWithIndex.map { case (bs, ci) =>
@@ -1164,7 +1174,7 @@ object DedupOps {
     // by id after the per-id signature aggregation.
     val tagged = oldDocs.select(col(idCol), col("text"), lit(0).as("side"))
       .unionAll(newDocs.select(col(idCol), col("text"), lit(1).as("side")))
-    val sr = cachePersist(shingleRows(tagged, idCol, n))
+    val sr = cacheEager(shingleRows(tagged, idCol, n))
     val g = dropHotBuckets(bandedKeys(sr, b, r), Seq("bk"), maxBucket)
       .join(tagged.select(col(idCol).as("id"), col("side")), "id")
     val cond = col("a.bk") === col("b.bk") &&
