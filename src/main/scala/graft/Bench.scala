@@ -83,7 +83,6 @@ object Bench {
     val ns = results.map { case (k, _, _, n) => s"\"" + k + "\":" + n }
       .mkString("{", ",", "}")
     val total = results.map(_._3).filter(_ >= 0).sum
-    val errs = errors.distinct.map("\"" + _ + "\"").mkString("[", ",", "]")
     // DEPLOYMENT-SHAPE lane: the per-gate map above RETRAINS every model
     // per query by design (gate independence — each query must stand alone
     // against its oracle), which makes the iterative trainers dominate the
@@ -103,14 +102,30 @@ object Bench {
     def runDeployLane(): Seq[(String, Double)] = {
       val deployEntries = scala.collection.mutable.ListBuffer.empty[(String, Double)]
       import org.apache.spark.sql.functions.{col, count, lit}
-      def timed(body: => Unit): Double = {
-        val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
-      }
+      // Every deploy entry runs under the SAME BenchGuard budget as the
+      // gate lane: round 18 proved one pathological operator in this lane
+      // (plain nanoTime timing, no guard) converts the whole bench into
+      // rc=124 with ZERO per-query data — the exact failure mode the gate
+      // guard was built to kill. A breach records the -1 sentinel here and
+      // the entry name in `errors`; the lane moves on. Model-build bodies
+      // that get cancelled leave their model null, so downstream consumers
+      // fail fast into their own -1 sentinels instead of hanging.
+      def timed(name: String)(body: => Unit): Double =
+        BenchGuard.timed(spark, s"deploy-$name", budgetSec,
+          onTimeout = msg => System.err.println(s"[graft.Bench] $msg"))(body)
+      // Guard self-test knob: a deliberately-unfinishable entry proves the
+      // degrade path (sentinel + completed JSON line) without touching any
+      // real operator. Never set by the driver.
+      if (sys.env.get("SPARK_GRAFT_DEPLOY_HANG").contains("1"))
+        deployEntries += "deploy_hang_probe" -> timed("deploy_hang_probe") {
+          import org.apache.spark.sql.functions.{sum, xxhash64}
+          spark.range(Long.MaxValue).agg(sum(xxhash64(col("id")))).count(); ()
+        }
       try {
         val dd = spark.read.parquet(s"$sfDir/documents.parquet")
         val m = {
           var model: graft.operators.DedupOps.NearDupModel = null
-          val t = timed {
+          val t = timed("dedup_model") {
             model = graft.operators.DedupOps.nearDupModel(
               dd, "doc_id", 3, 12, 3, 1, 2)
             model.pairs.count(); model.clusters.count() // materialize caches
@@ -118,27 +133,27 @@ object Bench {
           deployEntries += "dedup_model" -> t
           model
         }
-        deployEntries += "dedup_pairs" -> timed(m.pairs.count())
-        deployEntries += "dedup_clusters" -> timed(m.clusters.count())
-        deployEntries += "dedup_cluster_sizes" -> timed(
+        deployEntries += "dedup_pairs" -> timed("dedup_pairs")(m.pairs.count())
+        deployEntries += "dedup_clusters" -> timed("dedup_clusters")(m.clusters.count())
+        deployEntries += "dedup_cluster_sizes" -> timed("dedup_cluster_sizes")(
           m.clusters.groupBy("cluster").agg(count(lit(1))).count())
-        deployEntries += "dedup_keep_list" -> timed(
+        deployEntries += "dedup_keep_list" -> timed("dedup_keep_list")(
           m.clusters.filter(col("doc_id") === col("cluster")).count())
         graft.operators.DedupOps.unpersistPipelines()
         val bm = {
           var model: graft.operators.BpeOps.BpeModel = null
-          val t = timed {
+          val t = timed("bpe_model") {
             model = graft.operators.BpeOps.bpeModel(dd, 8)
             model.words.count() // materialize the segmented word cache
           }
           deployEntries += "bpe_model" -> t
           model
         }
-        deployEntries += "bpe_merges" -> timed(
+        deployEntries += "bpe_merges" -> timed("bpe_merges")(
           graft.operators.BpeOps.mergesOf(bm).count())
-        deployEntries += "bpe_vocab" -> timed(
+        deployEntries += "bpe_vocab" -> timed("bpe_vocab")(
           graft.operators.BpeOps.vocabOf(bm).count())
-        deployEntries += "bpe_doc_tokens" -> timed(
+        deployEntries += "bpe_doc_tokens" -> timed("bpe_doc_tokens")(
           graft.operators.BpeOps.docTokensOf(bm, dd, "doc_id").count())
         // k-means family: train+assign once (the gate-independence cost
         // every emb_kmeans-chain gate pays from scratch), then time the
@@ -146,7 +161,7 @@ object Bench {
         val ee = spark.read.parquet(s"$sfDir/embeddings.parquet")
         val asg = {
           var a: org.apache.spark.sql.DataFrame = null
-          val t = timed {
+          val t = timed("kmeans_model") {
             a = graft.operators.VectorOps.kmeansAssign(
                 ee, "vec_id", "embedding",
                 col("vec_id").between(8, 15), 3, 64)
@@ -156,9 +171,9 @@ object Bench {
           deployEntries += "kmeans_model" -> t
           a
         }
-        deployEntries += "kmeans_cells" -> timed(
+        deployEntries += "kmeans_cells" -> timed("kmeans_cells")(
           asg.groupBy("cid").agg(count(lit(1))).count())
-        deployEntries += "kmeans_sample" -> timed(
+        deployEntries += "kmeans_sample" -> timed("kmeans_sample")(
           graft.operators.VectorOps.clusterBalancedSampleFrom(asg, 10).count())
         asg.unpersist(blocking = false)
         // ANN family: ONE trained coarse quantizer (+ PQ codebooks, + the
@@ -168,7 +183,7 @@ object Bench {
         import graft.operators.VectorOps
         val ivf = {
           var m: VectorOps.IvfModel = null
-          val t = timed {
+          val t = timed("ivf_model") {
             m = VectorOps.ivfModel(ee, "vec_id", "embedding",
               col("vec_id").between(8, 15), 3, 64)
             m.cells.count() // materialize the persisted index
@@ -176,10 +191,10 @@ object Bench {
           deployEntries += "ivf_model" -> t
           m
         }
-        deployEntries += "knn_ivf_kmeans" -> timed(
+        deployEntries += "knn_ivf_kmeans" -> timed("knn_ivf_kmeans")(
           VectorOps.knnIvfKmeansFrom(ivf, ee, "vec_id",
             col("vec_id") < 8, 5, 3).count())
-        deployEntries += "ann_recall_ivf" -> timed(
+        deployEntries += "ann_recall_ivf" -> timed("ann_recall_ivf")(
           graft.queries.PipelineQueries.annRecall(
             VectorOps.knnIvfKmeansFrom(ivf, ee, "vec_id",
               col("vec_id") < 8, 5, 3), ee).count())
@@ -189,7 +204,7 @@ object Bench {
         // labels.
         val sem = {
           var c: org.apache.spark.sql.DataFrame = null
-          val t = timed {
+          val t = timed("semdedup_model") {
             c = VectorOps.semDedupClustersFrom(ivf, ee, "vec_id", 0.35)
               .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
             c.count()
@@ -197,37 +212,37 @@ object Bench {
           deployEntries += "semdedup_model" -> t
           c
         }
-        deployEntries += "semdedup_keep_list" -> timed(
+        deployEntries += "semdedup_keep_list" -> timed("semdedup_keep_list")(
           sem.filter(col("doc_id") === col("cluster")).count())
-        deployEntries += "semdedup_cluster_sizes" -> timed(
+        deployEntries += "semdedup_cluster_sizes" -> timed("semdedup_cluster_sizes")(
           sem.groupBy("cluster").agg(count(lit(1))).count())
         sem.unpersist(blocking = false)
         val pq = {
           var m: VectorOps.IvfPqModel = null
-          val t = timed {
+          val t = timed("ivfpq_model") {
             m = VectorOps.ivfPqModel(ivf, 2, 4)
             m.coded.count() // materialize the persisted codes
           }
           deployEntries += "ivfpq_model" -> t
           m
         }
-        deployEntries += "knn_ivfpq" -> timed(
+        deployEntries += "knn_ivfpq" -> timed("knn_ivfpq")(
           VectorOps.knnIvfPqFrom(pq, ee, "vec_id",
             col("vec_id") < 8, 5, 3).count())
-        deployEntries += "ann_recall_ivfpq" -> timed(
+        deployEntries += "ann_recall_ivfpq" -> timed("ann_recall_ivfpq")(
           graft.queries.PipelineQueries.annRecall(
             VectorOps.knnIvfPqFrom(pq, ee, "vec_id",
               col("vec_id") < 8, 5, 3), ee).count())
         val pqr = {
           var m: VectorOps.IvfPqResModel = null
-          val t = timed {
+          val t = timed("ivfpq_res_model") {
             m = VectorOps.ivfPqResidualModel(ivf, 2, 4)
             m.coded.count()
           }
           deployEntries += "ivfpq_res_model" -> t
           m
         }
-        deployEntries += "ann_recall_ivfpq_res" -> timed(
+        deployEntries += "ann_recall_ivfpq_res" -> timed("ann_recall_ivfpq_res")(
           graft.queries.PipelineQueries.annRecall(
             VectorOps.knnIvfPqResidualFrom(pqr, ee, "vec_id",
               col("vec_id") < 8, 5, 3), ee).count())
@@ -235,10 +250,10 @@ object Bench {
         // serving-path number — ADC over the persisted codes + the exact
         // refine of the top-20 pool (the gate's RrCand), no train/encode.
         // The marginal cost over ann_recall_ivfpq_res IS the refine stage.
-        deployEntries += "knn_ivfpq_rerank" -> timed(
+        deployEntries += "knn_ivfpq_rerank" -> timed("knn_ivfpq_rerank")(
           VectorOps.knnIvfPqResidualRerankFrom(pqr, ee, "vec_id",
             "embedding", col("vec_id") < 8, 5, 3, 20).count())
-        deployEntries += "ann_recall_ivfpq_rr" -> timed(
+        deployEntries += "ann_recall_ivfpq_rr" -> timed("ann_recall_ivfpq_rr")(
           graft.queries.PipelineQueries.annRecall(
             VectorOps.knnIvfPqResidualRerankFrom(pqr, ee, "vec_id",
               "embedding", col("vec_id") < 8, 5, 3, 20), ee).count())
@@ -253,7 +268,7 @@ object Bench {
         // (min-of-2 reads ~3.6 s — ~8 checkpointed rounds of real work).
         val kgEdges = {
           var e: org.apache.spark.sql.DataFrame = null
-          val t = timed {
+          val t = timed("kgraph_model") {
             e = VectorOps.knnGraph(ee, "vec_id", "embedding", 3, 4, 4, 64)
               .select(col("qid").as("src"), col("nid").as("dst"))
               .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -262,14 +277,14 @@ object Bench {
           deployEntries += "kgraph_model" -> t
           e
         }
-        deployEntries += "graph_degrees" -> timed(
+        deployEntries += "graph_degrees" -> timed("graph_degrees")(
           kgEdges.groupBy("src").agg(count(lit(1)).as("deg"))
             .groupBy("deg").agg(count(lit(1))).count())
-        deployEntries += "graph_pagerank" -> timed(
+        deployEntries += "graph_pagerank" -> timed("graph_pagerank")(
           graft.operators.GraphOps.pageRank(kgEdges, 5).count())
-        deployEntries += "graph_triangles" -> timed(
+        deployEntries += "graph_triangles" -> timed("graph_triangles")(
           graft.operators.GraphOps.triangles(kgEdges).count())
-        deployEntries += "graph_components" -> timed(
+        deployEntries += "graph_components" -> timed("graph_components")(
           graft.operators.DedupOps.nearDupClusters(
               ee.select(col("vec_id")), "vec_id",
               kgEdges.select(col("src").as("id_a"), col("dst").as("id_b")))
@@ -281,7 +296,7 @@ object Bench {
         // and the estimator-accuracy readout.
         val fm = {
           var m: graft.operators.DedupOps.FuzzyPairModel = null
-          val t = timed {
+          val t = timed("jaccard_model") {
             m = graft.operators.DedupOps.fuzzyPairModel(
               dd, "doc_id", 3, 1, 2, 36)
             // Materialize BOTH persisted artifacts inside the build
@@ -294,11 +309,11 @@ object Bench {
           deployEntries += "jaccard_model" -> t
           m
         }
-        deployEntries += "minhash_sigs" -> timed(fm.sigs.count())
-        deployEntries += "dedup_source_matrix" -> timed(
+        deployEntries += "minhash_sigs" -> timed("minhash_sigs")(fm.sigs.count())
+        deployEntries += "dedup_source_matrix" -> timed("dedup_source_matrix")(
           graft.operators.DedupOps.sourcePairMatrix(
             fm.pairs, dd, "doc_id", "source").count())
-        deployEntries += "minhash_est" -> timed(
+        deployEntries += "minhash_est" -> timed("minhash_est")(
           graft.operators.DedupOps.minhashEstimatesFrom(
             fm.pairs, fm.sigs).count())
         graft.operators.DedupOps.unpersistPipelines()
@@ -308,7 +323,7 @@ object Bench {
         // hybrid all reuse it.
         val im = {
           var m: graft.operators.IndexOps.IndexModel = null
-          val t = timed {
+          val t = timed("idx_model") {
             m = graft.operators.IndexOps.indexModel(dd, "doc_id")
             m.td.count(); m.dl.count() // materialize the index
           }
@@ -316,13 +331,13 @@ object Bench {
           m
         }
         val probeTerms = Seq("spark", "vector", "hash")
-        deployEntries += "idx_bm25" -> timed(
+        deployEntries += "idx_bm25" -> timed("idx_bm25")(
           graft.operators.IndexOps.bm25From(im, probeTerms, 20).count())
-        deployEntries += "idx_search" -> timed(
+        deployEntries += "idx_search" -> timed("idx_search")(
           graft.operators.IndexOps.conjunctiveFrom(im, probeTerms, 2L).count())
-        deployEntries += "idx_postings" -> timed(
+        deployEntries += "idx_postings" -> timed("idx_postings")(
           graft.operators.IndexOps.postingsFrom(im, 300L, 5).count())
-        deployEntries += "search_rrf" -> timed {
+        deployEntries += "search_rrf" -> timed("search_rrf") {
           val lex = graft.operators.IndexOps.bm25From(im, probeTerms, 20)
             .select(col("doc_id").as("id"), col("rnk"))
           val sem = graft.operators.VectorOps.knnBrute(ee, "vec_id",
@@ -336,14 +351,14 @@ object Bench {
         // suite grows) and applied per training corpus.
         val blm = {
           var m: graft.operators.BloomOps.BloomModel = null
-          val t = timed {
+          val t = timed("bloom_model") {
             m = graft.operators.BloomOps.bloomModel(
               dd.filter(col("source") === "src0"), 8)
           }
           deployEntries += "bloom_model" -> t
           m
         }
-        deployEntries += "bloom_apply" -> timed(
+        deployEntries += "bloom_apply" -> timed("bloom_apply")(
           graft.operators.BloomOps.applyBloom(blm,
             dd.filter(col("source") =!= "src0"), "doc_id").count())
         // Multimodal fingerprint family: decode + fingerprint ONCE into
@@ -355,7 +370,7 @@ object Bench {
         val mmClasses = {
           import graft.operators.MultimodalOps._
           var c: org.apache.spark.sql.DataFrame = null
-          val t = timed {
+          val t = timed("mm_model") {
             c = dd
               .select(wavFingerprint8(
                 wavBlob(lit(8000), lit(1), lit(8), asBlob(col("text"))),
@@ -368,14 +383,14 @@ object Bench {
           deployEntries += "mm_model" -> t
           c
         }
-        deployEntries += "mm_audiohash" -> timed(
+        deployEntries += "mm_audiohash" -> timed("mm_audiohash")(
           mmClasses.groupBy(col("cnt").as("sz"))
             .agg(count(lit(1)).as("n_buckets")).count())
-        deployEntries += "mm_audiohash_pairs" -> timed(
+        deployEntries += "mm_audiohash_pairs" -> timed("mm_audiohash_pairs")(
           graft.operators.DedupOps.hammingPairs(
             mmClasses.select(col("h").as("id"), col("h")),
             mmSegs, 2, 4).count())
-        deployEntries += "mm_audiohash_clusters" -> timed(
+        deployEntries += "mm_audiohash_clusters" -> timed("mm_audiohash_clusters")(
           graft.operators.DedupOps.smallNearDupClusters(
             mmClasses.select(col("h")), "h",
             graft.operators.DedupOps.hammingPairs(
@@ -392,7 +407,7 @@ object Bench {
         val liSky = spark.read.parquet(s"$sfDir/lineitem.parquet")
         val sky2 = {
           var model: graft.operators.SkylineOps.SkylineModel = null
-          val t = timed {
+          val t = timed("sky_model") {
             model = graft.operators.SkylineOps.skylineModel(
               liSky, Seq("l_quantity", "l_extendedprice"), 2)
             model.pts.count() // materialize the point table
@@ -400,13 +415,13 @@ object Bench {
           deployEntries += "sky_model" -> t
           model
         }
-        deployEntries += "sky_layers" -> timed(
+        deployEntries += "sky_layers" -> timed("sky_layers")(
           graft.operators.SkylineOps.layerRowsFrom(sky2, liSky).count())
-        deployEntries += "sky_topdom" -> timed(
+        deployEntries += "sky_topdom" -> timed("sky_topdom")(
           graft.operators.SkylineOps.topDominatingFrom(sky2, liSky, 10).count())
         val sky3 = {
           var model: graft.operators.SkylineOps.SkylineModel = null
-          val t = timed {
+          val t = timed("sky3_model") {
             model = graft.operators.SkylineOps.skylineModel(
               liSky.filter(col("l_orderkey") % 20 === 0),
               Seq("l_quantity", "l_extendedprice", "l_discount"), 3)
@@ -415,7 +430,7 @@ object Bench {
           deployEntries += "sky3_model" -> t
           model
         }
-        deployEntries += "sky_skyband" -> timed(
+        deployEntries += "sky_skyband" -> timed("sky_skyband")(
           graft.operators.SkylineOps.skybandRowsFrom(sky3,
             liSky.filter(col("l_orderkey") % 20 === 0), 3).count())
         graft.core.Caches.releaseAll()
@@ -436,11 +451,19 @@ object Bench {
         .getOrElse(2).max(1)
     val deployRuns = (1 to deployN).map(_ => runDeployLane())
     // Min per entry across passes, keyed in first-pass order; an entry a
-    // failed pass never reached degrades to the passes that have it.
+    // failed pass never reached degrades to the passes that have it. A -1
+    // guard sentinel must not win the min (it would mask a pass that
+    // completed): the min runs over successful samples, and only an entry
+    // with NO successful pass keeps the sentinel — and lands in `errors`
+    // as "deploy:<name>" so a breach is visible without diffing the map.
     val deployKeys = deployRuns.flatMap(_.map(_._1)).distinct
     val deployMin = deployRuns.flatten.groupBy(_._1).map { case (k, vs) =>
-      k -> vs.map(_._2).min
+      val ok = vs.map(_._2).filter(_ >= 0)
+      k -> (if (ok.nonEmpty) ok.min else -1.0)
     }
+    deployKeys.filter(deployMin(_) < 0).foreach(k => errors += s"deploy:$k")
+    // `errors` is final only after BOTH lanes have run.
+    val errs = errors.distinct.map("\"" + _ + "\"").mkString("[", ",", "]")
     val deploy = deployKeys
       .map { k => f""""$k":${deployMin(k)}%.3f""" }.mkString("{", ",", "}")
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"first":$fs,"n":$ns,"sf":"$sfDir","errors":$errs,"deploy":$deploy,"deploy_n":$deployN}"""

@@ -52,6 +52,14 @@ object DedupOps {
     * (SPARK_GRAFT_CC_LOG=1) — bench/probe instrumentation only. */
   private val ccLog = sys.env.get("SPARK_GRAFT_CC_LOG").contains("1")
 
+  /** One-shot plan dump of [[nearDupClusters]]' ROUND-UPDATE DataFrame
+    * (SPARK_GRAFT_CC_EXPLAIN=1): the operator's cost lives in the per-round
+    * plan, which the final returned plan hides behind the last checkpoint's
+    * `Scan ExistingRDD` — this prints round 1's formatted plan so the shape
+    * (exchange count, join strategy per round) is auditable. Plan-dump
+    * instrumentation only; never set by the driver. */
+  private val ccExplain = sys.env.get("SPARK_GRAFT_CC_EXPLAIN").contains("1")
+
   /** Default hot-bucket cap for the LSH candidate self-joins ([[candidatePairs]],
     * [[simhashNearDups]], [[graft.operators.VectorOps.cosNearDups]]): a join
     * key shared by more than this many rows is excluded from candidate
@@ -815,26 +823,10 @@ object DedupOps {
   def nearDupClusters(docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
     // Cache the directed pair list BEFORE mirroring it: both unionAll
     // branches would otherwise each evaluate the full (expensive, uncached)
-    // pair-detection subtree. The eager count also sizes the graph for the
-    // big-graph edge layout below.
+    // pair-detection subtree.
     val fwd = cachePersist(pairs.select(col("id_a").as("a"), col("id_b").as("b")))
-    val nPairs = fwd.count()
-    // Big pair graphs: persist the mirrored edge list hash-partitioned AND
-    // sorted by the per-round join key, so every round's sort-merge join
-    // reads the (corpus-sized) edge side exchange- and sort-free — one
-    // build-time shuffle buys one |edges| exchange + sort per fixpoint
-    // round (guide §2.4: operations keyed the same way share one
-    // exchange). Below the threshold the join broadcasts the label table
-    // anyway (the edge side is never exchanged), so the extra shuffle
-    // would be pure cost — threshold parameterised, default 2M pairs
-    // (≈ the scale where labels outgrow any broadcast threshold).
-    val bigPairGraph = sys.env.get("SPARK_GRAFT_CC_EDGE_PARTITION_MIN")
-      .flatMap(_.toLongOption).getOrElse(2000000L)
-    val mirrored = fwd.unionAll(fwd.select(col("b").as("a"), col("a").as("b")))
-    val edges = cachePersist(
-      if (nPairs >= bigPairGraph)
-        mirrored.repartition(col("b")).sortWithinPartitions("b")
-      else mirrored)
+    val edges = cachePersist(fwd.unionAll(
+      fwd.select(col("b").as("a"), col("a").as("b"))))
     // The checkpoint's backing storage lives below the CacheManager, so it
     // must be freed explicitly: superseded rounds in-loop (their data has
     // already fed the next round's materialization), the final round via
@@ -850,52 +842,33 @@ object DedupOps {
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < 50) {
-      // One round computes, for every node, min(own label, neighbors'
-      // labels, label-of-own-label) — the same update function as the
-      // pre-r18 shape, now assembled as ONE tagged message union + ONE
-      // min-aggregate instead of nbrMin/jump left-joined back onto the
-      // label table (2 joins + 1 aggregate per round vs 4 joins + 1
-      // aggregate; the r18 JobProbe showed each extra join costing an
-      // AQE stage round-trip per round at gate scale and a label-sized
-      // exchange at envelope scale). `labelsByB` appears in both joins —
-      // one exchange, reused. The self message carries `own = true`, so
-      // the old label rides into the aggregate and the change check needs
-      // no extra join. Every label value is a node id present in `labels`
-      // (labels are minima over node ids of the same component), so the
-      // jump join misses nothing; the self message keeps the union total
-      // even for a node whose neighbors all vanished (impossible, but the
-      // fallback is free). Convergence deliberately does NOT use the
-      // kCore `observe` trick: measured at the 10M-doc envelope, a
-      // CollectMetrics node wrapping the round's hot join regressed the
-      // collapse 80.7 → 133–170 s (it breaks the join stage's codegen
-      // span), while the checkpoint-scan count costs ~nothing.
-      val labelsByB = labels.select(col("id").as("b"), col("lbl").as("m"))
-      val viaNbr = edges.join(labelsByB, "b")
-        .select(col("a").as("id"), col("m"), lit(false).as("own"))
-      // Squared pointer jumps: m2 = lbl∘lbl, m4 = m2∘m2 — pointer distance
-      // grows 4× per materialized round instead of 2×, so the jump-limited
-      // tail of a long-chain component needs half the rounds (measured:
-      // the semdedup cosine graph took 17 rounds at 2×; round count IS the
-      // wall-clock of this operator at pair-graph sizes). Every jump value
-      // is still a same-component node id ≥ the component min, so the
-      // monotone-descent/fixpoint argument is unchanged. m2's inputs are
-      // the round's CHECKPOINT (materialized rows), so m4's two m2
-      // references re-run one cheap join, not a growing lineage.
-      val m2 = labels.select(col("lbl").as("b"), col("id"))
-        .join(labelsByB, "b").select(col("id"), col("m"))
-      val m4 = m2.select(col("m").as("b"), col("id"))
-        .join(m2.select(col("id").as("b"), col("m")), "b")
-        .select(col("id"), col("m"))
-      val self = labels.select(col("id"), col("lbl").as("m"),
-        lit(true).as("own"))
-      val next = viaNbr
-        .unionAll(m2.select(col("id"), col("m"), lit(false).as("own")))
-        .unionAll(m4.select(col("id"), col("m"), lit(false).as("own")))
-        .unionAll(self)
-        .groupBy("id")
-        .agg(min(col("m")).as("lbl"),
-          min(when(col("own"), col("m"))).as("old"))
-        .localCheckpoint()
+      val nbrMin = edges
+        .join(labels.select(col("id").as("b"), col("lbl").as("nlbl")), "b")
+        .groupBy("a").agg(min(col("nlbl")).as("nmin"))
+      // Pointer jump: every label value is a node id present in `labels`
+      // (labels are minima over node ids of the same component), so lbl's
+      // own label is one self-join away; a component-min label maps to
+      // itself, which `least` ignores.
+      val jump = labels.select(col("id").as("lbl"), col("lbl").as("j2"))
+      // `old` rides along so the change check needs no extra join. The
+      // eager localCheckpoint materializes the round AND re-roots the plan
+      // (see the scaladoc) — the count below reads the STORED rows, so it
+      // is a cached scan, not a recompute. Convergence deliberately does
+      // NOT use the kCore `observe` trick here: measured at the 10M-doc
+      // envelope, a CollectMetrics node wrapping this round's THREE-WAY
+      // label join regressed the collapse 80.7 → 133–170 s (it sits in
+      // the expensive join stage and breaks its codegen span), while the
+      // checkpoint-scan count costs ~nothing.
+      val round =
+        labels.join(nbrMin.select(col("a").as("id"), col("nmin")), Seq("id"), "left")
+          .join(jump, Seq("lbl"), "left")
+          .select(col("id"),
+            least(col("lbl"),
+              coalesce(col("nmin"), col("lbl")),
+              coalesce(col("j2"), col("lbl"))).as("lbl"),
+            col("lbl").as("old"))
+      if (ccExplain && iter == 0) round.explain("formatted")
+      val next = round.localCheckpoint()
       changed = next.filter(col("lbl") =!= col("old")).count()
       labelsRdd.foreach(_.unpersist(blocking = false)) // superseded round
       labels = next.select(col("id"), col("lbl"))
