@@ -83,7 +83,21 @@ object JobProbe {
       val dt = (System.nanoTime() - t0) / 1e9
       graft.operators.DedupOps.unpersistPipelines()
       spark.catalog.clearCache()
-      Thread.sleep(500) // drain the listener bus before reading aggregates
+      // Drain the listener bus before reading aggregates: a fixed sleep is
+      // racy on a loaded box (task/job-end events can still be in flight
+      // after it, silently undercounting the very queries being probed), so
+      // poll until the (job count, task count) pair is stable across two
+      // consecutive reads, bounded at 5 s.
+      var drained = false
+      var waitedMs = 0
+      while (!drained && waitedMs < 5000) {
+        val before = (jobs.synchronized(jobs.size),
+          stages.synchronized(stages.valuesIterator.map(_.tasks).sum))
+        Thread.sleep(250); waitedMs += 250
+        val after = (jobs.synchronized(jobs.size),
+          stages.synchronized(stages.valuesIterator.map(_.tasks).sum))
+        drained = before == after
+      }
       val js = jobs.synchronized(jobs.values.toSeq)
       val sumJobs = js.map(j => (j.end - j.start).max(0L)).sum / 1000.0
       println(f"===== $n rep$rep total $dt%.2f s, ${js.size} jobs " +
